@@ -1,0 +1,40 @@
+"""pandera_spark — a from-scratch PySpark-native schema + constraint
+validation engine with pandera's semantics (reference:
+pandera-labs/pandera), re-architected for Spark: one fused aggregate pass
+for all check verdicts + stats, explicit violation DataFrames, skew-aware
+uniqueness, FK/contiguity referential checks, and KS/PSI distribution-drift
+checks — designed for 10^12-row tables on multi-executor clusters.
+"""
+
+from .checks import Check, register_check_method  # noqa: F401
+from .config import CONFIG, Config, ValidationDepth, reset_config_from_env  # noqa: F401
+from .dtypes import dtype_equal, dtype_str, resolve_dtype  # noqa: F401
+from .errors import (  # noqa: F401
+    FAILURE_CASE_COLUMNS,
+    ErrorHandler,
+    SchemaError,
+    SchemaErrorReason,
+    SchemaErrorRecord,
+    SchemaErrors,
+)
+from .schema import Column, DataFrameSchema, Parser  # noqa: F401
+from .backend.validate import ValidationResult, validate  # noqa: F401
+from .backend.referential import Contiguity, ForeignKey, Monotonic  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Check",
+    "Column",
+    "DataFrameSchema",
+    "Parser",
+    "ValidationResult",
+    "SchemaError",
+    "SchemaErrors",
+    "SchemaErrorReason",
+    "ForeignKey",
+    "Contiguity",
+    "Monotonic",
+    "register_check_method",
+    "validate",
+]

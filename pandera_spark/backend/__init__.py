@@ -1,0 +1,1 @@
+from .validate import ValidationResult, validate  # noqa: F401

@@ -1,0 +1,254 @@
+"""Referential-integrity & ordering checks (north-rule extensions).
+
+The reference has no joins at all (SURVEY.md §2.8); the north rule requires
+FK-style integrity over (conv_id, turn_idx): every turn's conv_id exists in
+a reference set, and turn_idx is dense/ordered per conversation.
+
+Scale design:
+  - ForeignKey orphan detection = ``left_anti`` join; the dimension side is
+    broadcast when ``broadcast=True`` (default) so the fact table never
+    shuffles.  For large dims, set broadcast=False → shuffled anti-join with
+    AQE handling skew.
+  - Contiguity = one ``groupBy(partition_by).agg(count, min, max)`` —
+    map-side partial aggregation bounds hot-conversation skew; a
+    conversation is dense iff ``max-min+1 == count`` and ``min == start``
+    (no window over the full table needed).  ``Monotonic`` ordering uses a
+    per-partition window only when exact gap rows are requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import SchemaErrorReason, SchemaErrorRecord
+from .violations import _index_col
+
+
+@dataclass
+class ForeignKey:
+    """Every value of ``columns`` must appear in ``ref_columns`` of the
+    reference table (orphan detection via left_anti join)."""
+
+    columns: list[str]
+    reference: Union[DataFrame, Callable[[], DataFrame]]
+    ref_columns: Optional[list[str]] = None
+    name: str = "foreign_key"
+    broadcast: bool = True
+
+    def resolve_reference(self) -> DataFrame:
+        ref = self.reference() if callable(self.reference) else self.reference
+        rcols = self.ref_columns or self.columns
+        return ref.select(
+            *[F.col(rc).alias(c) for rc, c in zip(rcols, self.columns)]
+        ).distinct()
+
+
+@dataclass
+class Contiguity:
+    """Per-group dense ordering: values of ``order_col`` within each
+    ``partition_by`` group must be exactly start, start+1, ..., start+n-1
+    (with uniqueness within the group)."""
+
+    partition_by: str
+    order_col: str
+    start: int = 0
+    name: str = "contiguity"
+
+
+@dataclass
+class Monotonic:
+    """``order_col`` strictly increasing within ``partition_by`` groups
+    when rows are ordered by ``sort_col`` (e.g. ts increases with
+    turn_idx)."""
+
+    partition_by: str
+    order_col: str
+    sort_col: str
+    strict: bool = True
+    name: str = "monotonic"
+
+
+def run_referential_checks(
+    schema,
+    df: DataFrame,
+    handler,
+    schema_name: str,
+    index_cols: Optional[list[str]],
+    collect_failure_cases: bool = True,
+) -> Optional[DataFrame]:
+    parts: list[DataFrame] = []
+    df_cols = set(df.columns)
+    for ref in schema.references:
+        needed = _required_columns(ref)
+        missing = [c for c in needed if c not in df_cols]
+        if missing:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.CHECK_ERROR,
+                    schema_context="DataFrameSchema",
+                    column=", ".join(missing),
+                    check=ref.name,
+                    message=(
+                        f"referential check '{ref.name}' skipped: columns "
+                        f"{missing} not in dataframe"
+                    ),
+                    schema_name=schema_name,
+                )
+            )
+            continue
+        if isinstance(ref, ForeignKey):
+            v = _run_fk(ref, df, handler, schema_name, index_cols, collect_failure_cases)
+        elif isinstance(ref, Contiguity):
+            v = _run_contiguity(ref, df, handler, schema_name, collect_failure_cases)
+        elif isinstance(ref, Monotonic):
+            v = _run_monotonic(ref, df, handler, schema_name, index_cols, collect_failure_cases)
+        else:
+            raise TypeError(f"unknown referential check {ref!r}")
+        if v is not None:
+            parts.append(v)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _required_columns(ref) -> list[str]:
+    if isinstance(ref, ForeignKey):
+        return list(ref.columns)
+    if isinstance(ref, Contiguity):
+        return [ref.partition_by, ref.order_col]
+    if isinstance(ref, Monotonic):
+        return [ref.partition_by, ref.order_col, ref.sort_col]
+    return []
+
+
+def _emit(handler, schema_name, name, column, n, message):
+    handler.collect_error(
+        SchemaErrorRecord(
+            reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+            schema_context="DataFrameSchema",
+            column=column,
+            check=name,
+            message=message,
+            n_failure_cases=n,
+            schema_name=schema_name,
+        )
+    )
+
+
+def _run_fk(fk, df, handler, schema_name, index_cols, collect):
+    ref = fk.resolve_reference()
+    if fk.broadcast:
+        ref = F.broadcast(ref)
+    orphans = df.join(ref, on=fk.columns, how="left_anti")
+    if not collect:
+        n = orphans.limit(1).count()
+        if n:
+            _emit(handler, schema_name, fk.name, ", ".join(fk.columns), None,
+                  f"orphan values in {fk.columns} not present in reference")
+        return None
+    idx = _index_col(index_cols or fk.columns)
+    viol = orphans.select(
+        F.lit("DataFrameSchema").alias("schema_context"),
+        F.lit(", ".join(fk.columns)).alias("column"),
+        F.lit(fk.name).alias("check"),
+        F.lit(None).cast("int").alias("check_number"),
+        F.concat_ws("|", *[F.col(c).cast("string") for c in fk.columns]).alias(
+            "failure_case"
+        ),
+        idx.alias("index"),
+    ).cache()
+    n = viol.count()
+    if n == 0:
+        viol.unpersist()
+        return None
+    _emit(
+        handler, schema_name, fk.name, ", ".join(fk.columns), n,
+        f"{n} orphan rows: {fk.columns} values missing from reference",
+    )
+    return viol
+
+
+def _run_contiguity(cg, df, handler, schema_name, collect):
+    agg = df.groupBy(cg.partition_by).agg(
+        F.count(F.lit(1)).alias("__cnt__"),
+        F.count_distinct(F.col(cg.order_col)).alias("__dcnt__"),
+        F.min(cg.order_col).alias("__min__"),
+        F.max(cg.order_col).alias("__max__"),
+    )
+    bad = agg.filter(
+        (F.col("__min__") != F.lit(cg.start))
+        | (F.col("__max__") - F.col("__min__") + 1 != F.col("__cnt__"))
+        | (F.col("__dcnt__") != F.col("__cnt__"))
+    )
+    if not collect:
+        n = bad.limit(1).count()
+        if n:
+            _emit(handler, schema_name, cg.name, cg.partition_by, None,
+                  f"non-contiguous {cg.order_col} sequences per {cg.partition_by}")
+        return None
+    viol = bad.select(
+        F.lit("DataFrameSchema").alias("schema_context"),
+        F.lit(cg.partition_by).alias("column"),
+        F.lit(cg.name).alias("check"),
+        F.lit(None).cast("int").alias("check_number"),
+        F.concat_ws(
+            "|",
+            F.col(cg.partition_by).cast("string"),
+            F.col("__min__").cast("string"),
+            F.col("__max__").cast("string"),
+            F.col("__cnt__").cast("string"),
+        ).alias("failure_case"),
+        F.col(cg.partition_by).cast("string").alias("index"),
+    ).cache()
+    n = viol.count()
+    if n == 0:
+        viol.unpersist()
+        return None
+    _emit(
+        handler, schema_name, cg.name, cg.partition_by, n,
+        f"{n} groups with non-contiguous {cg.order_col} "
+        f"(expected dense from {cg.start})",
+    )
+    return viol
+
+
+def _run_monotonic(mo, df, handler, schema_name, index_cols, collect):
+    w = Window.partitionBy(mo.partition_by).orderBy(mo.sort_col)
+    lagged = df.withColumn("__prev__", F.lag(F.col(mo.order_col)).over(w))
+    cmp = (
+        F.col(mo.order_col) <= F.col("__prev__")
+        if mo.strict
+        else F.col(mo.order_col) < F.col("__prev__")
+    )
+    bad = lagged.filter(F.col("__prev__").isNotNull() & cmp)
+    if not collect:
+        n = bad.limit(1).count()
+        if n:
+            _emit(handler, schema_name, mo.name, mo.order_col, None,
+                  f"{mo.order_col} not monotonic within {mo.partition_by}")
+        return None
+    idx = _index_col(index_cols or [mo.partition_by, mo.order_col])
+    viol = bad.select(
+        F.lit("DataFrameSchema").alias("schema_context"),
+        F.lit(mo.order_col).alias("column"),
+        F.lit(mo.name).alias("check"),
+        F.lit(None).cast("int").alias("check_number"),
+        F.col(mo.order_col).cast("string").alias("failure_case"),
+        idx.alias("index"),
+    ).cache()
+    n = viol.count()
+    if n == 0:
+        viol.unpersist()
+        return None
+    _emit(
+        handler, schema_name, mo.name, mo.order_col, n,
+        f"{n} rows violate monotonic {mo.order_col} within {mo.partition_by}",
+    )
+    return viol

@@ -1,0 +1,197 @@
+"""Uniqueness checks — skew-aware hash aggregates.
+
+Reference semantics:
+  - ``Column(unique=True)`` → SERIES_CONTAINS_DUPLICATES, check name
+    ``field_uniqueness`` (pandera/backends/pandas/array.py:235-280).
+  - schema-level ``unique=[cols]`` → DUPLICATES, check name
+    ``multiple_fields_uniqueness`` (pandera/backends/pandas/container.py:
+    779-832; the reference pyspark backend reports only a count,
+    pandera/backends/pyspark/container.py:505-559 — we also produce the
+    pandas-style duplicate rows).
+  - ``report_duplicates ∈ {all, exclude_first, exclude_last}`` selects
+    which occurrences are reported (tests/core/test_schemas.py:1817-1841);
+    occurrence order is the natural-key string, so results are
+    deterministic.
+
+Scale design (SURVEY.md §4.2.3): duplicate-key detection is a
+``groupBy(keys).count()`` — Catalyst already executes this as map-side
+partial aggregation + final aggregation, which is exactly the two-stage
+"salted" scheme hand-built in skew-naive engines: each executor first
+collapses its local rows per key, so a hot key contributes at most one
+partial row per input partition to the shuffle.  An explicit extra-salt
+stage (``group_by(keys, salt)`` then re-aggregate) is provided for
+aggregates without a cheap combiner, but for counts it only adds a shuffle.
+The join-back to extract duplicate ROWS is skew-safe because the build side
+(duplicated keys only) is usually tiny → broadcast; the occurrence-selection
+window runs over duplicate rows only, never the full table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import SchemaErrorReason, SchemaErrorRecord
+from .violations import _index_col
+
+
+def duplicate_keys(
+    df: DataFrame, keys: list[str], explicit_salt: Optional[int] = None
+) -> DataFrame:
+    """Keys occurring more than once, with their total counts."""
+    if explicit_salt:
+        stage1 = (
+            df.groupBy(*keys, F.spark_partition_id().alias("__salt__"))
+            .count()
+            .drop("__salt__")
+        )
+        return (
+            stage1.groupBy(*keys)
+            .agg(F.sum("count").alias("count"))
+            .filter(F.col("count") > 1)
+        )
+    return df.groupBy(*keys).count().filter(F.col("count") > 1)
+
+
+def _select_occurrences(
+    dup_rows: DataFrame, keys: list[str], order_expr, report_duplicates: str
+) -> DataFrame:
+    """Occurrence selection over duplicate rows only (skew-bounded)."""
+    if report_duplicates == "all":
+        return dup_rows
+    w = Window.partitionBy(*keys).orderBy(order_expr)
+    if report_duplicates == "exclude_first":
+        return (
+            dup_rows.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") > 1)
+            .drop("__rn__")
+        )
+    if report_duplicates == "exclude_last":
+        w_desc = Window.partitionBy(*keys).orderBy(F.desc(order_expr))
+        return (
+            dup_rows.withColumn("__rn__", F.row_number().over(w_desc))
+            .filter(F.col("__rn__") > 1)
+            .drop("__rn__")
+        )
+    raise ValueError(f"invalid report_duplicates: {report_duplicates}")
+
+
+def run_uniqueness_checks(
+    schema,
+    df: DataFrame,
+    handler,
+    schema_name: str,
+    index_cols: Optional[list[str]],
+    collect_failure_cases: bool = True,
+) -> Optional[DataFrame]:
+    """Run joint + per-column uniqueness; returns violation rows (or None)."""
+    violation_parts: list[DataFrame] = []
+
+    # ---- joint uniqueness (schema.unique) ------------------------------
+    if schema.unique:
+        keys = [c for c in schema.unique if c in df.columns]
+        if keys:
+            dups = duplicate_keys(df, keys)
+            n_dup_keys_rows = dups.limit(1).count() if not collect_failure_cases else None
+            dup_rows = None
+            total_dup_rows = 0
+            if collect_failure_cases:
+                dup_rows = df.join(F.broadcast(dups.select(*keys)), on=keys, how="inner")
+                idx = _index_col(index_cols or keys)
+                selected = _select_occurrences(
+                    dup_rows, keys, idx, schema.report_duplicates
+                )
+                per_col = []
+                for c in keys:
+                    per_col.append(
+                        selected.select(
+                            F.lit("DataFrameSchema").alias("schema_context"),
+                            F.lit(c).alias("column"),
+                            F.lit("multiple_fields_uniqueness").alias("check"),
+                            F.lit(None).cast("int").alias("check_number"),
+                            F.col(c).cast("string").alias("failure_case"),
+                            idx.alias("index"),
+                        )
+                    )
+                joint_viol = per_col[0]
+                for p in per_col[1:]:
+                    joint_viol = joint_viol.unionByName(p)
+                joint_viol = joint_viol.cache()
+                total_dup_rows = joint_viol.count()
+                if total_dup_rows > 0:
+                    violation_parts.append(joint_viol)
+                else:
+                    joint_viol.unpersist()
+            failed = (
+                total_dup_rows > 0 if collect_failure_cases else n_dup_keys_rows > 0
+            )
+            if failed:
+                handler.collect_error(
+                    SchemaErrorRecord(
+                        reason_code=SchemaErrorReason.DUPLICATES,
+                        schema_context="DataFrameSchema",
+                        column=", ".join(keys),
+                        check="multiple_fields_uniqueness",
+                        message=(
+                            f"columns {keys} in {schema_name} contain "
+                            "duplicate key combinations"
+                        ),
+                        n_failure_cases=total_dup_rows or None,
+                        schema_name=schema_name,
+                    )
+                )
+
+    # ---- per-column uniqueness (Column.unique) -------------------------
+    for name, col in schema.columns.items():
+        if not col.unique:
+            continue
+        for t in col.matched_columns(df.columns):
+            # nulls don't count as duplicates of each other in pandas
+            nn = df.filter(F.col(t).isNotNull())
+            dups = duplicate_keys(nn, [t])
+            if collect_failure_cases:
+                dup_rows = nn.join(
+                    F.broadcast(dups.select(t)), on=[t], how="inner"
+                )
+                idx = _index_col(index_cols or [t])
+                selected = _select_occurrences(
+                    dup_rows, [t], idx, col.report_duplicates
+                )
+                viol = selected.select(
+                    F.lit("Column").alias("schema_context"),
+                    F.lit(t).alias("column"),
+                    F.lit("field_uniqueness").alias("check"),
+                    F.lit(None).cast("int").alias("check_number"),
+                    F.col(t).cast("string").alias("failure_case"),
+                    idx.alias("index"),
+                ).cache()
+                n_viol = viol.count()
+                if n_viol > 0:
+                    violation_parts.append(viol)
+                else:
+                    viol.unpersist()
+                failed = n_viol > 0
+            else:
+                n_viol = None
+                failed = dups.limit(1).count() > 0
+            if failed:
+                handler.collect_error(
+                    SchemaErrorRecord(
+                        reason_code=SchemaErrorReason.SERIES_CONTAINS_DUPLICATES,
+                        schema_context="Column",
+                        column=t,
+                        check="field_uniqueness",
+                        message=f"column '{t}' in {schema_name} contains duplicate values",
+                        n_failure_cases=n_viol,
+                        schema_name=schema_name,
+                    )
+                )
+
+    if not violation_parts:
+        return None
+    out = violation_parts[0]
+    for p in violation_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,870 @@
+"""Spark-first validation lifecycle.
+
+Replaces the reference pyspark backend's one-Spark-action-per-check design
+(pandera/backends/pyspark/builtin_checks.py:47 — ``filter(~cond).limit(1)
+.count()`` per check; pandera/backends/pyspark/column.py:136-138 per
+non-nullable column; pandera/backends/pyspark/container.py:537-545 per
+uniqueness set) with a fixed small number of jobs independent of the number
+of checks (SURVEY.md §4.2):
+
+  job 1  — ONE fused ``df.agg(...)`` computing every value-check violation
+           count, every null count, coercion-failure counts, and (optional)
+           per-column stats (count / null_count / approx_count_distinct /
+           min / max).  Catalyst executes this as partial+final aggregation
+           — the single partition-parallel pass the north rule demands.
+  job 2* — violation-row extraction, only when failures exist and
+           ``collect_failure_cases``: one scan building an array of failed
+           check ids per row → explode (no per-check rescans).
+  job 3* — uniqueness (salted hash-aggregate, backend/unique.py) and
+           referential checks (backend/referential.py), each only when
+           declared.
+
+Schema-scope checks (presence / order / strictness / dtype / duplicate
+column labels) never touch executors — they read ``df.columns`` /
+``df.schema`` on the driver, exactly like the reference
+(pandera/backends/pyspark/container.py:338-396).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checks import Check
+from ..config import CONFIG
+from ..dtypes import dtype_equal, dtype_str, resolve_dtype
+from ..errors import (
+    ErrorHandler,
+    FAILURE_CASE_COLUMNS,
+    SchemaErrorReason,
+    SchemaErrorRecord,
+    SchemaErrors,
+)
+
+PRE_COERCE_PREFIX = "__pre_coerce__"
+
+
+@dataclass
+class CompiledCheck:
+    """A row-level check compiled to Spark expressions."""
+
+    check_id: int
+    column: Optional[str]  # None → df-level
+    check: Check
+    check_name: str  # display string for report (error or name)
+    check_number: Optional[int]
+    reason_code: SchemaErrorReason
+    pass_pred: Any  # Column: TRUE iff row passes
+    failure_value: Any  # Column: value rendered into failure_case
+    schema_context: str = "Column"
+
+
+@dataclass
+class ValidationResult:
+    """Outcome of ``schema.validate`` — explicit result object.
+
+    The reference pyspark backend attaches the report dict to the df via an
+    accessor and never raises (pandera/backends/pyspark/container.py:182-188,
+    pandera/accessors/pyspark_sql_accessor.py:16-49); we return it
+    explicitly and offer ``raise_on_error`` for pandas-style behavior.
+    """
+
+    passed: bool
+    report: dict
+    records: list[SchemaErrorRecord]
+    df: DataFrame  # post-parser (coerced/filtered) dataframe
+    violations: Optional[DataFrame] = None  # canonical failure-case frame
+    stats: Optional[dict] = None  # per-column stats from the fused pass
+    check_results: list[dict] = dc_field(default_factory=list)
+    n_rows: Optional[int] = None
+
+    def raise_on_error(self) -> DataFrame:
+        if not self.passed:
+            raise SchemaErrors(self.records, failure_cases=self.violations, data=self.df)
+        return self.df
+
+    @property
+    def errors(self) -> dict:
+        """Accessor-style report (df.pandera.errors parity)."""
+        return self.report
+
+
+def validate(
+    schema,
+    df: DataFrame,
+    head: Optional[int] = None,
+    sample: Optional[float] = None,
+    random_state: Optional[int] = None,
+    lazy: bool = True,
+    collect_stats: bool = False,
+    collect_failure_cases: bool = True,
+) -> ValidationResult:
+    handler = ErrorHandler(lazy=lazy)
+
+    if not CONFIG.validation_enabled:
+        return ValidationResult(True, {}, [], df)
+
+    # ---------------- subsample (pandera/backends/pyspark/base.py:52-63) --
+    if head is not None:
+        df = df.limit(head)
+    if sample is not None:
+        df = df.sample(fraction=sample, seed=random_state or 0)
+
+    schema_name = schema.name or "DataFrameSchema"
+
+    # ---------------- driver-side schema checks + parser chain ------------
+    if CONFIG.schema_checks_active:
+        _check_column_names_unique(schema, df, handler, schema_name)
+        df = _parse_add_missing_columns(schema, df, handler, schema_name)
+        df = _parse_strict(schema, df, handler, schema_name)
+        _check_ordered(schema, df, handler, schema_name)
+        _check_presence(schema, df, handler, schema_name)
+
+    df = _parse_set_defaults(schema, df)
+    df, coerce_checks = _parse_coerce(schema, df, handler, schema_name)
+    df = _apply_custom_parsers(schema, df)
+
+    if CONFIG.schema_checks_active and not _should_coerce(schema):
+        _check_dtypes(schema, df, handler, schema_name)
+    elif CONFIG.schema_checks_active:
+        # after coercion the casted columns match by construction; still
+        # verify non-coerced columns
+        _check_dtypes(schema, df, handler, schema_name, skip_coerced=True)
+
+    # ---------------- compile row-level checks ----------------------------
+    compiled: list[CompiledCheck] = []
+    agg_only: list[tuple[str, Check]] = []  # unique_values_eq etc.
+    grouped: list[tuple[Optional[str], Check]] = []
+    if CONFIG.data_checks_active:
+        compiled, agg_only, grouped = _compile_checks(schema, df, coerce_checks)
+
+    stats_wanted = collect_stats
+    index_cols = _resolve_index_cols(schema, df)
+
+    # ---------------- job 1: fused aggregate pass -------------------------
+    agg_row, stats = _fused_aggregate(
+        schema, df, compiled, agg_only, collect_stats=stats_wanted
+    )
+    n_rows = agg_row["__n_rows__"] if agg_row is not None else None
+
+    check_results: list[dict] = []
+    failed_row_checks: list[CompiledCheck] = []
+    if agg_row is not None:
+        failed_row_checks = _collect_agg_verdicts(
+            schema, agg_row, compiled, agg_only, handler, schema_name, check_results
+        )
+
+    # ---------------- grouped (applyInPandas) checks ----------------------
+    if grouped:
+        _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results)
+
+    # ---------------- uniqueness (salted) ---------------------------------
+    unique_violations = None
+    if CONFIG.data_checks_active:
+        from .unique import run_uniqueness_checks
+
+        unique_violations = run_uniqueness_checks(
+            schema, df, handler, schema_name, index_cols,
+            collect_failure_cases=collect_failure_cases,
+        )
+
+    # ---------------- referential / cross-table checks --------------------
+    ref_violations = None
+    if CONFIG.data_checks_active and schema.references:
+        from .referential import run_referential_checks
+
+        ref_violations = run_referential_checks(
+            schema, df, handler, schema_name, index_cols,
+            collect_failure_cases=collect_failure_cases,
+        )
+
+    # ---------------- job 2: violation-row extraction ---------------------
+    violations = None
+    if collect_failure_cases:
+        from .violations import (
+            extract_row_violations,
+            schema_scope_violations,
+            empty_violations,
+        )
+
+        parts = []
+        if failed_row_checks:
+            parts.append(
+                extract_row_violations(df, failed_row_checks, index_cols)
+            )
+        driver_rows = schema_scope_violations(df.sparkSession, handler.collected)
+        if driver_rows is not None:
+            parts.append(driver_rows)
+        if unique_violations is not None:
+            parts.append(unique_violations)
+        if ref_violations is not None:
+            parts.append(ref_violations)
+        if parts:
+            violations = parts[0]
+            for p in parts[1:]:
+                violations = violations.unionByName(p)
+        elif handler.has_errors:
+            violations = empty_violations(df.sparkSession)
+
+    # ---------------- drop_invalid_rows (anti-join, base.py:190-205) ------
+    out_df = _strip_internal_cols(df)
+    if schema.drop_invalid_rows and handler.has_errors and violations is not None and index_cols:
+        bad_keys = (
+            violations.filter(F.col("index").isNotNull())
+            .select(F.col("index").alias("__bad_index__"))
+            .distinct()
+        )
+        out_df = out_df.join(
+            F.broadcast(bad_keys),
+            on=_index_expr(index_cols) == F.col("__bad_index__"),
+            how="left_anti",
+        )
+
+    passed = not handler.has_errors
+    return ValidationResult(
+        passed=passed,
+        report=handler.summarize(),
+        records=handler.collected,
+        df=out_df,
+        violations=violations,
+        stats=stats,
+        check_results=check_results,
+        n_rows=n_rows,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# driver-side schema checks & parsers
+# ---------------------------------------------------------------------- #
+
+
+def _check_column_names_unique(schema, df, handler, schema_name):
+    if not schema.unique_column_names:
+        return
+    seen, dups = set(), []
+    for c in df.columns:
+        if c in seen:
+            dups.append(c)
+        seen.add(c)
+    for c in dups:
+        handler.collect_error(
+            SchemaErrorRecord(
+                reason_code=SchemaErrorReason.DUPLICATE_COLUMN_LABELS,
+                schema_context="DataFrameSchema",
+                column=c,
+                check="dataframe_column_labels_unique",
+                message=f"dataframe contains multiple columns with label '{c}'",
+                failure_case=c,
+                schema_name=schema_name,
+            ),
+            data=df,
+        )
+
+
+def _parse_add_missing_columns(schema, df, handler, schema_name):
+    """pandera/backends/pandas/container.py:383-494."""
+    if not schema.add_missing_columns:
+        return df
+    out_cols = []
+    changed = False
+    df_cols = set(df.columns)
+    for name, col in schema.columns.items():
+        if col.regex or name in df_cols:
+            continue
+        if col.default is None and not col.nullable:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT,
+                    schema_context="DataFrameSchema",
+                    column=name,
+                    check="add_missing_columns",
+                    message=(
+                        f"column '{name}' in {schema_name} requires a default "
+                        "value when non-nullable add_missing_columns is enabled"
+                    ),
+                    failure_case=name,
+                    schema_name=schema_name,
+                ),
+                data=df,
+            )
+            continue
+        dt = col.spark_dtype
+        expr = F.lit(col.default)
+        if dt is not None:
+            expr = expr.cast(dt)
+        df = df.withColumn(name, expr)
+        changed = True
+    if changed:
+        # preserve schema-relative order: schema columns first (in schema
+        # order where present), then extras in their original order
+        ordered = [c for c in schema.columns if c in df.columns]
+        extras = [c for c in df.columns if c not in schema.columns]
+        df = df.select(*ordered, *extras)
+    return df
+
+
+def _parse_strict(schema, df, handler, schema_name):
+    """strict / strict='filter' (pandera/backends/pyspark/container.py:338-396)."""
+    if schema.strict is False:
+        return df
+    schema_cols = set(schema.columns)
+    regex_cols = [c for n, c in schema.columns.items() if c.regex]
+    extras = []
+    for c in df.columns:
+        if c in schema_cols:
+            continue
+        if any(rc.matched_columns([c]) for rc in regex_cols):
+            continue
+        extras.append(c)
+    if not extras:
+        return df
+    if schema.strict == "filter":
+        return df.drop(*extras)
+    for c in extras:
+        handler.collect_error(
+            SchemaErrorRecord(
+                reason_code=SchemaErrorReason.COLUMN_NOT_IN_SCHEMA,
+                schema_context="DataFrameSchema",
+                column=c,
+                check="column_in_schema",
+                message=f"column '{c}' not in {schema_name} {list(schema.columns)}",
+                failure_case=c,
+                schema_name=schema_name,
+            ),
+            data=df,
+        )
+    return df
+
+
+def _check_ordered(schema, df, handler, schema_name):
+    """pandera/backends/pyspark/container.py:374-391."""
+    if not schema.ordered:
+        return
+    expected = [c for c in schema.columns if c in set(df.columns)]
+    actual = [c for c in df.columns if c in set(schema.columns)]
+    for exp, act in zip(expected, actual):
+        if exp != act:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.COLUMN_NOT_ORDERED,
+                    schema_context="DataFrameSchema",
+                    column=act,
+                    check="column_ordered",
+                    message=f"column '{act}' out-of-order in {schema_name}",
+                    failure_case=act,
+                    schema_name=schema_name,
+                ),
+                data=df,
+            )
+
+
+def _check_presence(schema, df, handler, schema_name):
+    """pandera/backends/pyspark/container.py:594-621 — one error per column."""
+    df_cols = set(df.columns)
+    for name, col in schema.columns.items():
+        if not col.required or col.regex:
+            continue
+        if name not in df_cols:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME,
+                    schema_context="DataFrameSchema",
+                    column=name,
+                    check="column_in_dataframe",
+                    message=f"column '{name}' not in dataframe {df.columns}",
+                    failure_case=name,
+                    schema_name=schema_name,
+                ),
+                data=df,
+            )
+
+
+def _parse_set_defaults(schema, df):
+    """fillna(default) for present columns
+    (pandera/backends/pandas/container.py:549-563)."""
+    df_cols = set(df.columns)
+    for name, col in schema.columns.items():
+        if col.default is not None and name in df_cols:
+            dt = col.spark_dtype
+            lit = F.lit(col.default)
+            if dt is not None:
+                lit = lit.cast(dt)
+            df = df.withColumn(name, F.coalesce(F.col(name), lit))
+    return df
+
+
+def _should_coerce(schema) -> bool:
+    return schema.coerce or any(c.coerce for c in schema.columns.values())
+
+
+def _parse_coerce(schema, df, handler, schema_name):
+    """Cast with failure capture (SURVEY.md §2.1 coerce_dtype row).
+
+    Spark ``cast`` silently nulls unparseable values where pandas raises
+    (pandera/backends/pandas/container.py:609-703) — so pre-cast values are
+    kept in hidden ``__pre_coerce__*`` columns and the fused pass counts
+    rows where original IS NOT NULL AND cast IS NULL as DATATYPE_COERCION
+    failures; the extraction pass reports the original value.
+    Catalyst collapses these projections into the same scan — no extra job.
+    """
+    coerce_checks: list[tuple[str, Any]] = []
+    df_cols = set(df.columns)
+    spark_types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+    for name, col in schema.columns.items():
+        do_coerce = (schema.coerce or col.coerce) and col.dtype is not None
+        if not do_coerce:
+            continue
+        targets = col.matched_columns(df.columns) if col.regex else (
+            [name] if name in df_cols else []
+        )
+        for t in targets:
+            target_dt = col.spark_dtype
+            if dtype_equal(spark_types[t], target_dt):
+                continue
+            pre = PRE_COERCE_PREFIX + t
+            # try_cast: malformed values → NULL (captured as
+            # DATATYPE_COERCION failures) instead of an ANSI-mode exception
+            df = df.withColumn(pre, F.col(t)).withColumn(
+                t, F.col(pre).try_cast(target_dt)
+            )
+            coerce_checks.append((t, col))
+    return df, coerce_checks
+
+
+def _apply_custom_parsers(schema, df):
+    """Custom parsers run after built-in parser chain
+    (pandera/backends/pandas/container.py:92, array.py:71)."""
+    for p in schema.parsers:
+        df = p.fn(df)
+    for name, col in schema.columns.items():
+        if name not in df.columns:
+            continue
+        for p in col.parsers:
+            if p.element_wise:
+                import pandas as pd
+                from pyspark.sql import types as T
+
+                fn = p.fn
+                dt = df.schema[name].dataType
+
+                @F.pandas_udf(dt)
+                def _udf(s: pd.Series) -> pd.Series:
+                    return s.map(fn)
+
+                df = df.withColumn(name, _udf(F.col(name)))
+            else:
+                df = df.withColumn(name, p.fn(F.col(name)))
+    return df
+
+
+def _check_dtypes(schema, df, handler, schema_name, skip_coerced: bool = False):
+    """Driver-side dtype equality (pandera/backends/pyspark/column.py:172-210),
+    incl. Decimal precision/scale and nested Array/Map types."""
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    for name, col in schema.columns.items():
+        if col.dtype is None:
+            continue
+        if skip_coerced and (schema.coerce or col.coerce):
+            continue
+        for t in col.matched_columns(df.columns):
+            actual = spark_types.get(t)
+            if actual is None:
+                continue
+            if not dtype_equal(actual, col.dtype):
+                handler.collect_error(
+                    SchemaErrorRecord(
+                        reason_code=SchemaErrorReason.WRONG_DATATYPE,
+                        schema_context="Column",
+                        column=t,
+                        check=f"dtype('{dtype_str(col.dtype)}')",
+                        message=(
+                            f"expected column '{t}' to have type "
+                            f"{dtype_str(col.dtype)}, got {actual.simpleString()}"
+                        ),
+                        failure_case=actual.simpleString(),
+                        schema_name=schema_name,
+                    ),
+                    data=df,
+                )
+    if schema.dtype is not None:
+        for t, actual in spark_types.items():
+            if t.startswith(PRE_COERCE_PREFIX):
+                continue
+            if not dtype_equal(actual, schema.dtype):
+                handler.collect_error(
+                    SchemaErrorRecord(
+                        reason_code=SchemaErrorReason.WRONG_DATATYPE,
+                        schema_context="DataFrameSchema",
+                        column=t,
+                        check=f"dtype('{dtype_str(schema.dtype)}')",
+                        message=(
+                            f"expected column '{t}' to have type "
+                            f"{dtype_str(schema.dtype)}, got {actual.simpleString()}"
+                        ),
+                        failure_case=actual.simpleString(),
+                        schema_name=schema_name,
+                    ),
+                    data=df,
+                )
+
+
+# ---------------------------------------------------------------------- #
+# check compilation + the fused aggregate
+# ---------------------------------------------------------------------- #
+
+
+def _compile_checks(schema, df, coerce_checks):
+    compiled: list[CompiledCheck] = []
+    agg_only: list[tuple[Optional[str], Check]] = []
+    grouped: list[tuple[Optional[str], Check]] = []
+    cid = 0
+    df_cols = set(df.columns)
+
+    # coercion-failure pseudo-checks first (parser stage errors)
+    for colname, col in coerce_checks:
+        pre = PRE_COERCE_PREFIX + colname
+        compiled.append(
+            CompiledCheck(
+                check_id=cid,
+                column=colname,
+                check=None,  # type: ignore[arg-type]
+                check_name=f"coerce_dtype('{dtype_str(col.dtype)}')",
+                check_number=None,
+                reason_code=SchemaErrorReason.DATATYPE_COERCION,
+                pass_pred=~(F.col(pre).isNotNull() & F.col(colname).isNull()),
+                failure_value=F.col(pre).cast("string"),
+            )
+        )
+        cid += 1
+
+    # nullable pseudo-checks (pandera/backends/pyspark/column.py:126-146)
+    for name, col in schema.columns.items():
+        if col.nullable:
+            continue
+        for t in col.matched_columns(df.columns):
+            compiled.append(
+                CompiledCheck(
+                    check_id=cid,
+                    column=t,
+                    check=None,  # type: ignore[arg-type]
+                    check_name="not_nullable",
+                    check_number=None,
+                    reason_code=SchemaErrorReason.SERIES_CONTAINS_NULLS,
+                    pass_pred=F.col(t).isNotNull(),
+                    failure_value=F.lit(None).cast("string"),
+                )
+            )
+            cid += 1
+
+    # column value checks
+    for name, col in schema.columns.items():
+        for t in col.matched_columns(df.columns):
+            for i, chk in enumerate(col.checks):
+                if chk.groupby:
+                    grouped.append((t, chk))
+                    continue
+                if chk.name == "unique_values_eq":
+                    agg_only.append((t, chk))
+                    continue
+                compiled.append(
+                    CompiledCheck(
+                        check_id=cid,
+                        column=t,
+                        check=chk,
+                        check_name=chk.error or chk.name,
+                        check_number=i,
+                        reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                        pass_pred=chk.pass_predicate(df, t),
+                        failure_value=F.col(t).cast("string"),
+                    )
+                )
+                cid += 1
+
+    # dataframe-level checks
+    for i, chk in enumerate(schema.checks):
+        if chk.groupby:
+            grouped.append((None, chk))
+            continue
+        pred = chk.pass_predicate(df, None) if chk.df_level else None
+        if pred is None:
+            # column-style check declared at df level → apply to all schema cols
+            for t in schema.columns:
+                if t not in df_cols:
+                    continue
+                compiled.append(
+                    CompiledCheck(
+                        check_id=cid,
+                        column=t,
+                        check=chk,
+                        check_name=chk.error or chk.name,
+                        check_number=i,
+                        reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                        pass_pred=chk.pass_predicate(df, t),
+                        failure_value=F.col(t).cast("string"),
+                        schema_context="DataFrameSchema",
+                    )
+                )
+                cid += 1
+        else:
+            compiled.append(
+                CompiledCheck(
+                    check_id=cid,
+                    column=None,
+                    check=chk,
+                    check_name=chk.error or chk.name,
+                    check_number=i,
+                    reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                    pass_pred=pred,
+                    failure_value=F.lit(None).cast("string"),
+                    schema_context="DataFrameSchema",
+                )
+            )
+            cid += 1
+
+    return compiled, agg_only, grouped
+
+
+STAT_COLS = ("count", "null_count", "approx_distinct", "min", "max")
+
+
+def _fused_aggregate(schema, df, compiled, agg_only, collect_stats: bool):
+    """Build and run the single fused aggregation job."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows__")]
+    for cc in compiled:
+        aggs.append(
+            F.sum((~cc.pass_pred).cast("long")).alias(f"__viol__{cc.check_id}")
+        )
+    for j, (t, chk) in enumerate(agg_only):
+        aggs.append(
+            F.array_sort(F.collect_set(F.col(t).cast("string"))).alias(
+                f"__uveq__{j}"
+            )
+        )
+    data_cols = [c for c in df.columns if not c.startswith(PRE_COERCE_PREFIX)]
+    if collect_stats:
+        for c in data_cols:
+            aggs.append(F.count(F.col(c)).alias(f"__cnt__{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+            )
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}"))
+            aggs.append(F.min(F.col(c)).alias(f"__min__{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__max__{c}"))
+
+    if len(aggs) == 1 and not collect_stats and not compiled and not agg_only:
+        return None, None
+
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    stats = None
+    if collect_stats:
+        n = row["__n_rows__"]
+        stats = {}
+        for c in data_cols:
+            stats[c] = {
+                "count": row[f"__cnt__{c}"],
+                "null_count": row[f"__nulls__{c}"],
+                "approx_distinct": row[f"__hll__{c}"],
+                "min": row[f"__min__{c}"],
+                "max": row[f"__max__{c}"],
+                "n_rows": n,
+            }
+    return row, stats
+
+
+def _collect_agg_verdicts(
+    schema, agg_row, compiled, agg_only, handler, schema_name, check_results
+):
+    """Turn the fused-agg row into error records; return failed row checks."""
+    import warnings
+
+    failed: list[CompiledCheck] = []
+    n_rows = agg_row["__n_rows__"]
+    for cc in compiled:
+        n_viol = agg_row[f"__viol__{cc.check_id}"] or 0
+        rec = {
+            "column": cc.column,
+            "check": cc.check_name,
+            "check_number": cc.check_number,
+            "n_violations": int(n_viol),
+            "n_rows": int(n_rows),
+            "passed": n_viol == 0,
+        }
+        check_results.append(rec)
+        if n_viol == 0:
+            continue
+        msg = _failure_message(schema_name, cc, n_viol, n_rows)
+        if cc.check is not None and cc.check.raise_warning:
+            # warning-only checks count as passed
+            # (pandera/backends/pandas/base.py:139-151)
+            warnings.warn(msg, UserWarning)
+            continue
+        failed.append(cc)
+        handler.collect_error(
+            SchemaErrorRecord(
+                reason_code=cc.reason_code,
+                schema_context=cc.schema_context,
+                column=cc.column,
+                check=cc.check_name,
+                message=msg,
+                check_number=cc.check_number,
+                n_failure_cases=int(n_viol),
+                schema_name=schema_name,
+            )
+        )
+    for j, (t, chk) in enumerate(agg_only):
+        actual = set(agg_row[f"__uveq__{j}"] or [])
+        expected = {str(v) for v in chk.expected_values}  # type: ignore[attr-defined]
+        rec = {
+            "column": t,
+            "check": chk.error or chk.name,
+            "check_number": None,
+            "n_violations": 0 if actual == expected else 1,
+            "n_rows": int(n_rows),
+            "passed": actual == expected,
+        }
+        check_results.append(rec)
+        if actual != expected:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                    schema_context="Column",
+                    column=t,
+                    check=chk.error or chk.name,
+                    message=(
+                        f"column '{t}' distinct values {sorted(actual)} != "
+                        f"expected {sorted(expected)}"
+                    ),
+                    n_failure_cases=1,
+                    schema_name=schema_name,
+                )
+            )
+    return failed
+
+
+def _failure_message(schema_name, cc, n_viol, n_rows) -> str:
+    where = f"column '{cc.column}'" if cc.column else "dataframe"
+    return (
+        f"{schema_name} {where} failed "
+        f"{cc.schema_context.lower()} check '{cc.check_name}': "
+        f"{n_viol} / {n_rows} rows failed"
+    )
+
+
+def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results):
+    """groupby checks via applyInPandas
+    (contract: pandera/backends/pandas/checks.py:93-135 — the check fn
+    receives Dict[group_key → pd.Series]).  One Spark job per distinct
+    groupby key-set; the reference pyspark backend doesn't support these at
+    all (pandera/backends/pyspark/checks.py:27-47)."""
+    import pandas as pd
+
+    df_cols = set(df.columns)
+    for colname, chk in grouped:
+        needed = list(chk.groupby) + ([colname] if colname else [])
+        missing = [c for c in needed if c not in df_cols]
+        if missing:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.CHECK_ERROR,
+                    schema_context="Column" if colname else "DataFrameSchema",
+                    column=colname,
+                    check=chk.error or chk.name,
+                    message=(
+                        f"groupby check '{chk.error or chk.name}' skipped: "
+                        f"columns {missing} not in dataframe"
+                    ),
+                    schema_name=schema_name,
+                )
+            )
+            continue
+        gcols = chk.groupby
+        target = colname
+        fn = chk.fn
+        groups = chk.groups
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = tuple(pdf[g].iloc[0] for g in gcols)
+            if len(key) == 1:
+                key = key[0]
+            return pd.DataFrame(
+                {"__group__": [str(key)], "__series__": [pdf[target].tolist()]}
+            )
+
+        gdf = (
+            df.groupBy(*gcols)
+            .applyInPandas(
+                run_group, schema="__group__ string, __series__ array<double>"
+                if _is_numeric_col(df, target)
+                else "__group__ string, __series__ array<string>",
+            )
+            .collect()
+        )
+        sample_dict = {r["__group__"]: pd.Series(r["__series__"]) for r in gdf}
+        if groups is not None:
+            missing = [g for g in groups if str(g) not in sample_dict]
+            if missing:
+                raise KeyError(f"groups {missing} not found in {gcols}")
+            sample_dict = {str(g): sample_dict[str(g)] for g in groups}
+            if len(groups) == 1:
+                passed = bool(fn(sample_dict[str(groups[0])]))
+            else:
+                passed = bool(fn(sample_dict))
+        else:
+            passed = bool(fn(sample_dict))
+        rec = {
+            "column": target,
+            "check": chk.error or chk.name,
+            "check_number": None,
+            "n_violations": 0 if passed else 1,
+            "n_rows": None,
+            "passed": passed,
+        }
+        check_results.append(rec)
+        if not passed:
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                    schema_context="Column" if colname else "DataFrameSchema",
+                    column=target,
+                    check=chk.error or chk.name,
+                    message=(
+                        f"{schema_name} groupby check '{chk.error or chk.name}' "
+                        f"on column '{target}' failed"
+                    ),
+                    schema_name=schema_name,
+                )
+            )
+
+
+def _is_numeric_col(df, name) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(df.schema[name].dataType, T.NumericType)
+
+
+# ---------------------------------------------------------------------- #
+# helpers
+# ---------------------------------------------------------------------- #
+
+
+def _resolve_index_cols(schema, df) -> Optional[list[str]]:
+    if schema.index_cols:
+        present = [c for c in schema.index_cols if c in df.columns]
+        return present or None
+    return None
+
+
+def _index_expr(index_cols: list[str]):
+    """Render the natural key as a stable string: 'v1|v2' (SURVEY.md §7.4.1)."""
+    if len(index_cols) == 1:
+        return F.col(index_cols[0]).cast("string")
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in index_cols])
+
+
+def _strip_internal_cols(df: DataFrame) -> DataFrame:
+    internal = [c for c in df.columns if c.startswith(PRE_COERCE_PREFIX)]
+    return df.drop(*internal) if internal else df

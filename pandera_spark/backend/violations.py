@@ -1,0 +1,118 @@
+"""Failure-case extraction — the canonical violations DataFrame.
+
+Contract (pandera/backends/pandas/error_formatters.py:149-246, column order
+at :164-171): ``schema_context, column, check, check_number, failure_case,
+index``.  ``index`` is the natural-key string (e.g. ``conv-00000003|2``)
+since Spark has no row labels (SURVEY.md §7.4.1).
+
+Scale design: ONE scan for all failed checks — each row builds an array of
+violation structs (one per failed check the row violates), empty arrays are
+filtered, then exploded.  No per-check rescan; predicate evaluation stays
+inside whole-stage codegen.  Per-check ``n_failure_cases`` truncation
+(pandera/backends/pandas/checks.py:208-224) is applied with a window only
+when a limit was requested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import SchemaErrorRecord
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_context", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("check", T.StringType()),
+        T.StructField("check_number", T.IntegerType()),
+        T.StructField("failure_case", T.StringType()),
+        T.StructField("index", T.StringType()),
+    ]
+)
+
+
+def _index_col(index_cols: Optional[list[str]]):
+    if not index_cols:
+        return F.lit(None).cast("string")
+    if len(index_cols) == 1:
+        return F.col(index_cols[0]).cast("string")
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in index_cols])
+
+
+def extract_row_violations(
+    df: DataFrame,
+    failed_checks: list,  # list[CompiledCheck]
+    index_cols: Optional[list[str]],
+) -> DataFrame:
+    idx = _index_col(index_cols)
+    structs = []
+    for cc in failed_checks:
+        structs.append(
+            F.when(
+                ~cc.pass_pred,
+                F.struct(
+                    F.lit(cc.schema_context).alias("schema_context"),
+                    F.lit(cc.column).cast("string").alias("column"),
+                    F.lit(cc.check_name).alias("check"),
+                    F.lit(cc.check_number).cast("int").alias("check_number"),
+                    cc.failure_value.cast("string").alias("failure_case"),
+                    idx.alias("index"),
+                ),
+            )
+        )
+    arr = F.array_compact(F.array(*structs))
+    out = (
+        df.select(arr.alias("__viols__"))
+        .filter(F.size("__viols__") > 0)
+        .select(F.explode("__viols__").alias("v"))
+        .select("v.*")
+    )
+    limits = {
+        (cc.column, cc.check_name): cc.check.n_failure_cases
+        for cc in failed_checks
+        if cc.check is not None and cc.check.n_failure_cases is not None
+    }
+    if limits:
+        w = Window.partitionBy("column", "check").orderBy("index")
+        out = out.withColumn("__rn__", F.row_number().over(w))
+        # apply the tightest requested limit per (column, check); unlimited
+        # checks keep all rows
+        conds = F.lit(True)
+        for (colname, chk), k in limits.items():
+            conds = conds & ~(
+                (F.coalesce(F.col("column"), F.lit("")) == (colname or ""))
+                & (F.col("check") == chk)
+                & (F.col("__rn__") > k)
+            )
+        out = out.filter(conds).drop("__rn__")
+    return out
+
+
+def schema_scope_violations(
+    spark: SparkSession, records: list[SchemaErrorRecord]
+) -> Optional[DataFrame]:
+    """Driver-side rows for schema-scope errors (wrong dtype, missing
+    column, extra column, ...) whose failure_case is a scalar."""
+    rows = [
+        (
+            r.schema_context,
+            r.column,
+            r.check,
+            r.check_number,
+            None if r.failure_case is None else str(r.failure_case),
+            None,
+        )
+        for r in records
+        if r.failure_case is not None
+    ]
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, VIOLATION_SCHEMA)
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -1,0 +1,444 @@
+"""Check: named predicate compiled to a Spark ``Column`` expression.
+
+Reference surface: pandera/api/checks.py:22-199 (options) and the builtin
+factory methods :237-608.  Names and ``error`` strings match the reference
+verbatim (e.g. ``in_range({min_value}, {max_value})`` —
+pandera/api/checks.py:371) so report goldens line up.
+
+Execution model difference (SURVEY.md §3.2/§4.2): instead of one Spark
+action per check (reference pyspark backend,
+pandera/backends/pyspark/builtin_checks.py:47), every check compiles to a
+boolean Column (TRUE = row passes).  The backend fuses all checks into ONE
+aggregate pass (violation counts) plus one optional extraction pass
+(failure rows).  Custom Python checks compile to Arrow-vectorized
+``pandas_udf``s — never per-row Python.
+
+Null semantics (``ignore_na=True`` default, pandera/backends/pandas/
+checks.py:97-100): a NULL input never fails a value check; the predicate is
+wrapped as ``col.isNull() | coalesce(pred, false)``.  With
+``ignore_na=False`` a NULL fails: ``coalesce(pred, false)``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Iterable, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Check:
+    """A named, compilable predicate.
+
+    ``fn`` signatures supported:
+      - expression check: ``fn(col: Column) -> Column``  (the fast path;
+        all builtins use this)
+      - dataframe check:  ``fn(df: DataFrame) -> Column`` (cross-column;
+        pass ``df_level=True``)
+      - vectorized check: ``fn(s: pd.Series) -> pd.Series[bool]`` with
+        ``vectorized=True`` → compiled to a pandas_udf (Arrow transport)
+      - element-wise:     ``fn(x) -> bool`` with ``element_wise=True`` →
+        wrapped in a pandas_udf via ``Series.map`` (vectorized transport,
+        per-element Python fn — same contract as
+        pandera/backends/pandas/checks.py:152-160)
+      - groupby check:    ``fn(dict[group_key, pd.Series]) -> bool`` with
+        ``groupby=`` set → executed via ``applyInPandas`` in the backend
+        (pandera/backends/pandas/checks.py:93-135 contract)
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        name: Optional[str] = None,
+        error: Optional[str] = None,
+        ignore_na: bool = True,
+        element_wise: bool = False,
+        vectorized: bool = False,
+        df_level: bool = False,
+        groupby: Optional[Union[str, list[str]]] = None,
+        groups: Optional[Union[str, list[str]]] = None,
+        raise_warning: bool = False,
+        n_failure_cases: Optional[int] = None,
+        statistics: Optional[dict] = None,
+        udf_input_type: Optional[T.DataType] = None,
+        **kwargs: Any,
+    ):
+        self.fn = fn
+        self.name = name or getattr(fn, "__name__", "check")
+        if self.name == "<lambda>":
+            self.name = "check"
+        self.error = error
+        self.ignore_na = ignore_na
+        self.element_wise = element_wise
+        self.vectorized = vectorized
+        self.df_level = df_level
+        self.groupby = [groupby] if isinstance(groupby, str) else groupby
+        self.groups = [groups] if isinstance(groups, str) else groups
+        self.raise_warning = raise_warning
+        self.n_failure_cases = n_failure_cases
+        self.statistics = statistics or {}
+        self.udf_input_type = udf_input_type
+        self._kwargs = kwargs
+
+    # ------------------------------------------------------------------ #
+    # compilation
+    # ------------------------------------------------------------------ #
+
+    def raw_predicate(self, df: DataFrame, column: Optional[str]) -> Column:
+        """The bare pass/fail Column (may be NULL on NULL input)."""
+        if self.groupby:
+            raise RuntimeError(
+                "groupby checks are evaluated via applyInPandas in the "
+                "backend, not compiled to a row predicate"
+            )
+        if self.df_level:
+            return self.fn(df)
+        if column is None:
+            raise ValueError(f"check {self.name} requires a column")
+        col = F.col(column)
+        if self.element_wise or self.vectorized:
+            return self._as_pandas_udf(df, column)(col)
+        return self.fn(col)
+
+    def pass_predicate(self, df: DataFrame, column: Optional[str]) -> Column:
+        """Null-guarded pass predicate: TRUE iff the row passes this check."""
+        pred = F.coalesce(self.raw_predicate(df, column), F.lit(False))
+        if self.ignore_na:
+            null_guard = (
+                F.col(column).isNull() if column is not None else F.lit(False)
+            )
+            return null_guard | pred
+        return pred
+
+    def _as_pandas_udf(self, df: DataFrame, column: str):
+        in_fn = self.fn
+        if self.element_wise:
+            def series_fn(s: pd.Series) -> pd.Series:
+                return s.map(in_fn).astype("boolean")
+        else:
+            def series_fn(s: pd.Series) -> pd.Series:
+                out = in_fn(s)
+                if not isinstance(out, pd.Series):
+                    out = pd.Series([bool(out)] * len(s), index=s.index)
+                return out.astype("boolean")
+
+        return F.pandas_udf(series_fn, T.BooleanType())
+
+    # ------------------------------------------------------------------ #
+    # dunder / repr
+    # ------------------------------------------------------------------ #
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Check {self.name}: {self.error or ''}>"
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Check)
+            and self.name == other.name
+            and self.error == other.error
+            and self.statistics == other.statistics
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.name, self.error, tuple(sorted(self.statistics.items(), key=str))))
+
+    # ------------------------------------------------------------------ #
+    # builtin factories — names/errors verbatim from pandera/api/checks.py
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def equal_to(cls, value: Any, **kw) -> "Check":
+        return cls(
+            lambda c: c == F.lit(value),
+            name="equal_to",
+            error=f"equal_to({value})",
+            statistics={"value": value},
+            **kw,
+        )
+
+    @classmethod
+    def not_equal_to(cls, value: Any, **kw) -> "Check":
+        return cls(
+            lambda c: c != F.lit(value),
+            name="not_equal_to",
+            error=f"not_equal_to({value})",
+            statistics={"value": value},
+            **kw,
+        )
+
+    @classmethod
+    def greater_than(cls, min_value: Any, **kw) -> "Check":
+        if min_value is None:
+            raise ValueError("min_value must not be None")
+        return cls(
+            lambda c: c > F.lit(min_value),
+            name="greater_than",
+            error=f"greater_than({min_value})",
+            statistics={"min_value": min_value},
+            **kw,
+        )
+
+    @classmethod
+    def greater_than_or_equal_to(cls, min_value: Any, **kw) -> "Check":
+        if min_value is None:
+            raise ValueError("min_value must not be None")
+        return cls(
+            lambda c: c >= F.lit(min_value),
+            name="greater_than_or_equal_to",
+            error=f"greater_than_or_equal_to({min_value})",
+            statistics={"min_value": min_value},
+            **kw,
+        )
+
+    @classmethod
+    def less_than(cls, max_value: Any, **kw) -> "Check":
+        if max_value is None:
+            raise ValueError("max_value must not be None")
+        return cls(
+            lambda c: c < F.lit(max_value),
+            name="less_than",
+            error=f"less_than({max_value})",
+            statistics={"max_value": max_value},
+            **kw,
+        )
+
+    @classmethod
+    def less_than_or_equal_to(cls, max_value: Any, **kw) -> "Check":
+        if max_value is None:
+            raise ValueError("max_value must not be None")
+        return cls(
+            lambda c: c <= F.lit(max_value),
+            name="less_than_or_equal_to",
+            error=f"less_than_or_equal_to({max_value})",
+            statistics={"max_value": max_value},
+            **kw,
+        )
+
+    @classmethod
+    def in_range(
+        cls,
+        min_value: Any,
+        max_value: Any,
+        include_min: bool = True,
+        include_max: bool = True,
+        **kw,
+    ) -> "Check":
+        # non-empty interval validation — pandera/api/checks.py:361-367
+        if min_value is None or max_value is None:
+            raise ValueError("min_value and max_value must not be None")
+        if min_value > max_value or (
+            min_value == max_value and (not include_min or not include_max)
+        ):
+            raise ValueError(
+                f"The combination of min_value = {min_value} and "
+                f"max_value = {max_value} defines an empty interval!"
+            )
+
+        def pred(c: Column) -> Column:
+            lo = c >= F.lit(min_value) if include_min else c > F.lit(min_value)
+            hi = c <= F.lit(max_value) if include_max else c < F.lit(max_value)
+            return lo & hi
+
+        return cls(
+            pred,
+            name="in_range",
+            error=f"in_range({min_value}, {max_value})",
+            statistics={
+                "min_value": min_value,
+                "max_value": max_value,
+                "include_min": include_min,
+                "include_max": include_max,
+            },
+            **kw,
+        )
+
+    @classmethod
+    def isin(cls, allowed_values: Iterable, **kw) -> "Check":
+        values = frozenset(allowed_values)  # pandera/api/checks.py:393
+        return cls(
+            lambda c: c.isin(*values),
+            name="isin",
+            error=f"isin({set(values)})",
+            statistics={"allowed_values": sorted(values, key=repr)},
+            **kw,
+        )
+
+    @classmethod
+    def notin(cls, forbidden_values: Iterable, **kw) -> "Check":
+        values = frozenset(forbidden_values)
+        return cls(
+            lambda c: ~c.isin(*values),
+            name="notin",
+            error=f"notin({set(values)})",
+            statistics={"forbidden_values": sorted(values, key=repr)},
+            **kw,
+        )
+
+    @classmethod
+    def str_matches(cls, pattern: Union[str, re.Pattern], **kw) -> "Check":
+        pat = pattern.pattern if isinstance(pattern, re.Pattern) else pattern
+        re.compile(pat)  # validate eagerly (pandera/api/checks.py:443)
+        # pandas str.match anchors at the START; Spark rlike searches
+        # anywhere → prepend '^' (SURVEY.md §2.4 str_matches row)
+        anchored = pat if pat.startswith("^") else "^" + pat
+        return cls(
+            lambda c: c.rlike(anchored),
+            name="str_matches",
+            error=f"str_matches('{pat}')",
+            statistics={"pattern": pat},
+            **kw,
+        )
+
+    @classmethod
+    def str_contains(cls, pattern: Union[str, re.Pattern], **kw) -> "Check":
+        pat = pattern.pattern if isinstance(pattern, re.Pattern) else pattern
+        re.compile(pat)
+        return cls(
+            lambda c: c.rlike(pat),
+            name="str_contains",
+            error=f"str_contains('{pat}')",
+            statistics={"pattern": pat},
+            **kw,
+        )
+
+    @classmethod
+    def str_startswith(cls, string: str, **kw) -> "Check":
+        return cls(
+            lambda c: c.startswith(string),
+            name="str_startswith",
+            error=f"str_startswith('{string}')",
+            statistics={"string": string},
+            **kw,
+        )
+
+    @classmethod
+    def str_endswith(cls, string: str, **kw) -> "Check":
+        return cls(
+            lambda c: c.endswith(string),
+            name="str_endswith",
+            error=f"str_endswith('{string}')",
+            statistics={"string": string},
+            **kw,
+        )
+
+    @classmethod
+    def str_length(
+        cls,
+        min_value: Optional[int] = None,
+        max_value: Optional[int] = None,
+        **kw,
+    ) -> "Check":
+        if min_value is None and max_value is None:
+            raise ValueError("at least one of min_value / max_value required")
+
+        def pred(c: Column) -> Column:
+            n = F.length(c)
+            conds = []
+            if min_value is not None:
+                conds.append(n >= F.lit(min_value))
+            if max_value is not None:
+                conds.append(n <= F.lit(max_value))
+            out = conds[0]
+            for extra in conds[1:]:
+                out = out & extra
+            return out
+
+        return cls(
+            pred,
+            name="str_length",
+            error=f"str_length({min_value}, {max_value})",
+            statistics={"min_value": min_value, "max_value": max_value},
+            **kw,
+        )
+
+    @classmethod
+    def unique_values_eq(cls, values: Iterable, **kw) -> "Check":
+        """Distinct values of the column == expected set.  Aggregate-scope:
+        compiled by the backend as a collect_set comparison, not a row
+        predicate (pandera/backends/pandas/builtin_checks.py:304)."""
+        expected = frozenset(values)
+        chk = cls(
+            lambda c: F.lit(True),  # placeholder; backend intercepts by name
+            name="unique_values_eq",
+            error=f"unique_values_eq({set(expected)})",
+            statistics={"values": sorted(expected, key=repr)},
+            **kw,
+        )
+        chk.expected_values = expected  # type: ignore[attr-defined]
+        return chk
+
+    # aliases — pandera/api/checks.py:560-608
+    eq = equal_to
+    ne = not_equal_to
+    gt = greater_than
+    ge = greater_than_or_equal_to
+    lt = less_than
+    le = less_than_or_equal_to
+    between = in_range
+
+
+# ---------------------------------------------------------------------- #
+# custom check registration (pandera/api/extensions.py:137-312 analogue)
+# ---------------------------------------------------------------------- #
+
+_CHECK_REGISTRY: dict[str, Callable[..., Check]] = {}
+
+
+def register_check_method(
+    fn: Optional[Callable] = None,
+    *,
+    name: Optional[str] = None,
+    check_type: str = "expression",  # expression | vectorized | element_wise | groupby
+    ignore_na: bool = True,
+):
+    """Register a custom check factory as ``Check.<name>(*stat_args)``.
+
+    check_type:
+      - "expression": fn(col, *args) -> Column
+      - "vectorized": fn(pd.Series, *args) -> pd.Series[bool]
+      - "element_wise": fn(scalar, *args) -> bool
+      - "groupby": fn(dict[key, pd.Series], *args) -> bool
+    """
+
+    def deco(func: Callable) -> Callable:
+        method_name = name or func.__name__
+
+        def factory(*args, **kw) -> Check:
+            import inspect
+
+            params = [
+                p.name
+                for p in list(inspect.signature(func).parameters.values())[1:]
+            ]
+            stats = dict(zip(params, args))
+            stats.update({k: v for k, v in kw.items() if k in params})
+            opts = {k: v for k, v in kw.items() if k not in params}
+            arg_str = ", ".join(repr(a) for a in args)
+            common = dict(
+                name=method_name,
+                error=f"{method_name}({arg_str})",
+                statistics=stats,
+                ignore_na=opts.pop("ignore_na", ignore_na),
+                **opts,
+            )
+            if check_type == "expression":
+                return Check(lambda c: func(c, *args), **common)
+            if check_type == "vectorized":
+                return Check(lambda s: func(s, *args), vectorized=True, **common)
+            if check_type == "element_wise":
+                return Check(lambda x: func(x, *args), element_wise=True, **common)
+            if check_type == "groupby":
+                gb = common.pop("groupby", None) or opts.get("groupby")
+                return Check(lambda d: func(d, *args), groupby=gb, **common)
+            raise ValueError(f"unknown check_type {check_type}")
+
+        _CHECK_REGISTRY[method_name] = factory
+        setattr(Check, method_name, staticmethod(factory))
+        return func
+
+    if fn is not None:
+        return deco(fn)
+    return deco

@@ -1,0 +1,69 @@
+"""Validation depth / enablement config.
+
+Mirrors pandera/config.py:12-46 (PANDERA_VALIDATION_ENABLED,
+PANDERA_VALIDATION_DEPTH) and the scope-gating decorators in
+pandera/validation_depth.py:45-84, driven by environment variables so
+spark-submit jobs can flip behavior without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from enum import Enum
+
+
+class ValidationDepth(Enum):
+    SCHEMA_ONLY = "SCHEMA_ONLY"
+    DATA_ONLY = "DATA_ONLY"
+    SCHEMA_AND_DATA = "SCHEMA_AND_DATA"
+
+
+@dataclass
+class Config:
+    validation_enabled: bool = True
+    validation_depth: ValidationDepth = ValidationDepth.SCHEMA_AND_DATA
+    cache_dataframe: bool = False
+    keep_cached_dataframe: bool = False
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        enabled = os.environ.get("PANDERA_VALIDATION_ENABLED", "True").lower() not in (
+            "false",
+            "0",
+        )
+        depth = os.environ.get("PANDERA_VALIDATION_DEPTH", "SCHEMA_AND_DATA")
+        cache = os.environ.get("PANDERA_CACHE_DATAFRAME", "False").lower() in ("true", "1")
+        keep = os.environ.get("PANDERA_KEEP_CACHED_DATAFRAME", "False").lower() in (
+            "true",
+            "1",
+        )
+        return cls(
+            validation_enabled=enabled,
+            validation_depth=ValidationDepth(depth),
+            cache_dataframe=cache,
+            keep_cached_dataframe=keep,
+        )
+
+    @property
+    def schema_checks_active(self) -> bool:
+        return self.validation_depth in (
+            ValidationDepth.SCHEMA_ONLY,
+            ValidationDepth.SCHEMA_AND_DATA,
+        )
+
+    @property
+    def data_checks_active(self) -> bool:
+        return self.validation_depth in (
+            ValidationDepth.DATA_ONLY,
+            ValidationDepth.SCHEMA_AND_DATA,
+        )
+
+
+CONFIG = Config.from_env()
+
+
+def reset_config_from_env() -> Config:
+    global CONFIG
+    CONFIG = Config.from_env()
+    return CONFIG

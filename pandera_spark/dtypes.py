@@ -1,0 +1,113 @@
+"""Dtype resolution: anything-a-user-might-write → ``pyspark.sql.types.DataType``.
+
+The reference builds a parallel logical dtype system with per-framework
+engines (pandera/engines/pyspark_engine.py: Bool:147 ... MapType:439-495).
+Spark already has a canonical type algebra, so this module is just a thin
+alias resolver + equality helper that preserves the reference's semantics:
+
+- accepts Python builtins (int, str, float, bool, bytes, datetime, date,
+  Decimal), DDL strings ("bigint", "decimal(10,2)", "array<int>"),
+  ``pyspark.sql.types`` classes and instances
+  (pyspark_engine.py:136-146 equivalents);
+- Decimal equality compares (precision, scale) (pyspark_engine.py:296-305);
+- Array/Map equality compares element/key/value types and null-flags
+  (pyspark_engine.py:405-420,464-495).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+from typing import Any, Union
+
+from pyspark.sql import types as T
+
+_PYTHON_ALIASES: dict[Any, T.DataType] = {
+    int: T.LongType(),
+    float: T.DoubleType(),
+    str: T.StringType(),
+    bool: T.BooleanType(),
+    bytes: T.BinaryType(),
+    bytearray: T.BinaryType(),
+    datetime.datetime: T.TimestampType(),
+    datetime.date: T.DateType(),
+    decimal.Decimal: T.DecimalType(38, 18),
+    object: T.StringType(),
+}
+
+_STRING_ALIASES: dict[str, T.DataType] = {
+    # numpy-ish / pandas-ish spellings on top of Spark DDL
+    "int64": T.LongType(),
+    "int32": T.IntegerType(),
+    "int16": T.ShortType(),
+    "int8": T.ByteType(),
+    "uint8": T.ShortType(),
+    "float64": T.DoubleType(),
+    "float32": T.FloatType(),
+    "datetime64[ns]": T.TimestampType(),
+    "bool": T.BooleanType(),
+    "str": T.StringType(),
+    "object": T.StringType(),
+}
+
+DTypeLike = Union[str, type, T.DataType, None]
+
+
+def resolve_dtype(dtype: DTypeLike) -> T.DataType:
+    """Resolve any supported dtype spelling to a concrete Spark DataType."""
+    if dtype is None:
+        raise TypeError("dtype must not be None")
+    if isinstance(dtype, T.DataType):
+        return dtype
+    if isinstance(dtype, type) and issubclass(dtype, T.DataType):
+        return dtype()  # class like T.IntegerType
+    if isinstance(dtype, type) and dtype in _PYTHON_ALIASES:
+        return _PYTHON_ALIASES[dtype]
+    if isinstance(dtype, str):
+        key = dtype.strip()
+        if key in _STRING_ALIASES:
+            return _STRING_ALIASES[key]
+        low = key.lower()
+        if low in _STRING_ALIASES:
+            return _STRING_ALIASES[low]
+        # "IntegerType()" / "IntegerType" spellings accepted by the
+        # reference engine (pyspark_engine.py equivalents lists)
+        cls_name = key.rstrip("()")
+        cls = getattr(T, cls_name, None)
+        if isinstance(cls, type) and issubclass(cls, T.DataType):
+            try:
+                return cls()
+            except TypeError:
+                pass  # parametrized type like DecimalType needs args → DDL path
+        # Spark DDL: "bigint", "decimal(10,2)", "array<struct<a:int>>", ...
+        return T._parse_datatype_string(key)
+    raise TypeError(f"cannot resolve dtype from {dtype!r}")
+
+
+def dtype_equal(a: DTypeLike, b: DTypeLike) -> bool:
+    """Exact structural equality, incl. Decimal precision/scale and nested
+    Array/Map element types + null flags (pyspark_engine.py:283-307,405-495).
+    Spark's own DataType.__eq__ already compares all of these; resolving
+    first normalizes the spellings.
+    """
+    return resolve_dtype(a) == resolve_dtype(b)
+
+
+def dtype_str(dtype: DTypeLike) -> str:
+    """Stable display string (simpleString): 'bigint', 'decimal(10,2)'."""
+    return resolve_dtype(dtype).simpleString()
+
+
+def is_numeric(dtype: DTypeLike) -> bool:
+    return isinstance(resolve_dtype(dtype), T.NumericType)
+
+
+def is_string(dtype: DTypeLike) -> bool:
+    return isinstance(resolve_dtype(dtype), T.StringType)
+
+
+def is_temporal(dtype: DTypeLike) -> bool:
+    return isinstance(
+        resolve_dtype(dtype),
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
+    )

@@ -1,0 +1,184 @@
+"""Error taxonomy and lazy error collection.
+
+Reproduces the reference's error contract (pandera/errors.py:139-162 reason
+codes; pandera/api/base/error_handler.py lazy collection; summary dict shape
+per tests/pyspark/test_pyspark_error.py:56-85) without porting its
+object-dispatch machinery.  Violations are Spark DataFrames, not pandas
+frames; the "index" of a failure case is the table's natural key rendered as
+a string (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+
+class SchemaErrorReason(Enum):
+    """Reason codes — verbatim from pandera/errors.py:139-162."""
+
+    INVALID_TYPE = "invalid_type"
+    DATATYPE_COERCION = "dtype_coercion_error"
+    COLUMN_NOT_IN_SCHEMA = "column_not_in_schema"
+    COLUMN_NOT_ORDERED = "column_not_ordered"
+    DUPLICATE_COLUMN_LABELS = "duplicate_dataframe_column_labels"
+    COLUMN_NOT_IN_DATAFRAME = "column_not_in_dataframe"
+    SCHEMA_COMPONENT_CHECK = "schema_component_check"
+    DATAFRAME_CHECK = "dataframe_check"
+    CHECK_ERROR = "check_error"
+    SCHEMA_COMPONENT_PARSER = "schema_component_parser"
+    DATAFRAME_PARSER = "dataframe_parser"
+    PARSER_ERROR = "parser_error"
+    DUPLICATES = "duplicates"
+    WRONG_FIELD_NAME = "wrong_field_name"
+    SERIES_CONTAINS_NULLS = "series_contains_nulls"
+    SERIES_CONTAINS_DUPLICATES = "series_contains_duplicates"
+    WRONG_DATATYPE = "wrong_dtype"
+    NO_ERROR = "no_errors"
+    ADD_MISSING_COLUMN_NO_DEFAULT = "add_missing_column_no_default"
+    INVALID_COLUMN_NAME = "invalid_column_name"
+    MISMATCH_INDEX = "mismatch_index"
+
+
+#: reason code → validation scope ("SCHEMA" or "DATA"), mirroring
+#: pandera/validation_depth.py:13-33.
+VALIDATION_SCOPE: dict[SchemaErrorReason, str] = {
+    SchemaErrorReason.INVALID_TYPE: "SCHEMA",
+    SchemaErrorReason.DATATYPE_COERCION: "SCHEMA",
+    SchemaErrorReason.COLUMN_NOT_IN_SCHEMA: "SCHEMA",
+    SchemaErrorReason.COLUMN_NOT_ORDERED: "SCHEMA",
+    SchemaErrorReason.DUPLICATE_COLUMN_LABELS: "SCHEMA",
+    SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME: "SCHEMA",
+    SchemaErrorReason.SCHEMA_COMPONENT_CHECK: "DATA",
+    SchemaErrorReason.DATAFRAME_CHECK: "DATA",
+    SchemaErrorReason.CHECK_ERROR: "DATA",
+    SchemaErrorReason.SCHEMA_COMPONENT_PARSER: "DATA",
+    SchemaErrorReason.DATAFRAME_PARSER: "DATA",
+    SchemaErrorReason.PARSER_ERROR: "DATA",
+    SchemaErrorReason.DUPLICATES: "DATA",
+    SchemaErrorReason.WRONG_FIELD_NAME: "SCHEMA",
+    SchemaErrorReason.SERIES_CONTAINS_NULLS: "DATA",
+    SchemaErrorReason.SERIES_CONTAINS_DUPLICATES: "DATA",
+    SchemaErrorReason.WRONG_DATATYPE: "SCHEMA",
+    SchemaErrorReason.NO_ERROR: "SCHEMA",
+    SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT: "SCHEMA",
+    SchemaErrorReason.INVALID_COLUMN_NAME: "SCHEMA",
+    SchemaErrorReason.MISMATCH_INDEX: "SCHEMA",
+}
+
+#: canonical consolidated failure-case column order
+#: (pandera/backends/pandas/error_formatters.py:164-171)
+FAILURE_CASE_COLUMNS = (
+    "schema_context",
+    "column",
+    "check",
+    "check_number",
+    "failure_case",
+    "index",
+)
+
+
+@dataclass
+class SchemaErrorRecord:
+    """One collected error (driver-side metadata; bulk rows stay in Spark)."""
+
+    reason_code: SchemaErrorReason
+    schema_context: str  # "DataFrameSchema" | "Column"
+    column: Optional[str]
+    check: str
+    message: str
+    check_number: Optional[int] = None
+    failure_case: Optional[Any] = None  # scalar payload for schema-scope errors
+    n_failure_cases: Optional[int] = None  # violation row count when known
+    schema_name: Optional[str] = None
+
+    @property
+    def scope(self) -> str:
+        return VALIDATION_SCOPE[self.reason_code]
+
+
+class SchemaError(Exception):
+    """Eager (lazy=False) single-error exception.
+
+    Mirrors pandera/errors.py:79 — carries the offending data reference and
+    the first failure cases when available.
+    """
+
+    def __init__(
+        self,
+        message: str,
+        record: Optional[SchemaErrorRecord] = None,
+        data: Any = None,
+        failure_cases: Any = None,
+    ):
+        super().__init__(message)
+        self.record = record
+        self.data = data
+        self.failure_cases = failure_cases
+        self.reason_code = record.reason_code if record else None
+
+
+class SchemaErrors(Exception):
+    """Lazy-collected multi-error exception (pandera/errors.py:165).
+
+    ``failure_cases`` is a Spark DataFrame with FAILURE_CASE_COLUMNS;
+    ``message`` is the nested summary dict
+    ``{category: {reason_code: [{schema, column, check, error}]}}``.
+    """
+
+    def __init__(self, records: list[SchemaErrorRecord], failure_cases=None, data=None):
+        self.schema_errors = records
+        self.failure_cases = failure_cases
+        self.data = data
+        self.message = summarize(records)
+        self.error_counts = {
+            "SCHEMA": sum(1 for r in records if r.scope == "SCHEMA"),
+            "DATA": sum(1 for r in records if r.scope == "DATA"),
+        }
+        super().__init__(json.dumps(self.message, indent=4, default=str))
+
+
+def summarize(records: list[SchemaErrorRecord]) -> dict:
+    """Nested report dict, shape-compatible with the reference pyspark
+    report (tests/pyspark/test_pyspark_error.py:56-85):
+    {"DATA": {"DATAFRAME_CHECK": [{"schema": ..., "column": ...,
+    "check": ..., "error": ...}]}, "SCHEMA": {...}}.
+    """
+    out: dict[str, dict[str, list[dict]]] = {}
+    for r in records:
+        cat = out.setdefault(r.scope, {})
+        cat.setdefault(r.reason_code.name, []).append(
+            {
+                "schema": r.schema_name,
+                "column": r.column,
+                "check": r.check,
+                "error": r.message,
+            }
+        )
+    return out
+
+
+class ErrorHandler:
+    """Lazy error accumulator (pandera/api/base/error_handler.py:40-153).
+
+    lazy=False → first collect_error raises SchemaError immediately.
+    """
+
+    def __init__(self, lazy: bool = True):
+        self.lazy = lazy
+        self.collected: list[SchemaErrorRecord] = field(default_factory=list)  # type: ignore[assignment]
+        self.collected = []
+
+    def collect_error(self, record: SchemaErrorRecord, data: Any = None) -> None:
+        if not self.lazy:
+            raise SchemaError(record.message, record=record, data=data)
+        self.collected.append(record)
+
+    @property
+    def has_errors(self) -> bool:
+        return bool(self.collected)
+
+    def summarize(self) -> dict:
+        return summarize(self.collected)

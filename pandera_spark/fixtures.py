@@ -1,0 +1,213 @@
+"""Deterministic synthetic transcript fixtures (FIXTURES.md F1-F3).
+
+Seeded, reproducible bit-for-bit — per-turn text equality is a north-rule
+invariant, so ``text`` bytes for (conv_id, turn_idx) depend only on the
+seed and the key.  Generation is vectorized with numpy and handed to Spark
+via Arrow (spark.createDataFrame on a pandas frame) for small scales; the
+``bench`` scale writes parquet once and re-reads it.
+
+Conversation sizes are Zipf-skewed so a few conversations own a large
+share of turns — exercising the skew-handling paths (FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog spark validate schema check "
+    "turn conversation agent tool call result token stream batch shuffle "
+    "partition skew hash join filter aggregate window drift null unique"
+).split()
+
+_ROLES = ["system", "user", "assistant", "tool"]
+_TOOLS = ["bash", "search", "python"]
+
+EPOCH = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _conv_sizes(n_convs: int, rng: np.random.Generator) -> np.ndarray:
+    """Zipf-skewed conversation lengths, clipped to [2, 4096]."""
+    sizes = rng.zipf(1.7, size=n_convs).astype(np.int64) + 1
+    return np.clip(sizes, 2, 4096)
+
+
+def _text_for(conv_ord: np.ndarray, turn_idx: np.ndarray, seed: int) -> list[str]:
+    """Deterministic token soup keyed by (conv_ord, turn_idx, seed)."""
+    h = (conv_ord.astype(np.uint64) * np.uint64(2654435761)
+         + turn_idx.astype(np.uint64) * np.uint64(40503)
+         + np.uint64(seed))
+    n_words = (h % np.uint64(40)).astype(np.int64) + 3
+    out = []
+    nw = len(_WORDS)
+    for hi, k in zip(h.tolist(), n_words.tolist()):
+        idx = [(hi >> (j % 48) ^ (hi * (j + 1))) % nw for j in range(k)]
+        out.append(" ".join(_WORDS[i] for i in idx))
+    return out
+
+
+def transcripts_pandas(
+    n_convs: int = 1000, seed: int = 42
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    sizes = _conv_sizes(n_convs, rng)
+    conv_ord = np.repeat(np.arange(n_convs, dtype=np.int64), sizes)
+    turn_idx = np.concatenate([np.arange(s, dtype=np.int64) for s in sizes])
+    n = len(conv_ord)
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv_ord.astype(str), 8))
+    role_idx = np.where(
+        turn_idx == 0,
+        0,  # system only at turn 0
+        ((turn_idx - 1) % 3) + 1,  # user, assistant, tool cycle
+    )
+    role = np.array(_ROLES, dtype=object)[role_idx]
+    tool = np.where(
+        role == "tool",
+        np.array(_TOOLS, dtype=object)[(conv_ord + turn_idx) % 3],
+        None,
+    )
+    conv_offset_min = conv_ord * 7
+    ts = pd.Timestamp(EPOCH) + pd.to_timedelta(
+        conv_offset_min + turn_idx, unit="m"
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": role,
+            "text": _text_for(conv_ord, turn_idx, seed),
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
+def transcripts_df(
+    spark: SparkSession, n_convs: int = 1000, seed: int = 42
+) -> DataFrame:
+    return spark.createDataFrame(transcripts_pandas(n_convs, seed), TRANSCRIPT_SCHEMA)
+
+
+def corrupted_transcripts_pandas(n_convs: int = 1000, seed: int = 42) -> pd.DataFrame:
+    """FIXTURES.md F2 — known defects injected at known keys."""
+    pdf = transcripts_pandas(n_convs, seed).copy()
+
+    def loc(conv_ord: int, turn: int):
+        m = (pdf["conv_id"] == f"conv-{conv_ord:08d}") & (pdf["turn_idx"] == turn)
+        idx = pdf.index[m]
+        return idx[0] if len(idx) else None
+
+    i = loc(3, 1)
+    if i is not None:
+        pdf.loc[i, "text"] = None  # SERIES_CONTAINS_NULLS
+    i = loc(1, 1)
+    if i is not None:
+        dup = pdf.loc[[i]].copy()
+        pdf = pd.concat([pdf, dup], ignore_index=True)  # DUPLICATES
+    for co in (5, 6):
+        i = loc(co, 1)
+        if i is not None:
+            pdf.loc[i, "role"] = "operator"  # isin violation
+    i = loc(2, 1)
+    if i is not None:
+        pdf.loc[i, "turn_idx"] = -1  # ge(0) violation + contiguity break
+    i = loc(4, 1)
+    if i is not None:
+        pdf.loc[i, "text"] = ""  # str_length(1, ...) violation
+    i = loc(7, 0)
+    if i is not None:
+        pdf.loc[pdf["conv_id"] == "conv-00000007", "conv_id"] = "BAD 7"  # str_matches
+    # gap in turn_idx for conv 8: drop turn 2 (keeps 0,1,3,...)
+    m = (pdf["conv_id"] == "conv-00000008") & (pdf["turn_idx"] == 2)
+    pdf = pdf[~m].reset_index(drop=True)
+    i = loc(9, 1)
+    if i is not None and pdf.loc[i, "role"] == "user":
+        pdf.loc[i, "tool"] = "bash"  # cross-column violation
+    return pdf
+
+
+def corrupted_transcripts_df(
+    spark: SparkSession, n_convs: int = 1000, seed: int = 42
+) -> DataFrame:
+    pdf = corrupted_transcripts_pandas(n_convs, seed)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),  # corrupted has nulls
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def drift_pair_pandas(
+    n: int = 20000, seed: int = 42, shifted: bool = True
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """FIXTURES.md F3 — baseline vs candidate with shifted text-length
+    distribution (LogNormal(5,1) → LogNormal(5.5,1)) and role-frequency
+    shift.  With ``shifted=False`` the candidate is drawn from the SAME
+    distribution (different seed) and should pass both KS and PSI."""
+    rng_b = np.random.default_rng(seed)
+    rng_c = np.random.default_rng(seed + 1)
+
+    def frame(rng, mu, role_p):
+        lengths = np.clip(rng.lognormal(mu, 1.0, size=n), 1, 32768)
+        roles = rng.choice(_ROLES, size=n, p=role_p)
+        return pd.DataFrame(
+            {"text_len": lengths.astype(np.float64), "role": roles}
+        )
+
+    base = frame(rng_b, 5.0, [0.1, 0.35, 0.35, 0.2])
+    if shifted:
+        cand = frame(rng_c, 5.5, [0.05, 0.2, 0.45, 0.3])
+    else:
+        cand = frame(rng_c, 5.0, [0.1, 0.35, 0.35, 0.2])
+    return base, cand
+
+
+def write_bench_transcripts(
+    spark: SparkSession,
+    path: str,
+    n_convs: int = 120_000,
+    seed: int = 42,
+    chunk: int = 30_000,
+    partitions: Optional[int] = None,
+) -> None:
+    """Write the bench-scale transcripts table to parquet once (~10^6 turns
+    at the default size), generated in seeded chunks so memory stays flat."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    written = 0
+    for start in range(0, n_convs, chunk):
+        cnt = min(chunk, n_convs - start)
+        pdf = transcripts_pandas(cnt, seed + start)
+        # re-key conv ids so chunks don't collide
+        ords = pdf["conv_id"].str.slice(5).astype(int) + start
+        pdf["conv_id"] = "conv-" + ords.astype(str).str.zfill(8)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{start:08d}.parquet"))
+        written += len(pdf)

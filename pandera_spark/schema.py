@@ -1,0 +1,284 @@
+"""DataFrameSchema / Column — the user-facing schema objects.
+
+Reference surface: pandera/api/dataframe/container.py:49-185
+(DataFrameSchema params), pandera/api/pandas/components.py:17-110 (Column
+params).  The validated object is a ``pyspark.sql.DataFrame``; there is no
+Index/MultiIndex (Spark has no row labels) — the failure-case ``index`` is
+the table's natural key (SURVEY.md §1.1, §7.4.1), configured via
+``index_cols``.
+
+``validate`` runs the Spark-first lifecycle (SURVEY.md §4.2): driver-side
+schema checks → parser chain → ONE fused aggregate job for all value-check
+verdicts + column stats → one optional extraction job for failure rows.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from typing import Any, Callable, Optional, Union
+
+from pyspark.sql import DataFrame
+
+from .checks import Check
+from .dtypes import DTypeLike, dtype_str, resolve_dtype
+from .errors import SchemaError, SchemaErrorReason, SchemaErrorRecord
+
+
+class Parser:
+    """Pre-check transform (pandera/api/parsers.py:9-65).
+
+    ``fn(col_or_df) -> Column/DataFrame``: column-level parsers receive and
+    return a Column expression; df-level parsers receive and return a
+    DataFrame.  Applied before checks
+    (pandera/backends/pandas/container.py:92).
+    """
+
+    def __init__(self, fn: Callable, element_wise: bool = False, name: Optional[str] = None):
+        self.fn = fn
+        self.element_wise = element_wise
+        self.name = name or getattr(fn, "__name__", "parser")
+
+
+class Column:
+    """Per-column schema component (pandera/api/pandas/components.py:17-110)."""
+
+    def __init__(
+        self,
+        dtype: DTypeLike = None,
+        checks: Optional[Union[Check, list[Check]]] = None,
+        parsers: Optional[Union[Parser, list[Parser]]] = None,
+        nullable: bool = False,
+        unique: bool = False,
+        report_duplicates: str = "all",  # all | exclude_first | exclude_last
+        coerce: bool = False,
+        required: bool = True,
+        name: Optional[str] = None,
+        regex: bool = False,
+        title: Optional[str] = None,
+        description: Optional[str] = None,
+        default: Any = None,
+        metadata: Optional[dict] = None,
+        drop_invalid_rows: bool = False,
+    ):
+        if report_duplicates not in ("all", "exclude_first", "exclude_last"):
+            raise ValueError(f"invalid report_duplicates: {report_duplicates}")
+        self.dtype = dtype
+        if checks is None:
+            checks = []
+        self.checks = [checks] if isinstance(checks, Check) else list(checks)
+        if parsers is None:
+            parsers = []
+        self.parsers = [parsers] if isinstance(parsers, Parser) else list(parsers)
+        self.nullable = nullable
+        self.unique = unique
+        self.report_duplicates = report_duplicates
+        self.coerce = coerce
+        self.required = required
+        self.name = name
+        self.regex = regex
+        self.title = title
+        self.description = description
+        self.default = default
+        self.metadata = metadata
+        self.drop_invalid_rows = drop_invalid_rows
+
+    @property
+    def spark_dtype(self):
+        return resolve_dtype(self.dtype) if self.dtype is not None else None
+
+    def matched_columns(self, df_columns: list[str]) -> list[str]:
+        """Regex-name expansion against actual columns
+        (pandera/backends/pandas/components.py:155)."""
+        if not self.regex:
+            return [self.name] if self.name in df_columns else []
+        pat = re.compile(self.name)
+        return [c for c in df_columns if pat.search(c)]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Column {self.name}: {dtype_str(self.dtype) if self.dtype else 'any'}>"
+
+
+class DataFrameSchema:
+    """Table schema (pandera/api/dataframe/container.py:49-185).
+
+    Extra (north-rule) parameters vs the reference:
+      - ``index_cols``: natural-key columns rendered into the failure-case
+        ``index`` field (default ``None`` → a synthetic row id is NOT
+        generated; violation rows carry a NULL index).
+      - ``references``: list of ReferentialCheck (FK / contiguity), see
+        backend/referential.py.
+    """
+
+    def __init__(
+        self,
+        columns: Optional[dict[str, Column]] = None,
+        checks: Optional[Union[Check, list[Check]]] = None,
+        parsers: Optional[Union[Parser, list[Parser]]] = None,
+        dtype: DTypeLike = None,
+        coerce: bool = False,
+        strict: Union[bool, str] = False,  # False | True | "filter"
+        ordered: bool = False,
+        unique: Optional[Union[str, list[str]]] = None,
+        report_duplicates: str = "all",
+        unique_column_names: bool = False,
+        add_missing_columns: bool = False,
+        name: Optional[str] = None,
+        title: Optional[str] = None,
+        description: Optional[str] = None,
+        metadata: Optional[dict] = None,
+        drop_invalid_rows: bool = False,
+        index_cols: Optional[list[str]] = None,
+        references: Optional[list] = None,
+    ):
+        if strict not in (True, False, "filter"):
+            raise SchemaError(
+                f"strict parameter must be a boolean or 'filter', got {strict}"
+            )
+        self.columns: dict[str, Column] = dict(columns or {})
+        for cname, col in self.columns.items():
+            if col.name is None:
+                col.name = cname
+        if checks is None:
+            checks = []
+        self.checks = [checks] if isinstance(checks, Check) else list(checks)
+        if parsers is None:
+            parsers = []
+        self.parsers = [parsers] if isinstance(parsers, Parser) else list(parsers)
+        self.dtype = dtype
+        self.coerce = coerce
+        self.strict = strict
+        self.ordered = ordered
+        self.unique = [unique] if isinstance(unique, str) else unique
+        self.report_duplicates = report_duplicates
+        self.unique_column_names = unique_column_names
+        self.add_missing_columns = add_missing_columns
+        self.name = name
+        self.title = title
+        self.description = description
+        self.metadata = metadata
+        self.drop_invalid_rows = drop_invalid_rows
+        self.index_cols = index_cols
+        self.references = list(references or [])
+
+    # ------------------------------------------------------------------ #
+    # validation entry point
+    # ------------------------------------------------------------------ #
+
+    def validate(
+        self,
+        df: DataFrame,
+        head: Optional[int] = None,
+        sample: Optional[float] = None,
+        random_state: Optional[int] = None,
+        lazy: bool = True,
+        inplace: bool = False,  # accepted for API parity; DataFrames immutable
+        collect_stats: bool = False,
+        collect_failure_cases: bool = True,
+    ):
+        """Validate ``df``; returns a ValidationResult (never raises for
+        data errors when lazy, mirroring the reference pyspark backend's
+        non-raising contract, pandera/backends/pyspark/container.py:182-188;
+        use ``.raise_on_error()`` or lazy=False for pandas-style raising).
+        """
+        from .backend.validate import validate as _validate
+
+        return _validate(
+            self,
+            df,
+            head=head,
+            sample=sample,
+            random_state=random_state,
+            lazy=lazy,
+            collect_stats=collect_stats,
+            collect_failure_cases=collect_failure_cases,
+        )
+
+    def __call__(self, df: DataFrame, **kw):
+        return self.validate(df, **kw)
+
+    # ------------------------------------------------------------------ #
+    # schema transforms (pandera/api/dataframe/container.py:437-999)
+    # ------------------------------------------------------------------ #
+
+    def _copy_with(self, columns: dict[str, Column]) -> "DataFrameSchema":
+        import copy
+
+        new = copy.copy(self)
+        new.columns = columns
+        return new
+
+    def add_columns(self, extra: dict[str, Column]) -> "DataFrameSchema":
+        overlap = set(extra) & set(self.columns)
+        if overlap:
+            raise SchemaError(f"columns already in schema: {overlap}")
+        cols = dict(self.columns)
+        for k, v in extra.items():
+            if v.name is None:
+                v.name = k
+            cols[k] = v
+        return self._copy_with(cols)
+
+    def remove_columns(self, names: list[str]) -> "DataFrameSchema":
+        missing = set(names) - set(self.columns)
+        if missing:
+            raise SchemaError(f"columns not in schema: {missing}")
+        return self._copy_with({k: v for k, v in self.columns.items() if k not in names})
+
+    def update_column(self, name: str, **kw) -> "DataFrameSchema":
+        if name not in self.columns:
+            raise SchemaError(f"column {name!r} not in schema")
+        import copy
+
+        col = copy.copy(self.columns[name])
+        for k, v in kw.items():
+            if not hasattr(col, k):
+                raise SchemaError(f"Column has no attribute {k!r}")
+            setattr(col, k, v)
+        cols = dict(self.columns)
+        cols[name] = col
+        return self._copy_with(cols)
+
+    def rename_columns(self, mapping: dict[str, str]) -> "DataFrameSchema":
+        missing = set(mapping) - set(self.columns)
+        if missing:
+            raise SchemaError(f"columns not in schema: {missing}")
+        cols = {}
+        for k, v in self.columns.items():
+            if k in mapping:
+                import copy
+
+                nv = copy.copy(v)
+                nv.name = mapping[k]
+                cols[mapping[k]] = nv
+            else:
+                cols[k] = v
+        return self._copy_with(cols)
+
+    def select_columns(self, names: list[str]) -> "DataFrameSchema":
+        missing = set(names) - set(self.columns)
+        if missing:
+            raise SchemaError(f"columns not in schema: {missing}")
+        return self._copy_with({k: self.columns[k] for k in names})
+
+    # ------------------------------------------------------------------ #
+    # structtype / ddl (pandera/api/pyspark/model.py:277-292 analogue)
+    # ------------------------------------------------------------------ #
+
+    def to_structtype(self):
+        from pyspark.sql import types as T
+
+        fields = []
+        for name, col in self.columns.items():
+            dt = col.spark_dtype or T.StringType()
+            fields.append(T.StructField(name, dt, col.nullable))
+        return T.StructType(fields)
+
+    def to_ddl(self) -> str:
+        return ", ".join(
+            f"{name} {dtype_str(col.dtype) if col.dtype else 'string'}"
+            for name, col in self.columns.items()
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<DataFrameSchema {self.name or ''} cols={list(self.columns)}>"

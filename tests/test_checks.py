@@ -1,0 +1,237 @@
+"""Per-builtin-check semantics (reference: tests/core/test_checks_builtin.py,
+tests/pyspark/test_pyspark_check.py) — verdicts AND failure-case rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark import Check, Column, DataFrameSchema
+
+
+def _one_col_df(spark, values, dtype="int"):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], f"id int, x {dtype}"
+    )
+
+
+def _validate_col(spark, values, check, dtype="int", nullable=True):
+    df = _one_col_df(spark, values, dtype)
+    schema = DataFrameSchema(
+        {"x": Column(dtype, checks=check, nullable=nullable)},
+        index_cols=["id"],
+    )
+    return schema.validate(df)
+
+
+def _failed_indexes(result):
+    if result.violations is None:
+        return []
+    rows = result.violations.filter(F.col("check") != "not_nullable").collect()
+    return sorted(int(r["index"]) for r in rows if r["index"] is not None)
+
+
+class TestComparisonChecks:
+    def test_equal_to(self, spark):
+        r = _validate_col(spark, [1, 1, 2], Check.equal_to(1))
+        assert not r.passed
+        assert _failed_indexes(r) == [2]
+
+    def test_not_equal_to(self, spark):
+        r = _validate_col(spark, [1, 2, 2], Check.not_equal_to(2))
+        assert _failed_indexes(r) == [1, 2]
+
+    def test_greater_than(self, spark):
+        r = _validate_col(spark, [1, 5, 10], Check.greater_than(4))
+        assert _failed_indexes(r) == [0]
+
+    def test_ge_passing(self, spark):
+        r = _validate_col(spark, [4, 5], Check.greater_than_or_equal_to(4))
+        assert r.passed
+
+    def test_less_than(self, spark):
+        r = _validate_col(spark, [1, 5, 10], Check.less_than(10))
+        assert _failed_indexes(r) == [2]
+
+    def test_le(self, spark):
+        r = _validate_col(spark, [1, 5, 10], Check.less_than_or_equal_to(5))
+        assert _failed_indexes(r) == [2]
+
+    def test_in_range(self, spark):
+        r = _validate_col(spark, [0, 5, 11], Check.in_range(1, 10))
+        assert _failed_indexes(r) == [0, 2]
+
+    def test_in_range_exclusive(self, spark):
+        r = _validate_col(
+            spark, [1, 5, 10], Check.in_range(1, 10, include_min=False, include_max=False)
+        )
+        assert _failed_indexes(r) == [0, 2]
+
+    def test_in_range_empty_interval_raises(self):
+        with pytest.raises(ValueError):
+            Check.in_range(10, 1)
+
+    def test_aliases(self, spark):
+        assert Check.eq.__func__ is Check.equal_to.__func__
+        assert Check.between.__func__ is Check.in_range.__func__
+        r = _validate_col(spark, [3], Check.gt(2))
+        assert r.passed
+
+
+class TestSetChecks:
+    def test_isin(self, spark):
+        r = _validate_col(spark, [1, 2, 9], Check.isin([1, 2, 3]))
+        assert _failed_indexes(r) == [2]
+
+    def test_notin(self, spark):
+        r = _validate_col(spark, [1, 2, 9], Check.notin([9]))
+        assert _failed_indexes(r) == [2]
+
+    def test_unique_values_eq(self, spark):
+        r = _validate_col(spark, [1, 2, 1, 2], Check.unique_values_eq({1, 2}))
+        assert r.passed
+        r = _validate_col(spark, [1, 2, 3], Check.unique_values_eq({1, 2}))
+        assert not r.passed
+
+
+class TestStringChecks:
+    def test_str_matches_anchored(self, spark):
+        # pandas str.match anchors at start: 'xID001' must FAIL
+        r = _validate_col(
+            spark, ["ID001", "xID002", "ID003"], Check.str_matches(r"ID\d{3}"),
+            dtype="string",
+        )
+        assert _failed_indexes(r) == [1]
+
+    def test_str_contains(self, spark):
+        r = _validate_col(
+            spark, ["foo bar", "baz"], Check.str_contains("bar"), dtype="string"
+        )
+        assert _failed_indexes(r) == [1]
+
+    def test_str_startswith(self, spark):
+        r = _validate_col(
+            spark, ["abc", "xbc"], Check.str_startswith("ab"), dtype="string"
+        )
+        assert _failed_indexes(r) == [1]
+
+    def test_str_endswith(self, spark):
+        r = _validate_col(
+            spark, ["abc", "abx"], Check.str_endswith("bc"), dtype="string"
+        )
+        assert _failed_indexes(r) == [1]
+
+    def test_str_length(self, spark):
+        r = _validate_col(
+            spark, ["a", "abc", "abcdef"], Check.str_length(2, 5), dtype="string"
+        )
+        assert _failed_indexes(r) == [0, 2]
+
+    def test_str_length_min_only(self, spark):
+        r = _validate_col(spark, ["", "ab"], Check.str_length(1), dtype="string")
+        assert _failed_indexes(r) == [0]
+
+
+class TestNullSemantics:
+    def test_ignore_na_default(self, spark):
+        # a NULL never fails a value check when ignore_na=True (default)
+        r = _validate_col(spark, [5, None, 6], Check.greater_than(4))
+        assert r.passed
+
+    def test_ignore_na_false(self, spark):
+        r = _validate_col(
+            spark, [5, None], Check.greater_than(4, ignore_na=False)
+        )
+        assert _failed_indexes(r) == [1]
+
+    def test_nullable_false_reports_nulls(self, spark):
+        df = _one_col_df(spark, [1, None])
+        schema = DataFrameSchema(
+            {"x": Column("int", nullable=False)}, index_cols=["id"]
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        rows = r.violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["check"] == "not_nullable"
+        assert rows[0]["index"] == "1"
+        assert rows[0]["failure_case"] is None
+
+
+class TestCheckOptions:
+    def test_raise_warning_counts_as_passed(self, spark):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r = _validate_col(
+                spark, [1, 100], Check.less_than(50, raise_warning=True)
+            )
+        assert r.passed
+        assert any("less_than(50)" in str(x.message) for x in w)
+
+    def test_n_failure_cases(self, spark):
+        r = _validate_col(
+            spark, [9, 9, 9, 9, 1], Check.less_than(5, n_failure_cases=2)
+        )
+        assert not r.passed
+        assert r.violations.count() == 2
+
+    def test_custom_error_string(self, spark):
+        chk = Check(lambda c: c > 0, error="must be positive")
+        r = _validate_col(spark, [-1], chk)
+        assert r.violations.collect()[0]["check"] == "must be positive"
+
+
+class TestCustomChecks:
+    def test_expression_check(self, spark):
+        chk = Check(lambda c: c % 2 == 0, name="even")
+        r = _validate_col(spark, [2, 3, 4], chk)
+        assert _failed_indexes(r) == [1]
+
+    def test_vectorized_pandas_check(self, spark):
+        chk = Check(lambda s: s.str.len() > 2, vectorized=True, name="len_gt_2")
+        r = _validate_col(spark, ["ab", "abcd"], chk, dtype="string")
+        assert _failed_indexes(r) == [0]
+
+    def test_element_wise_check(self, spark):
+        chk = Check(lambda x: x > 2, element_wise=True, name="gt2")
+        r = _validate_col(spark, [1, 3], chk)
+        assert _failed_indexes(r) == [0]
+
+    def test_df_level_check(self, spark):
+        df = spark.createDataFrame([(1, 2), (5, 3)], "a int, b int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")},
+            checks=Check(
+                lambda d: F.col("a") < F.col("b"), df_level=True, name="a_lt_b"
+            ),
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert r.check_results[-1]["n_violations"] == 1
+
+    def test_groupby_check(self, spark):
+        # contract: fn receives dict[group_key -> pd.Series]
+        # (reference tests/core/test_checks.py:36-133)
+        df = spark.createDataFrame(
+            [(1, "foo"), (2, "foo"), (10, "bar")], "col1 int, col2 string"
+        )
+        chk = Check(
+            lambda groups: groups["foo"].mean() < groups["bar"].mean(),
+            groupby="col2",
+            name="foo_lt_bar",
+        )
+        schema = DataFrameSchema({"col1": Column("int", checks=chk), "col2": Column("string")})
+        r = schema.validate(df)
+        assert r.passed
+
+    def test_register_check_method(self, spark):
+        from pandera_spark import register_check_method
+
+        @register_check_method(name="is_multiple_of")
+        def is_multiple_of(col, base):
+            return col % base == 0
+
+        chk = Check.is_multiple_of(3)
+        assert chk.error == "is_multiple_of(3)"
+        r = _validate_col(spark, [3, 4, 9], chk)
+        assert _failed_indexes(r) == [1]

@@ -1,0 +1,428 @@
+"""Schema-lifecycle semantics: parsers, strict/ordered, coercion with
+failure capture, uniqueness, report contract, end-to-end transcripts
+(reference: tests/core/test_schemas.py goldens, FIXTURES.md F1/F2)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandera_spark import (
+    Check,
+    Column,
+    Contiguity,
+    DataFrameSchema,
+    ForeignKey,
+    Monotonic,
+    Parser,
+    SchemaErrors,
+)
+from pandera_spark.errors import FAILURE_CASE_COLUMNS
+from pandera_spark.fixtures import corrupted_transcripts_df, transcripts_df
+
+
+class TestSchemaScopeChecks:
+    def test_column_presence(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema({"a": Column("int"), "b": Column("int")})
+        r = schema.validate(df)
+        assert not r.passed
+        assert "COLUMN_NOT_IN_DATAFRAME" in r.report["SCHEMA"]
+        rows = r.violations.collect()
+        assert any(
+            x["check"] == "column_in_dataframe" and x["failure_case"] == "b"
+            for x in rows
+        )
+
+    def test_required_false(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int", required=False)}
+        )
+        assert schema.validate(df).passed
+
+    def test_strict_true(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, extra int")
+        schema = DataFrameSchema({"a": Column("int")}, strict=True)
+        r = schema.validate(df)
+        assert not r.passed
+        assert "COLUMN_NOT_IN_SCHEMA" in r.report["SCHEMA"]
+
+    def test_strict_filter(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, extra int")
+        schema = DataFrameSchema({"a": Column("int")}, strict="filter")
+        r = schema.validate(df)
+        assert r.passed
+        assert r.df.columns == ["a"]
+
+    def test_ordered(self, spark):
+        df = spark.createDataFrame([(1, 2)], "b int, a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")}, ordered=True
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert "COLUMN_NOT_ORDERED" in r.report["SCHEMA"]
+
+    def test_wrong_dtype(self, spark):
+        df = spark.createDataFrame([("x",)], "a string")
+        schema = DataFrameSchema({"a": Column("bigint")})
+        r = schema.validate(df)
+        assert not r.passed
+        rows = r.violations.collect()
+        assert rows[0]["check"] == "dtype('bigint')"
+        assert rows[0]["failure_case"] == "string"
+
+    def test_decimal_precision_scale_equality(self, spark):
+        df = spark.createDataFrame([(1.0,)], "a double").select(
+            F.col("a").cast(T.DecimalType(10, 2)).alias("a")
+        )
+        assert DataFrameSchema({"a": Column(T.DecimalType(10, 2))}).validate(df).passed
+        assert not DataFrameSchema({"a": Column(T.DecimalType(12, 2))}).validate(df).passed
+
+    def test_array_dtype_equality(self, spark):
+        df = spark.createDataFrame([([1, 2],)], "a array<int>")
+        assert DataFrameSchema({"a": Column("array<int>")}).validate(df).passed
+        assert not DataFrameSchema({"a": Column("array<bigint>")}).validate(df).passed
+
+
+class TestParsers:
+    def test_add_missing_columns_default(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int", default=7)},
+            add_missing_columns=True,
+        )
+        r = schema.validate(df)
+        assert r.passed
+        assert r.df.columns == ["a", "b"]
+        assert r.df.collect()[0]["b"] == 7
+
+    def test_add_missing_columns_nullable(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int", nullable=True)},
+            add_missing_columns=True,
+        )
+        r = schema.validate(df)
+        assert r.passed
+        assert r.df.collect()[0]["b"] is None
+
+    def test_add_missing_no_default_errors(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")}, add_missing_columns=True
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert "ADD_MISSING_COLUMN_NO_DEFAULT" in r.report["SCHEMA"]
+
+    def test_set_defaults(self, spark):
+        df = spark.createDataFrame([(None,), (3,)], "a int")
+        schema = DataFrameSchema({"a": Column("int", default=0, nullable=False)})
+        r = schema.validate(df)
+        assert r.passed
+        assert sorted(x["a"] for x in r.df.collect()) == [0, 3]
+
+    def test_coerce_success(self, spark):
+        df = spark.createDataFrame([("1",), ("2",)], "a string")
+        schema = DataFrameSchema({"a": Column("bigint")}, coerce=True)
+        r = schema.validate(df)
+        assert r.passed
+        assert dict(r.df.dtypes)["a"] == "bigint"
+
+    def test_coerce_failure_cases(self, spark):
+        # Spark cast silently nulls; engine must report original values
+        # (SURVEY.md §7.4.4 / tests/core/test_schemas.py:1374-1381)
+        df = spark.createDataFrame([("1",), ("xyz",)], "a string")
+        schema = DataFrameSchema({"a": Column("bigint", nullable=True)}, coerce=True)
+        r = schema.validate(df)
+        assert not r.passed
+        assert "DATATYPE_COERCION" in r.report["SCHEMA"]
+        rows = r.violations.collect()
+        assert rows[0]["check"] == "coerce_dtype('bigint')"
+        assert rows[0]["failure_case"] == "xyz"
+        # internal pre-coerce columns must not leak
+        assert r.df.columns == ["a"]
+
+    def test_custom_column_parser(self, spark):
+        df = spark.createDataFrame([(" x ",)], "a string")
+        schema = DataFrameSchema(
+            {"a": Column("string", parsers=Parser(lambda c: F.trim(c)),
+                         checks=Check.str_length(1, 1))}
+        )
+        r = schema.validate(df)
+        assert r.passed
+
+    def test_df_level_parser(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int", required=False)},
+            parsers=Parser(lambda d: d.withColumn("b", F.col("a") + 1)),
+        )
+        r = schema.validate(df)
+        assert r.passed
+        assert r.df.collect()[0]["b"] == 2
+
+
+class TestUniqueness:
+    def test_field_uniqueness(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 1)], "id int, x int"
+        )
+        schema = DataFrameSchema(
+            {"x": Column("int", unique=True)}, index_cols=["id"]
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert "SERIES_CONTAINS_DUPLICATES" in r.report["DATA"]
+        rows = sorted(
+            r.violations.collect(), key=lambda x: x["index"]
+        )
+        assert [x["failure_case"] for x in rows] == ["1", "1"]
+        assert [x["index"] for x in rows] == ["0", "2"]
+
+    def test_report_duplicates_exclude_first(self, spark):
+        # reference golden: tests/core/test_schemas.py:1817-1841
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([1, 2, 3, 4, 1, 1, 2, 3])],
+            "id int, a int",
+        )
+        def run(mode):
+            schema = DataFrameSchema(
+                {"a": Column("int", unique=True, report_duplicates=mode)},
+                index_cols=["id"],
+            )
+            r = schema.validate(df)
+            return sorted(int(x["index"]) for x in r.violations.collect())
+
+        assert run("all") == [0, 1, 2, 4, 5, 6, 7]
+        assert run("exclude_first") == [4, 5, 6, 7]
+        assert run("exclude_last") == [0, 1, 2, 4]
+
+    def test_joint_uniqueness(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+        )
+        schema = DataFrameSchema(
+            {"k": Column("int"), "v": Column("string")},
+            unique=["k", "v"],
+            index_cols=["k", "v"],
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert "DUPLICATES" in r.report["DATA"]
+        rows = r.violations.collect()
+        # one row per column of the unique set per duplicated row
+        assert len(rows) == 4
+        assert {x["check"] for x in rows} == {"multiple_fields_uniqueness"}
+
+    def test_nulls_not_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, None)], "id int, x string"
+        )
+        schema = DataFrameSchema(
+            {"x": Column("string", unique=True, nullable=True)}, index_cols=["id"]
+        )
+        assert schema.validate(df).passed
+
+
+class TestReferential:
+    def test_foreign_key_orphans(self, spark):
+        facts = spark.createDataFrame(
+            [(0, "c1"), (1, "c2"), (2, "c9")], "id int, cid string"
+        )
+        dims = spark.createDataFrame([("c1",), ("c2",)], "cid string")
+        schema = DataFrameSchema(
+            {"cid": Column("string")},
+            references=[ForeignKey(columns=["cid"], reference=dims)],
+            index_cols=["id"],
+        )
+        r = schema.validate(facts)
+        assert not r.passed
+        rows = r.violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["failure_case"] == "c9"
+        assert rows[0]["index"] == "2"
+
+    def test_contiguity(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 1)],
+            "conv string, turn int",
+        )
+        schema = DataFrameSchema(
+            {"conv": Column("string"), "turn": Column("int")},
+            references=[Contiguity(partition_by="conv", order_col="turn")],
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        rows = r.violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["index"] == "a"
+
+    def test_monotonic(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2026, 1, 1)
+        dt = datetime.timedelta
+        df = spark.createDataFrame(
+            [
+                ("a", 0, t0),
+                ("a", 1, t0 + dt(minutes=1)),
+                ("a", 2, t0 + dt(minutes=1)),  # tie → not strictly increasing
+            ],
+            "conv string, turn int, ts timestamp",
+        )
+        schema = DataFrameSchema(
+            {"conv": Column("string")},
+            references=[
+                Monotonic(partition_by="conv", order_col="ts", sort_col="turn")
+            ],
+        )
+        r = schema.validate(df)
+        assert not r.passed
+
+
+class TestReportContract:
+    def test_violation_columns(self, spark):
+        df = spark.createDataFrame([(0, -1)], "id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))}, index_cols=["id"]
+        )
+        r = schema.validate(df)
+        assert tuple(r.violations.columns) == FAILURE_CASE_COLUMNS
+
+    def test_report_shape(self, spark):
+        df = spark.createDataFrame([(0, -1)], "id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))},
+            name="my_schema",
+            index_cols=["id"],
+        )
+        r = schema.validate(df)
+        entry = r.report["DATA"]["DATAFRAME_CHECK"][0]
+        assert set(entry) == {"schema", "column", "check", "error"}
+        assert entry["schema"] == "my_schema"
+        assert entry["column"] == "x"
+        assert entry["check"] == "greater_than_or_equal_to(0)"
+
+    def test_lazy_false_raises_immediately(self, spark):
+        from pandera_spark import SchemaError
+
+        df = spark.createDataFrame([(1,)], "a int")
+        schema = DataFrameSchema({"a": Column("int"), "b": Column("int")})
+        with pytest.raises(SchemaError):
+            schema.validate(df, lazy=False)
+
+    def test_raise_on_error(self, spark):
+        df = spark.createDataFrame([(0, -1)], "id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))}, index_cols=["id"]
+        )
+        with pytest.raises(SchemaErrors):
+            schema.validate(df).raise_on_error()
+
+    def test_drop_invalid_rows(self, spark):
+        df = spark.createDataFrame([(0, -1), (1, 5)], "id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))},
+            index_cols=["id"],
+            drop_invalid_rows=True,
+        )
+        r = schema.validate(df)
+        assert [x["id"] for x in r.df.collect()] == [1]
+
+    def test_stats_collection(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (None,)], "a int")
+        schema = DataFrameSchema({"a": Column("int", nullable=True)})
+        r = schema.validate(df, collect_stats=True)
+        s = r.stats["a"]
+        assert s["count"] == 2
+        assert s["null_count"] == 1
+        assert s["min"] == 1
+        assert s["max"] == 2
+
+
+class TestRegexColumns:
+    def test_regex_expansion(self, spark):
+        df = spark.createDataFrame([(1, 2, "x")], "m_a int, m_b int, other string")
+        schema = DataFrameSchema(
+            {"^m_": Column("int", checks=Check.ge(0), regex=True, name="^m_")}
+        )
+        r = schema.validate(df)
+        assert r.passed
+        checked = {c["column"] for c in r.check_results}
+        assert checked == {"m_a", "m_b"}
+
+
+class TestTranscriptsEndToEnd:
+    @pytest.fixture(scope="class")
+    def schemas(self):
+        transcript_schema = DataFrameSchema(
+            {
+                "conv_id": Column(
+                    "string",
+                    checks=Check.str_matches(r"^conv-\d{8}$"),
+                    nullable=False,
+                ),
+                "turn_idx": Column("int", checks=Check.ge(0), nullable=False),
+                "role": Column(
+                    "string",
+                    checks=Check.isin({"system", "user", "assistant", "tool"}),
+                    nullable=False,
+                ),
+                "text": Column(
+                    "string", checks=Check.str_length(1, 32768), nullable=False
+                ),
+                "tool": Column("string", nullable=True),
+                "ts": Column("timestamp", nullable=False),
+            },
+            checks=[
+                Check(
+                    lambda d: (F.col("role") == "tool") | F.col("tool").isNull(),
+                    df_level=True,
+                    name="tool_only_for_tool_role",
+                    error="tool_only_for_tool_role",
+                )
+            ],
+            unique=["conv_id", "turn_idx"],
+            references=[
+                Contiguity(partition_by="conv_id", order_col="turn_idx"),
+            ],
+            index_cols=["conv_id", "turn_idx"],
+            name="transcripts",
+        )
+        return transcript_schema
+
+    def test_clean_passes(self, spark, schemas):
+        df = transcripts_df(spark, n_convs=50)
+        r = schemas.validate(df, collect_stats=True)
+        assert r.passed, r.report
+        assert r.stats["conv_id"]["null_count"] == 0
+
+    def test_corrupted_reports_all_defects(self, spark, schemas):
+        df = corrupted_transcripts_df(spark, n_convs=50)
+        r = schemas.validate(df)
+        assert not r.passed
+        checks_failed = {x["check"] for x in r.violations.collect()}
+        assert "not_nullable" in checks_failed  # null text
+        assert "multiple_fields_uniqueness" in checks_failed  # dup key
+        assert any(c.startswith("isin") for c in checks_failed)  # role
+        assert "greater_than_or_equal_to(0)" in checks_failed  # turn_idx=-1
+        assert "str_length(1, 32768)" in checks_failed  # empty text
+        assert any(c.startswith("str_matches") for c in checks_failed)  # BAD 7
+        assert "contiguity" in checks_failed  # missing turn
+        assert "tool_only_for_tool_role" in checks_failed  # cross-column
+
+    def test_corrupted_exact_indexes(self, spark, schemas):
+        df = corrupted_transcripts_df(spark, n_convs=50)
+        r = schemas.validate(df)
+        v = {
+            (x["check"], x["index"])
+            for x in r.violations.collect()
+        }
+        assert ("not_nullable", "conv-00000003|1") in v
+        assert ("greater_than_or_equal_to(0)", "conv-00000002|-1") in v
+        assert ("str_length(1, 32768)", "conv-00000004|1") in v
+        assert ("tool_only_for_tool_role", None) in v or any(
+            c == "tool_only_for_tool_role" for c, _ in v
+        )
