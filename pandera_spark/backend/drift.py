@@ -1,0 +1,368 @@
+"""Distribution-drift checks: two-sample KS, PSI, and closed-form t-tests.
+
+North-rule operators absent from the reference (SURVEY.md §2.5): the
+reference only supports them as user-supplied scipy callables through the
+generic Hypothesis path (pandera/api/hypotheses.py:101-143).  Here they are
+first-class, sketch-based, and scale-safe:
+
+  - **KS**: ECDFs of both samples evaluated on a shared grid derived from
+    ``percentile_approx`` sketches — ONE aggregate job per sample, no
+    global sort (SURVEY.md §4.2.4).  D-statistic error is bounded by grid
+    resolution; the asymptotic Kolmogorov p-value is computed on the
+    driver.  An exact path (sort-based, for modest samples) validates the
+    sketch against scipy-style results in tests.
+  - **PSI**: bucket edges from the BASELINE quantile sketch, counts for
+    both frames via one aggregate each (conditional sums — no shuffle);
+    categorical PSI via two groupBy-count jobs joined on category.
+  - **t-tests**: Welch/pooled two-sample and one-sample t from
+    ``groupBy().agg(count, avg, var_samp)`` — closed form, no sample
+    collection (SURVEY.md §2.5 two_sample_ttest row).
+
+Statistical helper functions (Student-t CDF via continued-fraction
+incomplete beta, Kolmogorov survival function) are standard public-domain
+numerical formulas implemented in pure Python — evaluated once per test on
+the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------- #
+# driver-side numerics (pure python, O(1) per test)
+# ---------------------------------------------------------------------- #
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta function."""
+    MAXIT, EPS, FPMIN = 200, 3e-12, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def student_t_sf(t: float, df: float) -> float:
+    """P(T > t) for Student-t with df degrees of freedom."""
+    x = df / (df + t * t)
+    p = 0.5 * betainc(df / 2.0, 0.5, x)
+    return p if t >= 0 else 1.0 - p
+
+
+def student_t_two_sided(t: float, df: float) -> float:
+    return 2.0 * student_t_sf(abs(t), df)
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Kolmogorov distribution survival function Q(λ) = 2 Σ (-1)^{k-1} e^{-2k²λ²}."""
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for k in range(1, 101):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return min(max(total, 0.0), 1.0)
+
+
+def ks_pvalue(d: float, n1: int, n2: int) -> float:
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    lam = (en + 0.12 + 0.11 / en) * d
+    return kolmogorov_sf(lam)
+
+
+# ---------------------------------------------------------------------- #
+# results
+# ---------------------------------------------------------------------- #
+
+
+@dataclass
+class KSResult:
+    statistic: float
+    pvalue: float
+    n1: int
+    n2: int
+    method: str  # "sketch" | "exact"
+
+    def reject(self, alpha: float = 0.01) -> bool:
+        return self.pvalue < alpha
+
+
+@dataclass
+class PSIResult:
+    psi: float
+    per_bucket: list[dict]
+
+    def drifted(self, threshold: float = 0.2) -> bool:
+        return self.psi > threshold
+
+
+@dataclass
+class TTestResult:
+    statistic: float
+    pvalue: float  # two-sided
+    df: float
+    mean1: float
+    mean2: Optional[float]
+    n1: int
+    n2: Optional[int]
+
+
+# ---------------------------------------------------------------------- #
+# KS
+# ---------------------------------------------------------------------- #
+
+
+def _ecdf_at(df: DataFrame, col: str, grid: Sequence[float]) -> tuple[list[float], int]:
+    """One fused aggregate: n and sum(col <= g) for every grid point."""
+    aggs = [F.count(F.col(col)).alias("__n__")]
+    for i, g in enumerate(grid):
+        aggs.append(
+            F.sum((F.col(col) <= F.lit(float(g))).cast("long")).alias(f"__le_{i}__")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n__"]
+    return [(row[f"__le_{i}__"] or 0) / max(n, 1) for i in range(len(grid))], n
+
+
+def ks_2samp(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    num_grid: int = 201,
+    accuracy: int = 10_000,
+) -> KSResult:
+    """Sketch-based two-sample KS: 3 aggregate jobs total, no global sort.
+
+    Grid = union of both samples' approximate quantiles (the D statistic's
+    sup is attained at sample points; evaluating at ~2*num_grid merged
+    quantiles bounds the error by the inter-quantile mass ≈ 1/num_grid,
+    refined by ``accuracy`` of the Greenwald-Khanna sketch).
+    """
+    col2 = col2 or col1
+    probs = [i / (num_grid - 1) for i in range(num_grid)]
+    q1, q2 = (
+        df1.agg(
+            F.percentile_approx(col1, probs, accuracy).alias("q")
+        ).collect()[0]["q"],
+        df2.agg(
+            F.percentile_approx(col2, probs, accuracy).alias("q")
+        ).collect()[0]["q"],
+    )
+    grid = sorted(set((q1 or []) + (q2 or [])))
+    if not grid:
+        return KSResult(0.0, 1.0, 0, 0, "sketch")
+    e1, n1 = _ecdf_at(df1, col1, grid)
+    e2, n2 = _ecdf_at(df2, col2, grid)
+    d = max(abs(a - b) for a, b in zip(e1, e2))
+    return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "sketch")
+
+
+def ks_2samp_exact(
+    df1: DataFrame, col1: str, df2: DataFrame, col2: Optional[str] = None
+) -> KSResult:
+    """Exact KS via sort-merge of both samples — collects both columns to
+    the driver; for validation on modest samples only (SURVEY.md §7.4.6)."""
+    col2 = col2 or col1
+    a = sorted(r[0] for r in df1.select(col1).dropna().collect())
+    b = sorted(r[0] for r in df2.select(col2).dropna().collect())
+    n1, n2 = len(a), len(b)
+    if not n1 or not n2:
+        return KSResult(0.0, 1.0, n1, n2, "exact")
+    i = j = 0
+    d = 0.0
+    while i < n1 and j < n2:
+        x = min(a[i], b[j])
+        while i < n1 and a[i] <= x:
+            i += 1
+        while j < n2 and b[j] <= x:
+            j += 1
+        d = max(d, abs(i / n1 - j / n2))
+    return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "exact")
+
+
+# ---------------------------------------------------------------------- #
+# PSI
+# ---------------------------------------------------------------------- #
+
+
+def psi_numeric(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    col: str,
+    buckets: int = 10,
+    accuracy: int = 10_000,
+    eps: float = 1e-4,
+) -> PSIResult:
+    """PSI over quantile buckets of the BASELINE distribution.
+
+    Bucket edges from one percentile_approx job on the baseline; bucket
+    shares for each frame from one conditional-sum aggregate each — no
+    shuffle, no join (SURVEY.md §2.5 PSI row)."""
+    probs = [i / buckets for i in range(1, buckets)]
+    edges = baseline.agg(
+        F.percentile_approx(col, probs, accuracy).alias("q")
+    ).collect()[0]["q"]
+    edges = sorted(set(edges or []))
+
+    def shares(df: DataFrame) -> list[float]:
+        conds = []
+        lo = None
+        bounds = [None] + list(edges) + [None]
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            c = F.col(col).isNotNull()
+            if lo is not None:
+                c = c & (F.col(col) > F.lit(float(lo)))
+            if hi is not None:
+                c = c & (F.col(col) <= F.lit(float(hi)))
+            conds.append(F.sum(c.cast("long")).alias(f"__b{i}__"))
+        row = df.agg(F.count(F.col(col)).alias("__n__"), *conds).collect()[0]
+        n = max(row["__n__"], 1)
+        return [(row[f"__b{i}__"] or 0) / n for i in range(len(bounds) - 1)]
+
+    p, q = shares(baseline), shares(candidate)
+    per_bucket, total = [], 0.0
+    for i, (pi, qi) in enumerate(zip(p, q)):
+        pi, qi = max(pi, eps), max(qi, eps)
+        contrib = (pi - qi) * math.log(pi / qi)
+        total += contrib
+        per_bucket.append({"bucket": i, "baseline": pi, "candidate": qi, "psi": contrib})
+    return PSIResult(total, per_bucket)
+
+
+def psi_categorical(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    col: str,
+    eps: float = 1e-4,
+) -> PSIResult:
+    """PSI over category shares — two groupBy-count jobs (map-side combined)."""
+
+    def shares(df: DataFrame) -> dict:
+        rows = df.groupBy(col).count().collect()
+        n = max(sum(r["count"] for r in rows), 1)
+        return {r[col]: r["count"] / n for r in rows}
+
+    p, q = shares(baseline), shares(candidate)
+    cats = sorted(set(p) | set(q), key=repr)
+    per_bucket, total = [], 0.0
+    for c in cats:
+        pi, qi = max(p.get(c, 0.0), eps), max(q.get(c, 0.0), eps)
+        contrib = (pi - qi) * math.log(pi / qi)
+        total += contrib
+        per_bucket.append({"bucket": c, "baseline": pi, "candidate": qi, "psi": contrib})
+    return PSIResult(total, per_bucket)
+
+
+# ---------------------------------------------------------------------- #
+# t-tests (closed-form aggregates — no scipy, no sample collection)
+# ---------------------------------------------------------------------- #
+
+
+def two_sample_ttest(
+    df: DataFrame,
+    col: str,
+    groupby: str,
+    group1,
+    group2,
+    equal_var: bool = True,
+) -> TTestResult:
+    """t-test between two groupby levels (pandera/api/hypotheses.py:182-290
+    semantics) from ONE groupBy aggregate."""
+    rows = (
+        df.filter(F.col(groupby).isin([group1, group2]))
+        .groupBy(groupby)
+        .agg(
+            F.count(F.col(col)).alias("n"),
+            F.avg(F.col(col)).alias("mean"),
+            F.var_samp(F.col(col)).alias("var"),
+        )
+        .collect()
+    )
+    stats = {r[groupby]: r for r in rows}
+    if group1 not in stats or group2 not in stats:
+        missing = [g for g in (group1, group2) if g not in stats]
+        raise KeyError(f"groups {missing} not found in column '{groupby}'")
+    r1, r2 = stats[group1], stats[group2]
+    n1, m1, v1 = r1["n"], r1["mean"], r1["var"] or 0.0
+    n2, m2, v2 = r2["n"], r2["mean"], r2["var"] or 0.0
+    if equal_var:
+        dof = n1 + n2 - 2
+        sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / dof
+        se = math.sqrt(sp2 * (1 / n1 + 1 / n2))
+    else:
+        se2 = v1 / n1 + v2 / n2
+        se = math.sqrt(se2)
+        dof = se2**2 / (
+            (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+        ) if se2 > 0 else n1 + n2 - 2
+    t = (m1 - m2) / se if se > 0 else 0.0
+    return TTestResult(t, student_t_two_sided(t, dof), dof, m1, m2, n1, n2)
+
+
+def one_sample_ttest(df: DataFrame, col: str, popmean: float) -> TTestResult:
+    """One-sample t vs popmean (pandera/api/hypotheses.py:293-381) from one
+    aggregate."""
+    row = df.agg(
+        F.count(F.col(col)).alias("n"),
+        F.avg(F.col(col)).alias("mean"),
+        F.stddev_samp(F.col(col)).alias("sd"),
+    ).collect()[0]
+    n, m, sd = row["n"], row["mean"], row["sd"] or 0.0
+    t = (m - popmean) / (sd / math.sqrt(n)) if sd > 0 else 0.0
+    return TTestResult(t, student_t_two_sided(t, n - 1), n - 1, m, None, n, None)

@@ -563,7 +563,7 @@ def _compile_checks(schema, df, coerce_checks):
     for name, col in schema.columns.items():
         for t in col.matched_columns(df.columns):
             for i, chk in enumerate(col.checks):
-                if chk.groupby:
+                if chk.groupby or getattr(chk, "agg_impl", None):
                     grouped.append((t, chk))
                     continue
                 if chk.name == "unique_values_eq":
@@ -585,7 +585,7 @@ def _compile_checks(schema, df, coerce_checks):
 
     # dataframe-level checks
     for i, chk in enumerate(schema.checks):
-        if chk.groupby:
+        if chk.groupby or getattr(chk, "agg_impl", None):
             grouped.append((None, chk))
             continue
         pred = chk.pass_predicate(df, None) if chk.df_level else None
@@ -764,7 +764,7 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
 
     df_cols = set(df.columns)
     for colname, chk in grouped:
-        needed = list(chk.groupby) + ([colname] if colname else [])
+        needed = list(chk.groupby or []) + ([colname] if colname else [])
         missing = [c for c in needed if c not in df_cols]
         if missing:
             handler.collect_error(
@@ -780,6 +780,35 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
                     schema_name=schema_name,
                 )
             )
+            continue
+        if getattr(chk, "agg_impl", None):
+            # builtin Hypothesis factories: closed-form / sketch aggregates,
+            # no sample collection (Hypothesis.evaluate_agg)
+            passed = chk.evaluate_agg(df, colname)
+            check_results.append(
+                {
+                    "column": colname,
+                    "check": chk.error or chk.name,
+                    "check_number": None,
+                    "n_violations": 0 if passed else 1,
+                    "n_rows": None,
+                    "passed": passed,
+                }
+            )
+            if not passed:
+                handler.collect_error(
+                    SchemaErrorRecord(
+                        reason_code=SchemaErrorReason.DATAFRAME_CHECK,
+                        schema_context="Column" if colname else "DataFrameSchema",
+                        column=colname,
+                        check=chk.error or chk.name,
+                        message=(
+                            f"{schema_name} hypothesis check "
+                            f"'{chk.error or chk.name}' failed"
+                        ),
+                        schema_name=schema_name,
+                    )
+                )
             continue
         gcols = chk.groupby
         target = colname

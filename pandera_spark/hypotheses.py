@@ -1,0 +1,195 @@
+"""Hypothesis checks — statistical tests with relationship semantics.
+
+Reference: pandera/api/hypotheses.py:14-179 (Hypothesis(Check)), backend
+relationship logic pandera/backends/pandas/hypotheses.py:17-36:
+
+  greater_than: stat > 0 and pvalue/2 < alpha
+  less_than:    stat < 0 and pvalue/2 < alpha
+  not_equal:    pvalue < alpha
+  equal:        pvalue >= alpha
+
+Execution: when ``groupby`` is set, group samples are gathered via the
+grouped-check machinery (applyInPandas) and the ``test`` callable receives
+one pandas Series per group — same contract as supplying
+``scipy.stats.ks_2samp`` in the reference.  Builtin factories
+(two_sample_ttest / one_sample_ttest / ks_2samp) bypass sample collection
+entirely, delegating to the closed-form/sketch aggregates in
+backend/drift.py — that's the 10^12-row path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+from .checks import Check
+
+DEFAULT_ALPHA = 0.01  # pandera/api/hypotheses.py:8
+
+RELATIONSHIPS = {
+    "greater_than": lambda stat, pvalue, alpha: stat > 0 and pvalue / 2 < alpha,
+    "less_than": lambda stat, pvalue, alpha: stat < 0 and pvalue / 2 < alpha,
+    "not_equal": lambda stat, pvalue, alpha: pvalue < alpha,
+    "equal": lambda stat, pvalue, alpha: pvalue >= alpha,
+}
+
+
+class Hypothesis(Check):
+    """A Check whose fn runs a statistical test over group samples."""
+
+    def __init__(
+        self,
+        test: Callable,
+        samples: Optional[Union[str, list]] = None,
+        groupby: Optional[Union[str, list[str]]] = None,
+        relationship: Union[str, Callable] = "equal",
+        alpha: float = DEFAULT_ALPHA,
+        test_kwargs: Optional[dict] = None,
+        name: Optional[str] = None,
+        error: Optional[str] = None,
+        raise_warning: bool = False,
+        agg_impl: Optional[str] = None,
+        agg_kwargs: Optional[dict] = None,
+    ):
+        if isinstance(relationship, str):
+            if relationship not in RELATIONSHIPS:
+                raise ValueError(
+                    f"relationship {relationship!r} not in {set(RELATIONSHIPS)}"
+                )
+            rel_fn = RELATIONSHIPS[relationship]
+        else:
+            rel_fn = relationship
+        self.test = test
+        self.samples = [samples] if isinstance(samples, str) else samples
+        self.relationship = relationship
+        self.alpha = alpha
+        self.test_kwargs = test_kwargs or {}
+        self.agg_impl = agg_impl
+        self.agg_kwargs = agg_kwargs or {}
+        test_fn = test
+        kwargs_ = self.test_kwargs
+        sample_keys = self.samples
+
+        def fn(groups_or_series):
+            if isinstance(groups_or_series, dict):
+                keys = sample_keys or sorted(groups_or_series, key=repr)
+                series = [groups_or_series[str(k)] for k in keys]
+            else:
+                series = [groups_or_series]
+            out = test_fn(*series, **kwargs_)
+            stat, pvalue = (out if isinstance(out, tuple) else (out.statistic, out.pvalue))
+            return rel_fn(stat, pvalue, alpha)
+
+        super().__init__(
+            fn,
+            name=name or getattr(test, "__name__", "hypothesis"),
+            error=error or f"hypothesis({name or getattr(test, '__name__', 'test')})",
+            groupby=groupby,
+            groups=self.samples if groupby else None,
+            raise_warning=raise_warning,
+        )
+        self._relationship_fn = rel_fn
+
+    # -------------------- builtin scalable factories -------------------- #
+
+    @classmethod
+    def two_sample_ttest(
+        cls,
+        sample1,
+        sample2,
+        groupby: str,
+        relationship: str = "equal",
+        alpha: float = DEFAULT_ALPHA,
+        equal_var: bool = True,
+        raise_warning: bool = False,
+    ) -> "Hypothesis":
+        """Closed-form two-sample t-test — evaluated by the backend as a
+        single groupBy aggregate (backend/drift.py:two_sample_ttest), never
+        collecting samples (pandera/backends/pandas/builtin_hypotheses.py:
+        10-29 parity)."""
+        h = cls(
+            test=lambda *a, **k: (0.0, 1.0),  # placeholder; agg path used
+            samples=[sample1, sample2],
+            groupby=groupby,
+            relationship=relationship,
+            alpha=alpha,
+            name="two_sample_ttest",
+            error=(
+                f"failed two sample ttest between '{sample1}' and "
+                f"'{sample2}'"
+            ),
+            raise_warning=raise_warning,
+            agg_impl="two_sample_ttest",
+            agg_kwargs={"equal_var": equal_var},
+        )
+        return h
+
+    @classmethod
+    def one_sample_ttest(
+        cls,
+        popmean: float,
+        relationship: str = "equal",
+        alpha: float = DEFAULT_ALPHA,
+        raise_warning: bool = False,
+    ) -> "Hypothesis":
+        return cls(
+            test=lambda *a, **k: (0.0, 1.0),
+            relationship=relationship,
+            alpha=alpha,
+            name="one_sample_ttest",
+            error=f"failed one sample ttest against popmean {popmean}",
+            raise_warning=raise_warning,
+            agg_impl="one_sample_ttest",
+            agg_kwargs={"popmean": popmean},
+        )
+
+    @classmethod
+    def ks_2samp(
+        cls,
+        sample1,
+        sample2,
+        groupby: str,
+        alpha: float = DEFAULT_ALPHA,
+        num_grid: int = 201,
+        raise_warning: bool = False,
+    ) -> "Hypothesis":
+        """Sketch-based two-sample KS between two groupby levels
+        (relationship fixed to 'equal': drift → fail)."""
+        return cls(
+            test=lambda *a, **k: (0.0, 1.0),
+            samples=[sample1, sample2],
+            groupby=groupby,
+            relationship="equal",
+            alpha=alpha,
+            name="ks_2samp",
+            error=f"failed KS two-sample test between '{sample1}' and '{sample2}'",
+            raise_warning=raise_warning,
+            agg_impl="ks_2samp",
+            agg_kwargs={"num_grid": num_grid},
+        )
+
+    def evaluate_agg(self, df, column: str) -> bool:
+        """Scalable evaluation path for builtin factories (no collection)."""
+        from pyspark.sql import functions as F
+
+        from .backend import drift
+
+        if self.agg_impl == "two_sample_ttest":
+            res = drift.two_sample_ttest(
+                df,
+                column,
+                self.groupby[0],
+                self.samples[0],
+                self.samples[1],
+                **self.agg_kwargs,
+            )
+            return self._relationship_fn(res.statistic, res.pvalue, self.alpha)
+        if self.agg_impl == "one_sample_ttest":
+            res = drift.one_sample_ttest(df, column, self.agg_kwargs["popmean"])
+            return self._relationship_fn(res.statistic, res.pvalue, self.alpha)
+        if self.agg_impl == "ks_2samp":
+            g = self.groupby[0]
+            d1 = df.filter(F.col(g) == F.lit(self.samples[0]))
+            d2 = df.filter(F.col(g) == F.lit(self.samples[1]))
+            res = drift.ks_2samp(d1, column, d2, column, **self.agg_kwargs)
+            return self._relationship_fn(res.statistic, res.pvalue, self.alpha)
+        raise ValueError(f"unknown agg_impl {self.agg_impl!r}")

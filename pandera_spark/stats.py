@@ -1,0 +1,117 @@
+"""Column statistics & schema inference — one partition-parallel pass.
+
+Reference: pandera/schema_inference/pandas.py:32 (infer_schema) backed by
+pandera/schema_statistics/pandas.py:13-67,228-254 (min/max → ge/le checks,
+nullability).  Spark version: a single ``df.agg(...)`` computing per-column
+count / null_count / approx_count_distinct (HyperLogLog) / min / max /
+quantile sketches — Catalyst runs it as partial+final aggregation, so the
+pass is shuffle-free and scales linearly with data volume (SURVEY.md §2.8
+Aggregations row).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .checks import Check
+from .schema import Column, DataFrameSchema
+
+DEFAULT_QUANTILES = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    accuracy: int = 10_000,
+    isin_max_distinct: int = 32,
+) -> dict:
+    """Per-column statistics in ONE aggregate job.
+
+    Returns {col: {count, null_count, approx_distinct, min, max,
+    quantiles?, dtype}} plus "__n_rows__".  Numeric/temporal columns get
+    quantile sketches; low-cardinality string columns (approx_distinct <=
+    isin_max_distinct per a preliminary HLL) get their distinct values in a
+    SECOND small job (only those columns).
+    """
+    cols = list(columns or df.columns)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n_rows__")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__cnt__{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}"))
+        dt = dtypes[c]
+        if isinstance(dt, (T.NumericType, T.DateType, T.TimestampType, T.StringType, T.BooleanType)):
+            aggs.append(F.min(F.col(c)).alias(f"__min__{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__max__{c}"))
+        if isinstance(dt, T.NumericType):
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"), list(quantiles), accuracy
+                ).alias(f"__q__{c}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out: dict = {"__n_rows__": row["__n_rows__"]}
+    lowcard_strings = []
+    for c in cols:
+        dt = dtypes[c]
+        entry = {
+            "dtype": dt.simpleString(),
+            "count": row[f"__cnt__{c}"],
+            "null_count": row[f"__nulls__{c}"],
+            "approx_distinct": row[f"__hll__{c}"],
+            "min": row.get(f"__min__{c}"),
+            "max": row.get(f"__max__{c}"),
+        }
+        if f"__q__{c}" in row:
+            entry["quantiles"] = dict(zip(quantiles, row[f"__q__{c}"] or []))
+        out[c] = entry
+        if (
+            isinstance(dt, T.StringType)
+            and 0 < entry["approx_distinct"] <= isin_max_distinct
+        ):
+            lowcard_strings.append(c)
+
+    if lowcard_strings:
+        # one more tiny job: exact distinct values for isin-check inference
+        aggs2 = [
+            F.array_sort(F.collect_set(F.col(c))).alias(c) for c in lowcard_strings
+        ]
+        row2 = df.agg(*aggs2).collect()[0].asDict()
+        for c in lowcard_strings:
+            out[c]["categories"] = row2[c]
+    return out
+
+
+def infer_schema(
+    df: DataFrame,
+    index_cols: Optional[list[str]] = None,
+    isin_max_distinct: int = 32,
+) -> DataFrameSchema:
+    """Bootstrap a DataFrameSchema from data statistics: dtype from the
+    Spark schema, nullable from observed nulls, in_range from min/max for
+    numerics, isin for low-cardinality strings."""
+    stats = profile(df, isin_max_distinct=isin_max_distinct)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    columns = {}
+    for c in df.columns:
+        s = stats[c]
+        checks = []
+        dt = dtypes[c]
+        if isinstance(dt, T.NumericType) and s["min"] is not None:
+            checks.append(Check.in_range(s["min"], s["max"]))
+        if "categories" in s:
+            checks.append(Check.isin(set(s["categories"])))
+        columns[c] = Column(
+            dt,
+            checks=checks,
+            nullable=s["null_count"] > 0,
+            name=c,
+        )
+    return DataFrameSchema(columns, index_cols=index_cols, name="inferred_schema")

@@ -1,0 +1,209 @@
+"""Drift module: KS sketch vs exact, PSI, closed-form t-tests, Hypothesis
+integration (FIXTURES.md F3; reference generic path
+pandera/api/hypotheses.py:101-143)."""
+
+import math
+
+import pytest
+
+from pandera_spark import Check, Column, DataFrameSchema
+from pandera_spark.backend import drift
+from pandera_spark.fixtures import drift_pair_pandas
+from pandera_spark.hypotheses import Hypothesis
+
+
+@pytest.fixture(scope="module")
+def drift_frames(spark):
+    base_pd, cand_pd = drift_pair_pandas(n=8000, shifted=True)
+    _, same_pd = drift_pair_pandas(n=8000, shifted=False)
+    return (
+        spark.createDataFrame(base_pd),
+        spark.createDataFrame(cand_pd),
+        spark.createDataFrame(same_pd),
+    )
+
+
+class TestNumerics:
+    def test_student_t_sf_known_values(self):
+        # t=0 → sf 0.5; large t → ~0
+        assert abs(drift.student_t_sf(0.0, 10) - 0.5) < 1e-9
+        assert drift.student_t_sf(10.0, 10) < 1e-5
+        # vs scipy reference value: t=2.0, df=10 → sf ≈ 0.036694
+        assert abs(drift.student_t_sf(2.0, 10) - 0.036694) < 1e-4
+
+    def test_kolmogorov_sf(self):
+        # Q(0.5) ≈ 0.9639, Q(1.0) ≈ 0.2700, Q(2.0) ≈ 0.00067
+        assert abs(drift.kolmogorov_sf(1.0) - 0.27) < 0.001
+        assert drift.kolmogorov_sf(2.0) < 0.001
+
+
+class TestKS:
+    def test_shifted_rejects(self, drift_frames):
+        base, cand, _ = drift_frames
+        res = drift.ks_2samp(base, "text_len", cand, "text_len")
+        assert res.reject(0.01)
+        assert res.statistic > 0.1
+
+    def test_same_distribution_passes(self, drift_frames):
+        base, _, same = drift_frames
+        res = drift.ks_2samp(base, "text_len", same, "text_len")
+        assert not res.reject(0.01)
+
+    def test_sketch_close_to_exact(self, drift_frames):
+        base, cand, _ = drift_frames
+        approx = drift.ks_2samp(base, "text_len", cand, "text_len")
+        exact = drift.ks_2samp_exact(base, "text_len", cand, "text_len")
+        assert abs(approx.statistic - exact.statistic) < 0.02
+        assert approx.method == "sketch" and exact.method == "exact"
+
+
+class TestPSI:
+    def test_numeric_psi_detects_shift(self, drift_frames):
+        base, cand, same = drift_frames
+        assert drift.psi_numeric(base, cand, "text_len").drifted(0.2)
+        assert not drift.psi_numeric(base, same, "text_len").drifted(0.2)
+
+    def test_categorical_psi(self, drift_frames):
+        base, cand, same = drift_frames
+        assert drift.psi_categorical(base, cand, "role").psi > 0.05
+        assert drift.psi_categorical(base, same, "role").psi < 0.05
+
+
+class TestTTests:
+    def test_two_sample_matches_closed_form(self, spark):
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in [1, 2, 3, 4, 5]]
+            + [("b", float(v)) for v in [3, 4, 5, 6, 7]],
+            "g string, x double",
+        )
+        res = drift.two_sample_ttest(df, "x", "g", "a", "b")
+        # hand-computed: means 3,5; pooled var 2.5; t = -2/(sqrt(2.5*0.4)) = -2
+        assert abs(res.statistic + 2.0) < 1e-9
+        # scipy.stats.ttest_ind p ≈ 0.0805
+        assert abs(res.pvalue - 0.0805) < 0.002
+
+    def test_welch(self, spark):
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in [1, 2, 3]]
+            + [("b", float(v)) for v in [10, 20, 30, 40]],
+            "g string, x double",
+        )
+        res = drift.two_sample_ttest(df, "x", "g", "a", "b", equal_var=False)
+        assert res.statistic < 0
+
+    def test_one_sample(self, spark):
+        df = spark.createDataFrame([(float(v),) for v in [4.9, 5.1, 5.0, 5.2]], "x double")
+        res = drift.one_sample_ttest(df, "x", 5.0)
+        assert abs(res.pvalue) > 0.05  # consistent with popmean
+
+    def test_missing_group_raises(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(KeyError):
+            drift.two_sample_ttest(df, "x", "g", "a", "zzz")
+
+
+class TestHypothesisIntegration:
+    def test_ttest_via_schema(self, spark):
+        df = spark.createDataFrame(
+            [("m", 180.0 + i) for i in range(20)]
+            + [("f", 150.0 + i) for i in range(20)],
+            "sex string, height double",
+        )
+        schema = DataFrameSchema(
+            {
+                "height": Column(
+                    "double",
+                    checks=Hypothesis.two_sample_ttest(
+                        "m", "f", groupby="sex", relationship="greater_than",
+                        alpha=0.05,
+                    ),
+                ),
+                "sex": Column("string"),
+            }
+        )
+        assert schema.validate(df).passed
+
+    def test_ttest_wrong_direction_fails(self, spark):
+        df = spark.createDataFrame(
+            [("m", 180.0 + i) for i in range(20)]
+            + [("f", 150.0 + i) for i in range(20)],
+            "sex string, height double",
+        )
+        schema = DataFrameSchema(
+            {
+                "height": Column(
+                    "double",
+                    checks=Hypothesis.two_sample_ttest(
+                        "f", "m", groupby="sex", relationship="greater_than",
+                        alpha=0.05,
+                    ),
+                ),
+                "sex": Column("string"),
+            }
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert "two sample ttest" in str(r.report)
+
+    def test_ks_via_schema(self, spark, drift_frames):
+        base, cand, _ = drift_frames
+        both = base.withColumn("src", __import__("pyspark").sql.functions.lit("base")).unionByName(
+            cand.withColumn("src", __import__("pyspark").sql.functions.lit("cand"))
+        )
+        schema = DataFrameSchema(
+            {
+                "text_len": Column(
+                    "double",
+                    checks=Hypothesis.ks_2samp("base", "cand", groupby="src"),
+                ),
+                "role": Column("string"),
+                "src": Column("string"),
+            }
+        )
+        r = schema.validate(both)
+        assert not r.passed
+
+    def test_generic_hypothesis_callable(self, spark):
+        # user-supplied test fn via the generic grouped path
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(10)]
+            + [("b", float(v) + 100.0) for v in range(10)],
+            "g string, x double",
+        )
+
+        def mean_gap_test(s1, s2):
+            gap = float(s1.mean() - s2.mean())
+            return gap, 0.0 if abs(gap) > 50 else 1.0
+
+        h = Hypothesis(
+            test=mean_gap_test,
+            samples=["a", "b"],
+            groupby="g",
+            relationship="less_than",
+            alpha=0.05,
+        )
+        schema = DataFrameSchema(
+            {"x": Column("double", checks=h), "g": Column("string")}
+        )
+        assert schema.validate(df).passed
+
+
+class TestStatsProfile:
+    def test_profile_and_infer(self, spark):
+        from pandera_spark.stats import infer_schema, profile
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "a", None)],
+            "id int, cat string, v double",
+        )
+        p = profile(df)
+        assert p["__n_rows__"] == 3
+        assert p["id"]["min"] == 1 and p["id"]["max"] == 3
+        assert p["v"]["null_count"] == 1
+        assert p["cat"]["categories"] == ["a", "b"]
+
+        schema = infer_schema(df)
+        assert schema.columns["v"].nullable
+        assert not schema.columns["id"].nullable
+        # inferred schema validates its own source data
+        assert schema.validate(df).passed
