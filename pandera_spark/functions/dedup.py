@@ -1,0 +1,368 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all Spark-first:
+
+  - **exact**: md5 fingerprint of normalized text → groupBy → keep min id.
+    One shuffle on a 16-byte key; skew-free (hash of content).
+  - **MinHash + LSH**: char-shingle xxhash64 set → k minhash values via
+    universal hashing (a_i*h+b_i mod p, array ops in codegen) → band
+    buckets → candidate pairs join within buckets → Jaccard estimate from
+    signature agreement.  Scale path: only bucket-colliding pairs are ever
+    joined, never the full cross product.
+  - **SimHash**: 64-bit signature from token-hash bit votes (vectorized
+    numpy inside a pandas_udf — Arrow transport, no per-row Python) →
+    near-dups = pairs within Hamming distance d found by 4×16-bit band
+    blocking.
+  - **n-gram Jaccard**: token n-gram inverted index self-join with
+    |doc| length prefiltering — exact Jaccard for candidate pairs.
+  - **embedding cosine**: random-hyperplane LSH bucketing then exact
+    cosine on candidates (functions/similarity.py provides the primitives).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import fingerprint, shingle_fingerprints
+
+# 2^31-1: a*h with a,h < p stays under 2^62 — no int64 overflow under
+# Spark's ANSI arithmetic (2^31 hash space is ample for minhash estimates)
+MERSENNE_P = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------- #
+# exact dedup
+# ---------------------------------------------------------------------- #
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rows whose normalized text occurs more than once; keeps all
+    occurrences with the group's canonical (min) id attached."""
+    fp = df.select(
+        F.col(id_col), fingerprint(text_col).alias("__fp__")
+    )
+    groups = (
+        fp.groupBy("__fp__")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+    return (
+        fp.join(groups, "__fp__", "inner")
+        .select(id_col, "canonical_id", "n_dups", F.col("__fp__").alias("fingerprint"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Drop all but the min-id row per normalized-text group.  One shuffle;
+    implemented as a min-id aggregate + semi join (no window over the full
+    table)."""
+    with_fp = df.withColumn("__fp__", fingerprint(text_col))
+    keepers = with_fp.groupBy("__fp__").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keepers, ["__fp__", id_col], "left_semi").drop("__fp__")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# MinHash + LSH
+# ---------------------------------------------------------------------- #
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 64, shingle_k: int = 8, seed: int = 42
+):
+    """Column: array<bigint> of minhash values (pure JVM array ops)."""
+    shingles = F.array_distinct(shingle_fingerprints(text_col, k=shingle_k))
+    a, b = _minhash_params(num_hashes, seed)
+
+    def hasher(ai: int, bi: int):
+        # 1-arg lambda (PySpark HOFs dispatch on arity — default args count)
+        return lambda h: F.pmod(
+            ai * F.pmod(h, F.lit(MERSENNE_P)) + bi, F.lit(MERSENNE_P)
+        )
+
+    mins = [
+        F.array_min(F.transform(shingles, hasher(ai, bi)))
+        for ai, bi in zip(a, b)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded minhash bucketing.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Only pairs
+    colliding in ≥1 band are compared; est_jaccard = fraction of agreeing
+    minhash positions.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, shingle_k, seed).alias("__sig__"),
+    )
+    band_cols = [
+        F.xxhash64(
+            F.slice("__sig__", i * rows_per_band + 1, rows_per_band).cast("string"),
+            F.lit(i),
+        ).alias(f"__band_{i}__")
+        for i in range(bands)
+    ]
+    banded = sig.select(id_col, "__sig__", F.explode(F.array(
+        *[F.struct(F.lit(i).alias("band"), band_cols[i].alias("bucket"))
+          for i in range(bands)]
+    )).alias("__b__")).select(
+        id_col, "__sig__", F.col("__b__.band").alias("band"),
+        F.col("__b__.bucket").alias("bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__sig__").alias("__sig_a__"),
+            F.col("r.__sig__").alias("__sig_b__"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sig_a__", "__sig_b__", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(float(len(_minhash_params(num_hashes, seed)[0])))).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: every doc appearing as id_b in a pair with
+    est_jaccard >= threshold is removed (min-id survivor per pair chain —
+    one-pass approximation of connected components; iterate for full
+    transitive closure)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, **kw)
+    losers = (
+        cands.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, [id_col], "left_anti")
+
+
+# ---------------------------------------------------------------------- #
+# SimHash
+# ---------------------------------------------------------------------- #
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per text — vectorized numpy inside an Arrow batch."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        tokens = str(t).lower().split()
+        if not tokens:
+            continue
+        hashes = np.array(
+            [hash_token(tok) for tok in tokens], dtype=np.uint64
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        votes = bits.sum(axis=0) * 2 - len(hashes)  # +1/-1 votes
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across sessions, unlike
+    Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 4×16-bit band blocking (any pair within Hamming
+    distance ≤ 16*3/16 shares ≥1 exact band by pigeonhole when distance<4
+    over 4 bands), then exact Hamming via bit_count."""
+    sig = simhash_signatures(df, text_col, id_col)
+    bands = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__b__"),
+    ).select(id_col, "simhash", "__b__.band", "__b__.bucket")
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------- #
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------- #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for pairs sharing ≥1 n-gram.
+
+    Inverted-index self-join: explode distinct n-grams → join on n-gram →
+    count intersections → join set sizes.  Length prefilter: |A|·t ≤ |B| ≤
+    |A|/t is applied before the expensive count (prefix-filtering family,
+    cf. set-similarity join literature)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    gdf = df.select(F.col(id_col), grams.alias("__grams__")).withColumn(
+        "__sz__", F.size("__grams__")
+    )
+    inv = gdf.select(id_col, "__sz__", F.explode("__grams__").alias("__g__"))
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.__g__") == F.col("r.__g__"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("r.__sz__") * threshold <= F.col("l.__sz__"))
+            & (F.col("l.__sz__") * threshold <= F.col("r.__sz__")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__sz__").alias("sz_a"),
+            F.col("r.__sz__").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------- #
+# embedding near-dup
+# ---------------------------------------------------------------------- #
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH buckets
+    (docs with identical sign pattern) then exact cosine within buckets."""
+    from .similarity import cosine_sim_expr, hyperplane_bucket
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(vec_col, dim=dim, planes=planes, seed=seed).alias("__bkt__"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.__bkt__") == F.col("r.__bkt__"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        cosine_sim_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - Brute-force cosine top-k: dot product via ``F.zip_with`` +
+    ``F.aggregate`` — pure JVM expressions, whole-stage codegen, one scan +
+    a top-k (TakeOrderedAndProject, no full sort).
+  - IVF top-k: k-means centroids (seeded numpy Lloyd on a driver sample) →
+    cluster assignment column → query probes only ``nprobe`` nearest
+    clusters.  At scale the assignment is written once (partitioned by
+    cluster) and probing becomes partition pruning.
+  - Random-hyperplane LSH bucketing shared with embedding near-dup
+    (functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b) -> Column:
+    """Σ aᵢbᵢ as a JVM expression (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim_expr(a, b) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline.  orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition heap + driver merge,
+    no global sort)."""
+    q = _query_lit(query_vec)
+    cols = [id_col] if id_col else df.columns
+    out = df.select(
+        *cols, F.round(cosine_sim_expr(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return out.orderBy(F.desc("cosine"), *([F.col(id_col)] if id_col else [])).limit(k)
+
+
+# ---------------------------------------------------------------------- #
+# IVF (inverted file) approximate search
+# ---------------------------------------------------------------------- #
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int = 16,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded mini Lloyd's algorithm on a driver-side sample (numpy).
+    At 100 TB the sample fraction shrinks but the method is identical."""
+    rows = (
+        df.select(vec_col)
+        .sample(False, 1.0, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            pts = X[assign == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+    return cents
+
+
+def assign_cluster(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a JVM expression (distance per centroid via
+    array ops; argmin over a struct array)."""
+    dists = []
+    for j, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+    arr = F.array(*dists)
+    best = F.array_min(F.transform(arr, lambda s: s["d"]))
+    return F.filter(arr, lambda s: s["d"] == best)[0]["j"]
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: Optional[str] = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-pruned cosine top-k: scan only the nprobe clusters nearest the
+    query.  With the assignment precomputed + table partitioned by
+    ``__cluster__``, this is partition pruning at the source."""
+    if centroids is None:
+        centroids = train_centroids(df, vec_col, nlist=nlist, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = np.argsort(d)[:nprobe].tolist()
+    assigned = df.withColumn("__cluster__", assign_cluster(vec_col, centroids))
+    pruned = assigned.filter(F.col("__cluster__").isin(probe))
+    return cosine_topk(pruned.drop("__cluster__"), vec_col, query_vec, k, id_col)
+
+
+# ---------------------------------------------------------------------- #
+# random-hyperplane LSH
+# ---------------------------------------------------------------------- #
+
+
+def hyperplane_bucket(
+    vec_col: str, dim: int, planes: int = 12, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id from ``planes`` seeded random hyperplanes —
+    one integer per row, computed fully JVM-side."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((planes, dim))
+    bucket = F.lit(0)
+    for i in range(planes):
+        proj = dot_expr(F.col(vec_col), F.array(*[F.lit(float(v)) for v in H[i]]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: Optional[str] = None,
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only rows in the query's bucket (plus exact
+    cosine re-rank).  Recall grows by probing neighboring buckets; with a
+    bucket-partitioned table this is partition pruning."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qb = sum((1 << i) for i in range(planes) if H[i] @ q >= 0)
+    bucketed = df.withColumn(
+        "__bkt__", hyperplane_bucket(vec_col, dim=dim, planes=planes, seed=seed)
+    )
+    return cosine_topk(
+        bucketed.filter(F.col("__bkt__") == qb).drop("__bkt__"),
+        vec_col,
+        query_vec,
+        k,
+        id_col,
+    )

@@ -1,0 +1,160 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` expressions (JVM
+whole-stage codegen) — no Python UDFs.  Each operator returns Column
+expressions / DataFrames that compose with the validation engine (e.g.
+quality thresholds as Checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words for the n-gram/stopword heuristic language ID.
+# Deliberately tiny + deterministic: the ID is a scoring rule, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+}
+
+_STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count: word pieces + punctuation as separate tokens
+    (regexp, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    uppers = n - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return F.when(n > 0, uppers / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, stopwords: list[str] = None) -> Column:
+    """Share of whitespace tokens that are (lowercase) stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in (stopwords or _STOPWORDS)])
+    hits = F.size(F.array_intersect(words, sw))
+    # count duplicates too: filter tokens by membership
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    total = token_count_ws(c)
+    return F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    n_tok = token_count_ws(c)
+    return F.when(n_tok > 0, total_alpha / n_tok).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard quality-feature columns in one projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars": F.length(c),
+            "n_tokens_ws": token_count_ws(c),
+            "n_tokens_bpe": token_count_bpe(c),
+            "punct_ratio": punct_ratio(c),
+            "digit_ratio": digit_ratio(c),
+            "upper_ratio": upper_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+            "mean_word_len": mean_word_len(c),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite heuristic in [0,1]: long-enough, low punct/digit noise,
+    reasonable stopword density (a proxy for natural prose)."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens_ws") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.2
+    )
+    return feat.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_scores(col, markers: dict[str, list[str]] = None) -> dict[str, Column]:
+    """Per-language marker-hit counts (JVM-side array ops)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    out = {}
+    for lang, ms in (markers or LANG_MARKERS).items():
+        sw = F.array(*[F.lit(w) for w in ms])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return out
+
+
+def lang_id(col, markers: dict[str, list[str]] = None, default: str = "und") -> Column:
+    """Argmax language over marker-hit counts; ``und`` when no markers hit.
+    Ties break by language-code sort order (deterministic)."""
+    scores = lang_scores(col, markers)
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(scores)
+        ]
+    )
+    # array_max on struct compares fieldwise: (score, lang); ties → max lang.
+    # For deterministic min-lang tie-break, negate via sort: take max score,
+    # then first lang reaching it in sorted order.
+    best = F.array_max(F.transform(pairs, lambda s: s["score"]))
+    first_best = F.filter(pairs, lambda s: s["score"] == best)[0]["lang"]
+    return F.when(best > 0, first_best).otherwise(F.lit(default))
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines (DuckDB md5 produces identical hex) so it doubles
+    as the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def shingle_fingerprints(col, k: int = 8) -> Column:
+    """Rolling-window (character k-shingle) xxhash64 fingerprints as an
+    array — the input to minhash (functions/dedup.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(normalized)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.xxhash64(normalized.substr(i, F.lit(k))))

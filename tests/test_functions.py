@@ -1,0 +1,195 @@
+"""Training-pipeline operators: text analysis, dedup (exact/minhash/simhash/
+ngram/embedding), similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "El perro de la casa es una mascota que vive con los vecinos"),
+        (4, "completely different text about spark aggregation pipelines"),
+        (5, "THE QUICK   brown fox jumps over the lazy dog"),  # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    # vec 20 ≈ base, vec 21 == base
+    rows.append((20, [float(x) for x in (base + rng.standard_normal(8) * 0.01)]))
+    rows.append((21, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), base
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("a b  c",), ("",), ("x, y!",)], "t string")
+        rows = df.select(
+            text.token_count_ws("t").alias("ws"),
+            text.token_count_bpe("t").alias("bpe"),
+        ).collect()
+        assert [r["ws"] for r in rows] == [3, 0, 2]
+        assert rows[2]["bpe"] == 4  # x , y !
+
+    def test_ratios(self, spark):
+        df = spark.createDataFrame([("ab!!",)], "t string")
+        r = df.select(
+            text.punct_ratio("t").alias("p"), text.digit_ratio("t").alias("d")
+        ).collect()[0]
+        assert abs(r["p"] - 0.5) < 1e-9
+        assert r["d"] == 0.0
+
+    def test_quality_score_ordering(self, spark):
+        good = "the cat sat on the mat and it was a good day for all of us to see"
+        bad = "!!! ### 123 456 @@@"
+        df = spark.createDataFrame([(0, good), (1, bad)], "id int, text string")
+        rows = {r["id"]: r["quality_score"] for r in text.quality_score(df).collect()}
+        assert rows[0] > rows[1]
+
+    def test_lang_id(self, spark, docs):
+        rows = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select(
+                "doc_id", text.lang_id("text").alias("lang")
+            ).collect()
+        }
+        assert rows[0] == "en"
+        assert rows[3] == "es"
+
+    def test_fingerprint_normalizes(self, spark, docs):
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+        }
+        assert fps[0] == fps[1] == fps[5]
+        assert fps[0] != fps[2]
+
+
+class TestExactDedup:
+    def test_duplicates_found(self, docs):
+        d = dedup.exact_duplicates(docs, "text", "doc_id").collect()
+        ids = sorted(r["doc_id"] for r in d)
+        assert ids == [0, 1, 5]
+        assert all(r["canonical_id"] == 0 for r in d)
+
+    def test_dedup_keeps_min_id(self, docs):
+        out = dedup.exact_dedup(docs, "text", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [0, 2, 3, 4]
+
+
+class TestMinHash:
+    def test_signature_deterministic(self, docs):
+        sig = docs.select(
+            dedup.minhash_signature("text", num_hashes=16).alias("s")
+        ).collect()
+        s0 = sig[0]["s"]
+        assert len(s0) == 16
+        assert sig[0]["s"] == sig[1]["s"]  # identical text → identical sig
+
+    def test_candidates_find_near_dup(self, docs):
+        cands = dedup.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=32, bands=16
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands}
+        assert pairs.get((0, 1)) == 1.0
+        near = [p for p in pairs if p in {(0, 2), (1, 2), (2, 5)}]
+        assert near, f"near-dup pair not found: {pairs}"
+
+    def test_minhash_dedup_drops(self, docs):
+        out = dedup.minhash_dedup(
+            docs, "text", "doc_id", threshold=0.9, num_hashes=32, bands=16
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert 0 in ids and 1 not in ids and 5 not in ids
+        assert 3 in ids and 4 in ids
+
+
+class TestSimHash:
+    def test_simhash_near_dups(self, docs):
+        cands = dedup.simhash_candidates(docs, "text", "doc_id", max_hamming=6)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+        assert pairs.get((0, 1)) == 0
+        assert (0, 2) in pairs or (1, 2) in pairs
+
+
+class TestNgramJaccard:
+    def test_pairs(self, docs):
+        out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.4)
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert pairs.get((0, 1)) == 1.0
+        assert (0, 2) in pairs
+        assert not any(4 in p for p in pairs)
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, vectors):
+        df, base = vectors
+        out = similarity.cosine_topk(
+            df, "embedding", base.tolist(), k=3, id_col="vec_id"
+        ).collect()
+        assert out[0]["vec_id"] == 21
+        assert abs(out[0]["cosine"] - 1.0) < 1e-4
+        assert out[1]["vec_id"] == 20
+
+    def test_ivf_finds_same_top1(self, vectors):
+        df, base = vectors
+        out = similarity.cosine_topk_ivf(
+            df, "embedding", base.tolist(), k=2, id_col="vec_id", nlist=4, nprobe=2
+        ).collect()
+        assert out[0]["vec_id"] == 21
+
+    def test_lsh_bucket_query(self, vectors):
+        df, base = vectors
+        out = similarity.ann_lsh_topk(
+            df, "embedding", base.tolist(), k=5, id_col="vec_id", planes=4
+        ).collect()
+        assert out and out[0]["vec_id"] in (20, 21)
+
+    def test_embedding_cosine_dups(self, vectors):
+        df, _ = vectors
+        pairs = dedup.embedding_cosine_dups(
+            df, "embedding", "vec_id", threshold=0.99, planes=6
+        ).collect()
+        assert any((r["id_a"], r["id_b"]) == (20, 21) for r in pairs)
+
+
+class TestMultimodal:
+    def test_metadata_and_features(self, spark):
+        rows = [(i, bytes(range(i, i + 64))) for i in range(5)]
+        df = spark.createDataFrame(rows, "id int, payload binary")
+        df = multimodal.attach_media_metadata(df, "payload", "image", "png")
+        assert df.schema["media_meta"].dataType.fieldNames() == [
+            "media_type", "format", "width", "height", "duration_ms", "n_bytes",
+        ]
+        feats = multimodal.extract_features(df, "payload", out_dim=8)
+        out = feats.collect()
+        assert all(len(r["features"]) == 8 for r in out)
+        # deterministic: same payload → same features
+        again = multimodal.extract_features(df, "payload", out_dim=8).collect()
+        assert out[0]["features"] == again[0]["features"]
+
+    def test_real_decoder_raises(self, spark):
+        df = spark.createDataFrame([(1, b"xx")], "id int, payload binary")
+        with pytest.raises(Exception):
+            multimodal.extract_features(df, "payload", decoder="real").collect()
+
+    def test_frame_sampling(self, spark):
+        df = spark.createDataFrame([(1, bytes(64))], "id int, payload binary")
+        frames = multimodal.sample_frames(df, "payload", max_frames=4).collect()
+        assert len(frames) == 4
+        assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
