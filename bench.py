@@ -1,0 +1,250 @@
+"""Benchmark harness — run the engine's headline workloads and print ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>, ...extras}.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_TRANSCRIPT_CONVS  synthetic transcript conversations (default 120000,
+                          ~1M turns) — generated once, cached as parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "120000"))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pandera_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _t(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def ensure_transcripts(spark) -> str:
+    path = os.path.join(CACHE, f"transcripts_{N_CONVS}")
+    marker = os.path.join(path, "_SUCCESS.marker")
+    if not os.path.exists(marker):
+        from pandera_spark.fixtures import write_bench_transcripts
+
+        write_bench_transcripts(spark, path, n_convs=N_CONVS)
+        open(marker, "w").write("ok")
+    return path
+
+
+# ----------------------------- workloads ------------------------------- #
+
+
+def bench_validate_lineitem(spark):
+    """Fused single-pass verdicts + stats over 9 checks (no failure rows)."""
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    li = _t(spark, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_orderkey": Column("bigint", nullable=False),
+            "l_partkey": Column("bigint", checks=Check.gt(0)),
+            "l_linenumber": Column("int", checks=Check.ge(1)),
+            "l_quantity": Column("double", checks=Check.in_range(1, 50)),
+            "l_extendedprice": Column("double", checks=Check.gt(0.0)),
+            "l_discount": Column("double", checks=Check.in_range(0.0, 0.1)),
+            "l_tax": Column("double", checks=Check.ge(0.0)),
+            "l_returnflag": Column("string", checks=Check.isin({"A", "N", "R"})),
+            "l_linestatus": Column("string", checks=Check.isin({"O", "F"})),
+        },
+        name="lineitem",
+    )
+    r = schema.validate(li, collect_stats=True, collect_failure_cases=False)
+    return r.n_rows
+
+
+def bench_violations_lineitem(spark):
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    li = _t(spark, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_quantity": Column("double", checks=Check.in_range(1, 30)),
+            "l_discount": Column("double", checks=Check.le(0.05)),
+        },
+        index_cols=["l_orderkey", "l_linenumber"],
+        name="lineitem",
+    )
+    r = schema.validate(li)
+    return r.violations.count()
+
+
+def bench_unique_contiguity(spark):
+    from pandera_spark.backend.referential import contiguity_groups
+    from pandera_spark.backend.unique import duplicate_keys
+
+    li = _t(spark, "lineitem")
+    n1 = duplicate_keys(li, ["l_orderkey", "l_linenumber"]).count()
+    n2 = contiguity_groups(li, "l_orderkey", "l_linenumber", start=1).count()
+    return n1 + n2
+
+
+def bench_dedup_exact(spark):
+    from pandera_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, "documents")
+    u = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    return exact_dedup(u, "text", "doc_id").count()
+
+
+def bench_minhash(spark):
+    from pandera_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, "documents")
+    return minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=8
+    ).count()
+
+
+def bench_ann(spark):
+    from pandera_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = [1.0] + [0.0] * 63
+    return len(cosine_topk(emb, "embedding", q, k=10, id_col="vec_id").collect())
+
+
+def bench_drift(spark):
+    from pandera_spark.backend import drift
+
+    ev = _t(spark, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    ks = drift.ks_2samp(a, "value", b, "value", num_grid=101)
+    psi = drift.psi_numeric(a, b, "value", buckets=10)
+    return round(ks.statistic + psi.psi, 6)
+
+
+def bench_text_quality(spark):
+    from pandera_spark.functions.text import quality_score
+
+    docs = _t(spark, "documents")
+    return quality_score(docs).agg(F.sum("quality_score")).collect()[0][0]
+
+
+def make_transcript_schema():
+    from pandera_spark import Check, Column, Contiguity, DataFrameSchema
+
+    return DataFrameSchema(
+        {
+            "conv_id": Column(
+                "string", checks=Check.str_matches(r"^conv-\d{8}$"), nullable=False
+            ),
+            "turn_idx": Column("int", checks=Check.ge(0), nullable=False),
+            "role": Column(
+                "string",
+                checks=Check.isin({"system", "user", "assistant", "tool"}),
+                nullable=False,
+            ),
+            "text": Column("string", checks=Check.str_length(1, 32768), nullable=False),
+            "tool": Column("string", nullable=True),
+            "ts": Column("timestamp", nullable=False),
+        },
+        unique=["conv_id", "turn_idx"],
+        references=[Contiguity(partition_by="conv_id", order_col="turn_idx")],
+        index_cols=["conv_id", "turn_idx"],
+        name="transcripts",
+    )
+
+
+def bench_transcripts_validate(spark, path: str) -> tuple[int, float]:
+    """Headline: full schema + uniqueness + contiguity + drift pass over the
+    synthetic transcript table; returns (n_turns, seconds)."""
+    from pandera_spark.backend import drift
+
+    df = spark.read.parquet(path)
+    schema = make_transcript_schema()
+    t0 = time.time()
+    r = schema.validate(df, collect_stats=True, collect_failure_cases=False)
+    # drift: text length distribution, first half vs second half of convs
+    lens = df.select(
+        F.length("text").cast("double").alias("text_len"),
+        (F.crc32(F.col("conv_id")) % 2 == 0).alias("grp"),
+    )
+    drift.ks_2samp(
+        lens.filter("grp"), "text_len", lens.filter("NOT grp"), "text_len",
+        num_grid=101,
+    )
+    dt = time.time() - t0
+    return r.n_rows, dt
+
+
+WORKLOADS = {
+    "validate_lineitem": bench_validate_lineitem,
+    "violations_lineitem": bench_violations_lineitem,
+    "unique_contiguity": bench_unique_contiguity,
+    "dedup_exact": bench_dedup_exact,
+    "minhash_candidates": bench_minhash,
+    "ann_topk": bench_ann,
+    "drift_ks_psi": bench_drift,
+    "text_quality": bench_text_quality,
+}
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tpath = ensure_transcripts(spark)
+
+    timings: dict[str, float] = {}
+    for name, fn in WORKLOADS.items():
+        t0 = time.time()
+        fn(spark)
+        timings[name] = round(time.time() - t0, 3)
+
+    n_turns, tsec = bench_transcripts_validate(spark, tpath)
+    timings["transcripts_validate"] = round(tsec, 3)
+    turns_per_sec = round(n_turns / tsec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "transcript_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,7 @@ def ks_2samp(
     col2: Optional[str] = None,
     num_grid: int = 201,
     accuracy: int = 10_000,
+    grid: Optional[Sequence[float]] = None,
 ) -> KSResult:
     """Sketch-based two-sample KS: 3 aggregate jobs total, no global sort.
 
@@ -194,6 +195,11 @@ def ks_2samp(
     refined by ``accuracy`` of the Greenwald-Khanna sketch).
     """
     col2 = col2 or col1
+    if grid is not None:
+        e1, n1 = _ecdf_at(df1, col1, grid)
+        e2, n2 = _ecdf_at(df2, col2, grid)
+        d = max(abs(a - b) for a, b in zip(e1, e2))
+        return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "grid")
     probs = [i / (num_grid - 1) for i in range(num_grid)]
     q1, q2 = (
         df1.agg(
@@ -247,16 +253,18 @@ def psi_numeric(
     buckets: int = 10,
     accuracy: int = 10_000,
     eps: float = 1e-4,
+    edges: Optional[Sequence[float]] = None,
 ) -> PSIResult:
     """PSI over quantile buckets of the BASELINE distribution.
 
     Bucket edges from one percentile_approx job on the baseline; bucket
     shares for each frame from one conditional-sum aggregate each — no
     shuffle, no join (SURVEY.md §2.5 PSI row)."""
-    probs = [i / buckets for i in range(1, buckets)]
-    edges = baseline.agg(
-        F.percentile_approx(col, probs, accuracy).alias("q")
-    ).collect()[0]["q"]
+    if edges is None:
+        probs = [i / buckets for i in range(1, buckets)]
+        edges = baseline.agg(
+            F.percentile_approx(col, probs, accuracy).alias("q")
+        ).collect()[0]["q"]
     edges = sorted(set(edges or []))
 
     def shares(df: DataFrame) -> list[float]:

@@ -142,6 +142,59 @@ def _emit(handler, schema_name, name, column, n, message):
     )
 
 
+def fk_orphans(
+    df: DataFrame,
+    ref_df: DataFrame,
+    columns: list[str],
+    ref_columns: Optional[list[str]] = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose key is absent from the reference (left_anti)."""
+    fk = ForeignKey(columns=columns, reference=ref_df, ref_columns=ref_columns,
+                    broadcast=broadcast)
+    ref = fk.resolve_reference()
+    if broadcast:
+        ref = F.broadcast(ref)
+    return df.join(ref, on=columns, how="left_anti")
+
+
+def contiguity_groups(
+    df: DataFrame, partition_by: str, order_col: str, start: int = 0
+) -> DataFrame:
+    """Groups whose order_col is not exactly start..start+n-1.
+    Returns (partition_by, mn, mx, cnt, dcnt)."""
+    agg = df.groupBy(partition_by).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col(order_col)).alias("dcnt"),
+        F.min(order_col).alias("mn"),
+        F.max(order_col).alias("mx"),
+    )
+    return agg.filter(
+        (F.col("mn") != F.lit(start))
+        | (F.col("mx") - F.col("mn") + 1 != F.col("cnt"))
+        | (F.col("dcnt") != F.col("cnt"))
+    )
+
+
+def monotonic_violation_rows(
+    df: DataFrame,
+    partition_by: str,
+    order_col: str,
+    sort_col: str,
+    strict: bool = True,
+) -> DataFrame:
+    """Rows where order_col fails to increase within partition_by groups
+    ordered by sort_col."""
+    w = Window.partitionBy(partition_by).orderBy(sort_col)
+    lagged = df.withColumn("__prev__", F.lag(F.col(order_col)).over(w))
+    cmp = (
+        F.col(order_col) <= F.col("__prev__")
+        if strict
+        else F.col(order_col) < F.col("__prev__")
+    )
+    return lagged.filter(F.col("__prev__").isNotNull() & cmp).drop("__prev__")
+
+
 def _run_fk(fk, df, handler, schema_name, index_cols, collect):
     ref = fk.resolve_reference()
     if fk.broadcast:

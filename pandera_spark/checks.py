@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _opts(kw: dict, name: str, error: str) -> dict:
+    """Default name/error for a builtin factory, overridable by caller
+    kwargs (popped from kw so the later **kw doesn't duplicate them)."""
+    return {"name": kw.pop("name", name), "error": kw.pop("error", error)}
+
+
 class Check:
     """A named, compilable predicate.
 
@@ -153,8 +159,8 @@ class Check:
     def equal_to(cls, value: Any, **kw) -> "Check":
         return cls(
             lambda c: c == F.lit(value),
-            name="equal_to",
-            error=f"equal_to({value})",
+            **_opts(kw, "equal_to", f"equal_to({value})"),
+            # name/error overridable via kw
             statistics={"value": value},
             **kw,
         )
@@ -163,8 +169,8 @@ class Check:
     def not_equal_to(cls, value: Any, **kw) -> "Check":
         return cls(
             lambda c: c != F.lit(value),
-            name="not_equal_to",
-            error=f"not_equal_to({value})",
+            **_opts(kw, "not_equal_to", f"not_equal_to({value})"),
+            # name/error overridable via kw
             statistics={"value": value},
             **kw,
         )
@@ -175,8 +181,8 @@ class Check:
             raise ValueError("min_value must not be None")
         return cls(
             lambda c: c > F.lit(min_value),
-            name="greater_than",
-            error=f"greater_than({min_value})",
+            **_opts(kw, "greater_than", f"greater_than({min_value})"),
+            # name/error overridable via kw
             statistics={"min_value": min_value},
             **kw,
         )
@@ -187,8 +193,8 @@ class Check:
             raise ValueError("min_value must not be None")
         return cls(
             lambda c: c >= F.lit(min_value),
-            name="greater_than_or_equal_to",
-            error=f"greater_than_or_equal_to({min_value})",
+            **_opts(kw, "greater_than_or_equal_to", f"greater_than_or_equal_to({min_value})"),
+            # name/error overridable via kw
             statistics={"min_value": min_value},
             **kw,
         )
@@ -199,8 +205,8 @@ class Check:
             raise ValueError("max_value must not be None")
         return cls(
             lambda c: c < F.lit(max_value),
-            name="less_than",
-            error=f"less_than({max_value})",
+            **_opts(kw, "less_than", f"less_than({max_value})"),
+            # name/error overridable via kw
             statistics={"max_value": max_value},
             **kw,
         )
@@ -211,8 +217,8 @@ class Check:
             raise ValueError("max_value must not be None")
         return cls(
             lambda c: c <= F.lit(max_value),
-            name="less_than_or_equal_to",
-            error=f"less_than_or_equal_to({max_value})",
+            **_opts(kw, "less_than_or_equal_to", f"less_than_or_equal_to({max_value})"),
+            # name/error overridable via kw
             statistics={"max_value": max_value},
             **kw,
         )
@@ -244,8 +250,8 @@ class Check:
 
         return cls(
             pred,
-            name="in_range",
-            error=f"in_range({min_value}, {max_value})",
+            **_opts(kw, "in_range", f"in_range({min_value}, {max_value})"),
+            # name/error overridable via kw
             statistics={
                 "min_value": min_value,
                 "max_value": max_value,
@@ -260,8 +266,8 @@ class Check:
         values = frozenset(allowed_values)  # pandera/api/checks.py:393
         return cls(
             lambda c: c.isin(*values),
-            name="isin",
-            error=f"isin({set(values)})",
+            **_opts(kw, "isin", f"isin({set(values)})"),
+            # name/error overridable via kw
             statistics={"allowed_values": sorted(values, key=repr)},
             **kw,
         )
@@ -271,8 +277,8 @@ class Check:
         values = frozenset(forbidden_values)
         return cls(
             lambda c: ~c.isin(*values),
-            name="notin",
-            error=f"notin({set(values)})",
+            **_opts(kw, "notin", f"notin({set(values)})"),
+            # name/error overridable via kw
             statistics={"forbidden_values": sorted(values, key=repr)},
             **kw,
         )
@@ -286,8 +292,8 @@ class Check:
         anchored = pat if pat.startswith("^") else "^" + pat
         return cls(
             lambda c: c.rlike(anchored),
-            name="str_matches",
-            error=f"str_matches('{pat}')",
+            **_opts(kw, "str_matches", f"str_matches('{pat}')"),
+            # name/error overridable via kw
             statistics={"pattern": pat},
             **kw,
         )
@@ -298,8 +304,8 @@ class Check:
         re.compile(pat)
         return cls(
             lambda c: c.rlike(pat),
-            name="str_contains",
-            error=f"str_contains('{pat}')",
+            **_opts(kw, "str_contains", f"str_contains('{pat}')"),
+            # name/error overridable via kw
             statistics={"pattern": pat},
             **kw,
         )
@@ -308,8 +314,8 @@ class Check:
     def str_startswith(cls, string: str, **kw) -> "Check":
         return cls(
             lambda c: c.startswith(string),
-            name="str_startswith",
-            error=f"str_startswith('{string}')",
+            **_opts(kw, "str_startswith", f"str_startswith('{string}')"),
+            # name/error overridable via kw
             statistics={"string": string},
             **kw,
         )
@@ -318,8 +324,8 @@ class Check:
     def str_endswith(cls, string: str, **kw) -> "Check":
         return cls(
             lambda c: c.endswith(string),
-            name="str_endswith",
-            error=f"str_endswith('{string}')",
+            **_opts(kw, "str_endswith", f"str_endswith('{string}')"),
+            # name/error overridable via kw
             statistics={"string": string},
             **kw,
         )
@@ -348,8 +354,8 @@ class Check:
 
         return cls(
             pred,
-            name="str_length",
-            error=f"str_length({min_value}, {max_value})",
+            **_opts(kw, "str_length", f"str_length({min_value}, {max_value})"),
+            # name/error overridable via kw
             statistics={"min_value": min_value, "max_value": max_value},
             **kw,
         )
@@ -362,8 +368,8 @@ class Check:
         expected = frozenset(values)
         chk = cls(
             lambda c: F.lit(True),  # placeholder; backend intercepts by name
-            name="unique_values_eq",
-            error=f"unique_values_eq({set(expected)})",
+            **_opts(kw, "unique_values_eq", f"unique_values_eq({set(expected)})"),
+            # name/error overridable via kw
             statistics={"values": sorted(expected, key=repr)},
             **kw,
         )

@@ -129,6 +129,7 @@ def minhash_lsh_candidates(
         ).alias(f"__band_{i}__")
         for i in range(bands)
     ]
+    sig = sig.persist()  # self-joined below — avoid recomputing signatures
     banded = sig.select(id_col, "__sig__", F.explode(F.array(
         *[F.struct(F.lit(i).alias("band"), band_cols[i].alias("bucket"))
           for i in range(bands)]

@@ -1,0 +1,2 @@
+from .serialization import from_dict, from_json, schema_to_dict, to_json  # noqa: F401
+from .sources import read_table, write_table  # noqa: F401

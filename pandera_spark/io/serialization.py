@@ -1,0 +1,196 @@
+"""Schema (de)serialization — JSON/YAML-able dict round-trip.
+
+Reference: pandera/io/pandas_io.py:151 (serialize_schema), :274
+(deserialize), :346-408 (yaml/json entry points).  Needed so spark-submit
+jobs can load schemas from config files (SURVEY.md §2.7).  Builtin checks
+round-trip through their registered factory + statistics; custom callables
+are not serializable (same restriction as the reference's unregistered
+custom checks) and raise.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from ..checks import Check
+from ..schema import Column, DataFrameSchema
+
+_BUILTIN_FACTORIES = {
+    "equal_to", "not_equal_to", "greater_than", "greater_than_or_equal_to",
+    "less_than", "less_than_or_equal_to", "in_range", "isin", "notin",
+    "str_matches", "str_contains", "str_startswith", "str_endswith",
+    "str_length", "unique_values_eq",
+}
+
+
+def _check_to_dict(chk: Check) -> dict:
+    if chk.name not in _BUILTIN_FACTORIES and not hasattr(Check, chk.name):
+        raise ValueError(
+            f"check {chk.name!r} is not a registered builtin/custom factory "
+            "— unregistered callables cannot be serialized"
+        )
+    return {
+        "name": chk.name,
+        "statistics": chk.statistics,
+        "options": {
+            "ignore_na": chk.ignore_na,
+            "raise_warning": chk.raise_warning,
+            "n_failure_cases": chk.n_failure_cases,
+            "error": chk.error,
+        },
+    }
+
+
+def _check_from_dict(d: dict) -> Check:
+    factory = getattr(Check, d["name"], None)
+    if factory is None:
+        raise ValueError(f"unknown check factory {d['name']!r}")
+    stats = dict(d.get("statistics") or {})
+    opts = {k: v for k, v in (d.get("options") or {}).items() if v is not None}
+    opts.pop("ignore_na_default", None)
+    # isin/notin/unique_values_eq take one iterable positional
+    if d["name"] == "isin":
+        return factory(stats["allowed_values"], **opts)
+    if d["name"] == "notin":
+        return factory(stats["forbidden_values"], **opts)
+    if d["name"] == "unique_values_eq":
+        return factory(stats["values"], **opts)
+    if "ignore_na" in opts:
+        pass
+    return factory(**stats, **opts)
+
+
+def _column_to_dict(col: Column) -> dict:
+    from ..dtypes import dtype_str
+
+    return {
+        "dtype": dtype_str(col.dtype) if col.dtype is not None else None,
+        "checks": [_check_to_dict(c) for c in col.checks],
+        "nullable": col.nullable,
+        "unique": col.unique,
+        "report_duplicates": col.report_duplicates,
+        "coerce": col.coerce,
+        "required": col.required,
+        "regex": col.regex,
+        "default": col.default,
+        "title": col.title,
+        "description": col.description,
+    }
+
+
+def _column_from_dict(name: str, d: dict) -> Column:
+    return Column(
+        dtype=d.get("dtype"),
+        checks=[_check_from_dict(c) for c in d.get("checks", [])],
+        nullable=d.get("nullable", False),
+        unique=d.get("unique", False),
+        report_duplicates=d.get("report_duplicates", "all"),
+        coerce=d.get("coerce", False),
+        required=d.get("required", True),
+        regex=d.get("regex", False),
+        default=d.get("default"),
+        title=d.get("title"),
+        description=d.get("description"),
+        name=name,
+    )
+
+
+def _reference_to_dict(ref) -> dict:
+    from ..backend.referential import Contiguity, ForeignKey, Monotonic
+
+    if isinstance(ref, Contiguity):
+        return {
+            "kind": "contiguity",
+            "partition_by": ref.partition_by,
+            "order_col": ref.order_col,
+            "start": ref.start,
+            "name": ref.name,
+        }
+    if isinstance(ref, Monotonic):
+        return {
+            "kind": "monotonic",
+            "partition_by": ref.partition_by,
+            "order_col": ref.order_col,
+            "sort_col": ref.sort_col,
+            "strict": ref.strict,
+            "name": ref.name,
+        }
+    if isinstance(ref, ForeignKey):
+        raise ValueError(
+            "ForeignKey references carry a DataFrame and are attached "
+            "programmatically, not serialized"
+        )
+    raise TypeError(f"unknown reference {ref!r}")
+
+
+def _reference_from_dict(d: dict):
+    from ..backend.referential import Contiguity, Monotonic
+
+    kind = d["kind"]
+    if kind == "contiguity":
+        return Contiguity(
+            partition_by=d["partition_by"], order_col=d["order_col"],
+            start=d.get("start", 0), name=d.get("name", "contiguity"),
+        )
+    if kind == "monotonic":
+        return Monotonic(
+            partition_by=d["partition_by"], order_col=d["order_col"],
+            sort_col=d["sort_col"], strict=d.get("strict", True),
+            name=d.get("name", "monotonic"),
+        )
+    raise ValueError(f"unknown reference kind {kind!r}")
+
+
+def schema_to_dict(schema: DataFrameSchema) -> dict:
+    return {
+        "name": schema.name,
+        "columns": {n: _column_to_dict(c) for n, c in schema.columns.items()},
+        "coerce": schema.coerce,
+        "strict": schema.strict,
+        "ordered": schema.ordered,
+        "unique": schema.unique,
+        "report_duplicates": schema.report_duplicates,
+        "unique_column_names": schema.unique_column_names,
+        "add_missing_columns": schema.add_missing_columns,
+        "drop_invalid_rows": schema.drop_invalid_rows,
+        "index_cols": schema.index_cols,
+        "references": [_reference_to_dict(r) for r in schema.references],
+    }
+
+
+def from_dict(d: dict) -> DataFrameSchema:
+    return DataFrameSchema(
+        columns={
+            n: _column_from_dict(n, c) for n, c in (d.get("columns") or {}).items()
+        },
+        coerce=d.get("coerce", False),
+        strict=d.get("strict", False),
+        ordered=d.get("ordered", False),
+        unique=d.get("unique"),
+        report_duplicates=d.get("report_duplicates", "all"),
+        unique_column_names=d.get("unique_column_names", False),
+        add_missing_columns=d.get("add_missing_columns", False),
+        drop_invalid_rows=d.get("drop_invalid_rows", False),
+        index_cols=d.get("index_cols"),
+        references=[_reference_from_dict(r) for r in d.get("references", [])],
+        name=d.get("name"),
+    )
+
+
+def to_json(schema: DataFrameSchema, path: str | None = None, **json_kw) -> str:
+    s = json.dumps(schema_to_dict(schema), indent=2, default=str, **json_kw)
+    if path:
+        with open(path, "w") as f:
+            f.write(s)
+    return s
+
+
+def from_json(source: str) -> DataFrameSchema:
+    """Accepts a JSON string or a path to a JSON file."""
+    import os
+
+    if os.path.exists(source):
+        with open(source) as f:
+            return from_dict(json.load(f))
+    return from_dict(json.loads(source))

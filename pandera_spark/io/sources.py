@@ -1,0 +1,67 @@
+"""Table sources/sinks.
+
+The production target is Iceberg (`spark.read.format("iceberg")` /
+catalog table names — partition pruning, file-level min/max/null-count
+stats skip whole files for schema-scope short-circuits).  This container
+ships no Iceberg runtime jar, so reads fall back to parquet transparently;
+the runner's partition loop works identically on either (it prunes with a
+``.where(partition_col = value)`` predicate that Iceberg/parquet both push
+down to the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.source.SparkTable  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_table(
+    spark: SparkSession,
+    source: str,
+    fmt: str = "auto",
+    columns: Optional[list[str]] = None,
+) -> DataFrame:
+    """Read an Iceberg table (catalog name) or a parquet path.
+
+    fmt="auto": dotted names without '/' are treated as catalog tables
+    (Iceberg when available), paths as parquet.  Column pruning applied at
+    the scan via select.
+    """
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in source and iceberg_available(spark)):
+        df = spark.read.format("iceberg").load(source)
+    elif fmt in ("auto", "parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.format(fmt).load(source)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    fmt: str = "auto",
+    mode: str = "append",
+    partition_by: Optional[list[str]] = None,
+) -> None:
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in target and iceberg_available(df.sparkSession)):
+        writer = df.writeTo(target)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)

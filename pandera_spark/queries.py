@@ -1,0 +1,607 @@
+"""Driver-facing query suite: one entry per engine operator (SURVEY.md §2),
+each paired with an ANSI-SQL oracle runnable by DuckDB on the same parquet
+tables.  Column names/aliases match exactly between the Spark query and the
+oracle so the driver's order-insensitive value-hash comparison lines up.
+
+Queries are written THROUGH the engine API (DataFrameSchema.validate,
+dedup/similarity/text/drift modules) — they are the operator conformance
+suite, not ad-hoc SQL translations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .backend import drift
+from .backend.referential import (
+    contiguity_groups,
+    fk_orphans,
+    monotonic_violation_rows,
+)
+from .backend.unique import duplicate_keys
+from .checks import Check
+from .functions import dedup, similarity, text
+from .schema import Column, DataFrameSchema
+from .stats import profile
+
+# shared literals ------------------------------------------------------- #
+
+PSI_EDGES = [50.0 * i for i in range(1, 10)]  # 50..450
+KS_GRID = [10.0 * i for i in range(0, 51)]  # 0..500
+ANN_DIM = 64
+ANN_QUERY = [1.0] + [0.0] * (ANN_DIM - 1)
+VERDICT_SCHEMA = "col_name string, check_name string, n_violations bigint, passed boolean"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------- #
+# validation-engine queries
+# ----------------------------------------------------------------------- #
+
+
+def q_check_verdicts_orders(spark, sf_dir):
+    """Fused single-pass verdicts over four checks on orders."""
+    orders = _t(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {
+            "o_orderkey": Column("bigint", nullable=False),
+            "o_totalprice": Column("double", checks=Check.gt(0.0), nullable=True),
+            "o_orderstatus": Column(
+                "string", checks=Check.isin({"O", "F"}, error="isin(O,F)"),
+                nullable=True,
+            ),
+            "o_orderpriority": Column(
+                "string", checks=Check.str_matches(r"\d-", error="priority_format"),
+                nullable=True,
+            ),
+        },
+        name="orders",
+    )
+    r = schema.validate(orders, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def q_violation_rows_lineitem(spark, sf_dir):
+    """Canonical failure-case rows (value checks) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_quantity": Column("double", checks=Check.in_range(1, 30)),
+            "l_discount": Column(
+                "double", checks=Check.less_than_or_equal_to(0.05)
+            ),
+        },
+        index_cols=["l_orderkey", "l_linenumber"],
+        name="lineitem",
+    )
+    r = schema.validate(li)
+    return r.violations.select(
+        "schema_context", "column", "check", "check_number", "failure_case", "index"
+    )
+
+
+def q_duplicate_custkeys(spark, sf_dir):
+    """Skew-aware duplicate-key detection (field uniqueness surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    return duplicate_keys(orders, ["o_custkey"]).select(
+        "o_custkey", F.col("count").alias("cnt")
+    )
+
+
+def q_joint_unique_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", F.col("count").alias("cnt")
+    )
+
+
+def q_fk_orphans_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orphans = fk_orphans(li, part, ["l_partkey"], ["p_partkey"])
+    return orphans.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_contiguity_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return contiguity_groups(li, "l_orderkey", "l_linenumber", start=1).select(
+        "l_orderkey", "mn", "mx", "cnt", "dcnt"
+    )
+
+
+def q_coerce_failures_nation(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    schema = DataFrameSchema(
+        {"n_name": Column("int", nullable=True)},
+        coerce=True,
+        index_cols=["n_nationkey"],
+        name="nation",
+    )
+    r = schema.validate(nation)
+    return r.violations.select("column", "check", "failure_case", "index")
+
+
+def q_stats_profile_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    p = profile(li, columns=cols, exact_distinct=True)
+    rows = [
+        (
+            c,
+            p[c]["count"],
+            p[c]["null_count"],
+            p[c]["approx_distinct"],
+            round(float(p[c]["min"]), 4),
+            round(float(p[c]["max"]), 4),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, cnt bigint, null_cnt bigint, n_distinct bigint, "
+        "min_v double, max_v double",
+    )
+
+
+def q_drop_invalid_orders(spark, sf_dir):
+    """drop_invalid_rows anti-join: surviving keys after dropping check
+    violations (orders — unique o_orderkey, so index-label drop semantics
+    coincide with a row filter for the oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {
+            "o_totalprice": Column("double", checks=Check.le(100000.0)),
+            "o_orderstatus": Column("string", checks=Check.isin({"O", "F"})),
+        },
+        index_cols=["o_orderkey"],
+        drop_invalid_rows=True,
+        name="orders",
+    )
+    r = schema.validate(orders)
+    return r.df.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def q_monotonic_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    viol = monotonic_violation_rows(ev, "user_id", "ts", "event_id", strict=True)
+    return viol.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_viol"))
+
+
+# ----------------------------------------------------------------------- #
+# drift queries
+# ----------------------------------------------------------------------- #
+
+
+def q_psi_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "click")
+    cand = ev.filter(F.col("event_type") == "purchase")
+    res = drift.psi_numeric(base, cand, "value", edges=PSI_EDGES)
+    return spark.createDataFrame([(round(res.psi, 4),)], "psi double")
+
+
+def q_ks_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    res = drift.ks_2samp(a, "value", b, "value", grid=KS_GRID)
+    return spark.createDataFrame([(round(res.statistic, 4),)], "d double")
+
+
+def q_ttest_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    res = drift.two_sample_ttest(ev, "value", "event_type", "click", "purchase")
+    return spark.createDataFrame(
+        [(round(res.mean1, 4), round(res.mean2, 4), round(res.statistic, 4))],
+        "mean_a double, mean_b double, t_stat double",
+    )
+
+
+# ----------------------------------------------------------------------- #
+# text / dedup / similarity queries
+# ----------------------------------------------------------------------- #
+
+
+def q_token_stats_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens_ws"),
+        text.token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def q_text_quality_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.punct_ratio("text"), 4).alias("punct_r"),
+        F.round(text.digit_ratio("text"), 4).alias("digit_r"),
+        F.round(text.upper_ratio("text"), 4).alias("upper_r"),
+        F.round(text.stopword_ratio("text"), 4).alias("stop_r"),
+    )
+
+
+def q_quality_score_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_score(docs).select("doc_id", "quality_score")
+
+
+def q_lang_id_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def _docs_with_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.unionByName(shifted)
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup over documents ∪ id-shifted copy: survivors = min ids."""
+    u = _docs_with_dups(spark, sf_dir)
+    return dedup.exact_dedup(u, "text", "doc_id").select("doc_id")
+
+
+def q_ann_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.cosine_topk(emb, "embedding", ANN_QUERY, k=10, id_col="vec_id")
+    # ids only: cosine values differ between engines at ~1e-5 (float sum
+    # noise) and any rounding can straddle a boundary; the RANKING is stable
+    return out.select("vec_id")
+
+
+# rows-only (no SQL oracle — approximate / non-SQL-expressible operators)
+
+
+def q_minhash_candidates_documents(spark, sf_dir):
+    u = _docs_with_dups(spark, sf_dir)
+    return dedup.minhash_lsh_candidates(
+        u, "text", "doc_id", num_hashes=32, bands=16
+    ).filter(F.col("est_jaccard") >= 0.9)
+
+
+def q_simhash_signatures_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "text", "doc_id")
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    u = _docs_with_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.8)
+
+
+def q_ivf_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.cosine_topk_ivf(
+        emb, "embedding", ANN_QUERY, k=5, id_col="vec_id", nlist=8, nprobe=4
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cos_sim"))
+
+
+def q_embedding_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return dedup.embedding_cosine_dups(
+        doubled, "embedding", "vec_id", threshold=0.999, planes=8
+    )
+
+
+# ----------------------------------------------------------------------- #
+# registry + oracles
+# ----------------------------------------------------------------------- #
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "check_verdicts_orders": q_check_verdicts_orders,
+        "violation_rows_lineitem": q_violation_rows_lineitem,
+        "duplicate_custkeys": q_duplicate_custkeys,
+        "joint_unique_lineitem": q_joint_unique_lineitem,
+        "fk_orphans_lineitem": q_fk_orphans_lineitem,
+        "contiguity_lineitem": q_contiguity_lineitem,
+        "coerce_failures_nation": q_coerce_failures_nation,
+        "stats_profile_lineitem": q_stats_profile_lineitem,
+        "drop_invalid_orders": q_drop_invalid_orders,
+        "monotonic_events": q_monotonic_events,
+        "psi_events": q_psi_events,
+        "ks_events": q_ks_events,
+        "ttest_events": q_ttest_events,
+        "token_stats_documents": q_token_stats_documents,
+        "text_quality_documents": q_text_quality_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        # rows-only (approximate / non-SQL-expressible)
+        "minhash_candidates_documents": q_minhash_candidates_documents,
+        "simhash_signatures_documents": q_simhash_signatures_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "embedding_dups": q_embedding_dups,
+    }
+
+
+def _sql_psi() -> str:
+    bounds = [None] + [float(e) for e in PSI_EDGES] + [None]
+    p_cases, q_cases = [], []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = "value IS NOT NULL"
+        if lo is not None:
+            cond += f" AND value > {lo}"
+        if hi is not None:
+            cond += f" AND value <= {hi}"
+        p_cases.append(f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) * 1.0 / COUNT(value) AS b{i}")
+    share_sql = ", ".join(p_cases)
+    n_b = len(bounds) - 1
+    terms = " + ".join(
+        f"(GREATEST(p.b{i}, 0.0001) - GREATEST(q.b{i}, 0.0001)) * "
+        f"LN(GREATEST(p.b{i}, 0.0001) / GREATEST(q.b{i}, 0.0001))"
+        for i in range(n_b)
+    )
+    return f"""
+    WITH p AS (SELECT {share_sql} FROM events WHERE event_type = 'click'),
+         q AS (SELECT {share_sql} FROM events WHERE event_type = 'purchase')
+    SELECT ROUND({terms}, 4) AS psi FROM p, q
+    """
+
+
+def _sql_ks() -> str:
+    ecdf = ", ".join(
+        f"SUM(CASE WHEN value <= {g} THEN 1 ELSE 0 END) * 1.0 / COUNT(value) AS g{i}"
+        for i, g in enumerate(KS_GRID)
+    )
+    diffs = ", ".join(f"ABS(a.g{i} - b.g{i})" for i in range(len(KS_GRID)))
+    return f"""
+    WITH a AS (SELECT {ecdf} FROM events WHERE event_type = 'click'),
+         b AS (SELECT {ecdf} FROM events WHERE event_type = 'purchase')
+    SELECT ROUND(GREATEST({diffs}), 4) AS d FROM a, b
+    """
+
+
+def _sql_lang_id() -> str:
+    hits = []
+    langs = sorted(text.LANG_MARKERS)
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        hits.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains([{markers}], x))) AS h_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents)
+    SELECT doc_id, {case} AS lang_pred FROM h
+    """
+
+
+def _sql_quality_score() -> str:
+    stop = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+        CASE WHEN length(text) > 0 THEN
+          (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+          ELSE 0 END AS punct_r,
+        CASE WHEN length(text) > 0 THEN
+          (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+          ELSE 0 END AS digit_r,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> list_contains([{stop}], x))) * 1.0 /
+          len(string_split_regex(trim(text), '\\s+')) END AS stop_r
+      FROM documents)
+    SELECT doc_id,
+      ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+          + (1.0 - LEAST(punct_r * 4, 1.0)) * 0.2
+          + (1.0 - LEAST(digit_r * 4, 1.0)) * 0.2
+          + LEAST(stop_r * 3, 1.0) * 0.2, 6) AS quality_score
+    FROM f
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    stop = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+    qv = "[" + ", ".join(str(v) for v in ANN_QUERY) + "]::DOUBLE[]"
+    return {
+        "check_verdicts_orders": """
+            SELECT 'o_orderkey' AS col_name, 'not_nullable' AS check_name,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'greater_than(0.0)',
+                   SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'isin(O,F)',
+                   SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', 'priority_format',
+                   SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END) = 0
+            FROM orders
+        """,
+        "violation_rows_lineitem": """
+            SELECT 'Column' AS schema_context, 'l_quantity' AS "column",
+                   'in_range(1, 30)' AS "check", 0 AS check_number,
+                   CAST(l_quantity AS VARCHAR) AS failure_case,
+                   CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS index
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 30)
+            UNION ALL
+            SELECT 'Column', 'l_discount',
+                   'less_than_or_equal_to(0.05)', 0,
+                   CAST(l_discount AS VARCHAR),
+                   CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+            FROM lineitem
+            WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.05)
+        """,
+        "duplicate_custkeys": """
+            SELECT o_custkey, COUNT(*) AS cnt FROM orders
+            GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "joint_unique_lineitem": """
+            SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+        """,
+        "fk_orphans_lineitem": """
+            SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            GROUP BY l_partkey
+        """,
+        "contiguity_lineitem": """
+            SELECT l_orderkey, MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+                   COUNT(*) AS cnt, COUNT(DISTINCT l_linenumber) AS dcnt
+            FROM lineitem GROUP BY l_orderkey
+            HAVING MIN(l_linenumber) != 1
+                OR MAX(l_linenumber) - MIN(l_linenumber) + 1 != COUNT(*)
+                OR COUNT(DISTINCT l_linenumber) != COUNT(*)
+        """,
+        "coerce_failures_nation": """
+            SELECT 'n_name' AS "column", 'coerce_dtype(''int'')' AS "check",
+                   n_name AS failure_case, CAST(n_nationkey AS VARCHAR) AS index
+            FROM nation
+            WHERE n_name IS NOT NULL AND TRY_CAST(n_name AS INTEGER) IS NULL
+        """,
+        "stats_profile_lineitem": """
+            SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS cnt,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+                   COUNT(DISTINCT l_quantity) AS n_distinct,
+                   ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(l_extendedprice),
+                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT l_extendedprice),
+                   ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', COUNT(l_discount),
+                   SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT l_discount),
+                   ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', COUNT(l_tax),
+                   SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT l_tax),
+                   ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4)
+            FROM lineitem
+        """,
+        "drop_invalid_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE (o_totalprice IS NULL OR o_totalprice <= 100000.0)
+              AND (o_orderstatus IS NULL OR o_orderstatus IN ('O', 'F'))
+        """,
+        "monotonic_events": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+              FROM events)
+            SELECT user_id, COUNT(*) AS n_viol FROM lagged
+            WHERE prev_ts IS NOT NULL AND ts <= prev_ts
+            GROUP BY user_id
+        """,
+        "psi_events": _sql_psi(),
+        "ks_events": _sql_ks(),
+        "ttest_events": """
+            WITH s AS (
+              SELECT event_type, COUNT(value) AS n, AVG(value) AS m,
+                     VAR_SAMP(value) AS v
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY event_type)
+            SELECT ROUND(a.m, 4) AS mean_a, ROUND(b.m, 4) AS mean_b,
+                   ROUND((a.m - b.m) / SQRT(
+                     (((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2))
+                     * (1.0 / a.n + 1.0 / b.n)), 4) AS t_stat
+            FROM (SELECT * FROM s WHERE event_type = 'click') a,
+                 (SELECT * FROM s WHERE event_type = 'purchase') b
+        """,
+        "token_stats_documents": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
+              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+              length(text) AS len_chars
+            FROM documents
+        """,
+        "text_quality_documents": f"""
+            SELECT doc_id,
+              ROUND(CASE WHEN length(text) > 0 THEN
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END, 4) AS punct_r,
+              ROUND(CASE WHEN length(text) > 0 THEN
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END, 4) AS digit_r,
+              ROUND(CASE WHEN length(text) > 0 THEN
+                (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END, 4) AS upper_r,
+              ROUND(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> list_contains([{stop}], x))) * 1.0 /
+                len(string_split_regex(trim(text), '\\s+')) END, 4) AS stop_r
+            FROM documents
+        """,
+        "quality_score_documents": _sql_quality_score(),
+        "lang_id_documents": _sql_lang_id(),
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "dedup_exact_documents": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents)
+            SELECT MIN(doc_id) AS doc_id FROM u
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "ann_topk_embeddings": f"""
+            SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_dot_product(embedding::DOUBLE[], {qv}) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product({qv}, {qv}))) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10)
+        """,
+    }

@@ -1,0 +1,1 @@
+from .manifest import PartitionedValidationRun  # noqa: F401

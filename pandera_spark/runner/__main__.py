@@ -1,0 +1,44 @@
+"""spark-submit entrypoint:
+
+  spark-submit --py-files pandera_spark.zip -m pandera_spark.runner \\
+      --schema schema.json --source /data/transcripts \\
+      --partition-col part_id --output /data/validation_out [--no-resume]
+
+Loads the schema from JSON config, runs the partition loop with
+checkpoint/resume, prints the manifest summary as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--schema", required=True, help="schema JSON path")
+    ap.add_argument("--source", required=True, help="iceberg table or parquet path")
+    ap.add_argument("--partition-col", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--max-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ..io.serialization import from_json
+    from .manifest import PartitionedValidationRun
+
+    spark = SparkSession.builder.appName("pandera_spark-validate").getOrCreate()
+    schema = from_json(args.schema)
+    run = PartitionedValidationRun(
+        schema, args.source, args.partition_col, args.output, spark=spark
+    )
+    run.run(resume=not args.no_resume, max_partitions=args.max_partitions)
+    print(json.dumps(run.summary()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

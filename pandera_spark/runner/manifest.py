@@ -1,0 +1,249 @@
+"""Per-partition validation loop with a resumable manifest (north rule).
+
+Each Iceberg/parquet partition is validated independently; a manifest row
+``(partition_id, status, n_rows, n_violations, passed, metrics, lineage,
+started_at, finished_at, error)`` is checkpointed per partition so a killed
+run resumes at partition granularity.  Idempotence (SURVEY.md §7.4.8):
+
+  - the manifest is an append-only parquet directory, one file per
+    (partition, attempt); readers take the LATEST attempt per partition, so
+    a partition interrupted mid-write simply re-runs and supersedes;
+  - violations are written to ``violations/partition_id=<p>/`` with
+    per-partition overwrite — a re-run never double-counts.
+
+At cluster scale the driver loop issues one validation job per partition
+with partition-pruned scans (``.where(col = value)`` reaches the source);
+independent partitions can be dispatched from a thread pool since Spark
+schedules concurrent jobs fairly.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("status", T.StringType()),  # ok | failed | error
+        T.StructField("passed", T.BooleanType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("metrics", T.StringType()),  # JSON
+        T.StructField("lineage", T.StringType()),  # JSON: source, schema name, run id
+        T.StructField("attempt", T.StringType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class PartitionResult:
+    partition_id: str
+    status: str
+    passed: Optional[bool]
+    n_rows: Optional[int]
+    n_violations: Optional[int]
+    seconds: float
+
+
+class PartitionedValidationRun:
+    """Validate a table partition-by-partition with checkpoint/resume."""
+
+    def __init__(
+        self,
+        schema,
+        df_or_source: Union[DataFrame, str],
+        partition_col: str,
+        output_dir: str,
+        spark: Optional[SparkSession] = None,
+        collect_stats: bool = True,
+        run_id: Optional[str] = None,
+    ):
+        self.schema = schema
+        self.partition_col = partition_col
+        self.output_dir = output_dir
+        self.manifest_dir = os.path.join(output_dir, "manifest")
+        self.violations_dir = os.path.join(output_dir, "violations")
+        self.collect_stats = collect_stats
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        if isinstance(df_or_source, str):
+            from ..io.sources import read_table
+
+            assert spark is not None
+            self.source_desc = df_or_source
+            self.df = read_table(spark, df_or_source)
+        else:
+            self.df = df_or_source
+            self.source_desc = "dataframe"
+        self.spark = self.df.sparkSession
+
+    # ------------------------------------------------------------------ #
+
+    def discover_partitions(self) -> list[str]:
+        rows = (
+            self.df.select(F.col(self.partition_col).cast("string").alias("p"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["p"] for r in rows)
+
+    def completed_partitions(self) -> set[str]:
+        if not os.path.isdir(self.manifest_dir) or not os.listdir(self.manifest_dir):
+            return set()
+        m = self.read_manifest()
+        latest = (
+            m.withColumn(
+                "__rn__",
+                F.row_number().over(
+                    __import__("pyspark").sql.Window.partitionBy("partition_id")
+                    .orderBy(F.desc("finished_at"))
+                ),
+            )
+            .filter("__rn__ = 1")
+            .filter(F.col("status") == "ok")
+        )
+        return {r["partition_id"] for r in latest.select("partition_id").collect()}
+
+    def read_manifest(self) -> DataFrame:
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
+
+    # ------------------------------------------------------------------ #
+
+    def _write_manifest_row(self, row: dict) -> None:
+        attempt = uuid.uuid4().hex[:8]
+        row = {**row, "attempt": attempt}
+        df = self.spark.createDataFrame([tuple(row.get(f.name) for f in MANIFEST_SCHEMA.fields)], MANIFEST_SCHEMA)
+        # one file per attempt → append-only, crash-safe
+        df.coalesce(1).write.mode("append").parquet(self.manifest_dir)
+
+    def _partition_df(self, p: str) -> DataFrame:
+        # predicate on the partition column — pushed down to the source
+        # (Iceberg partition pruning / parquet row-group skipping)
+        return self.df.where(F.col(self.partition_col).cast("string") == p)
+
+    def run_partition(self, p: str) -> PartitionResult:
+        t0 = time.time()
+        started = datetime.datetime.now()
+        try:
+            pdf = self._partition_df(p)
+            res = self.schema.validate(
+                pdf, collect_stats=self.collect_stats, collect_failure_cases=True
+            )
+            n_viol = 0
+            if res.violations is not None:
+                out = res.violations.withColumn("partition_id", F.lit(p))
+                viol_path = os.path.join(self.violations_dir, f"partition_id={p}")
+                out.drop("partition_id").write.mode("overwrite").parquet(viol_path)
+                n_viol = self.spark.read.parquet(viol_path).count()
+            metrics = {
+                "stats": _jsonable(res.stats),
+                "check_results": res.check_results,
+                "seconds": round(time.time() - t0, 3),
+            }
+            self._write_manifest_row(
+                {
+                    "partition_id": p,
+                    "status": "ok",
+                    "passed": res.passed,
+                    "n_rows": res.n_rows,
+                    "n_violations": n_viol,
+                    "metrics": json.dumps(metrics, default=str),
+                    "lineage": json.dumps(
+                        {
+                            "source": self.source_desc,
+                            "schema": self.schema.name,
+                            "run_id": self.run_id,
+                            "partition_col": self.partition_col,
+                        }
+                    ),
+                    "started_at": started,
+                    "finished_at": datetime.datetime.now(),
+                    "error": None,
+                }
+            )
+            return PartitionResult(
+                p, "ok", res.passed, res.n_rows, n_viol, time.time() - t0
+            )
+        except Exception as e:  # noqa: BLE001 — a partition error must not kill the run
+            self._write_manifest_row(
+                {
+                    "partition_id": p,
+                    "status": "error",
+                    "passed": None,
+                    "n_rows": None,
+                    "n_violations": None,
+                    "metrics": None,
+                    "lineage": json.dumps({"run_id": self.run_id}),
+                    "started_at": started,
+                    "finished_at": datetime.datetime.now(),
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+            return PartitionResult(p, "error", None, None, None, time.time() - t0)
+
+    def run(
+        self,
+        resume: bool = True,
+        max_partitions: Optional[int] = None,
+        on_partition: Optional[Callable[[PartitionResult], None]] = None,
+    ) -> list[PartitionResult]:
+        parts = self.discover_partitions()
+        done = self.completed_partitions() if resume else set()
+        todo = [p for p in parts if p not in done]
+        if max_partitions is not None:
+            todo = todo[:max_partitions]
+        results = []
+        for p in todo:
+            r = self.run_partition(p)
+            if on_partition:
+                on_partition(r)
+            results.append(r)
+        return results
+
+    def summary(self) -> dict:
+        """Aggregate manifest view: latest attempt per partition."""
+        from pyspark.sql import Window
+
+        m = self.read_manifest()
+        latest = (
+            m.withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("partition_id").orderBy(F.desc("finished_at"))
+                ),
+            )
+            .filter("__rn__ = 1")
+            .drop("__rn__")
+        )
+        rows = latest.collect()
+        return {
+            "partitions": len(rows),
+            "ok": sum(1 for r in rows if r["status"] == "ok"),
+            "failed_validation": sum(
+                1 for r in rows if r["status"] == "ok" and not r["passed"]
+            ),
+            "errors": sum(1 for r in rows if r["status"] == "error"),
+            "n_rows": sum(r["n_rows"] or 0 for r in rows),
+            "n_violations": sum(r["n_violations"] or 0 for r in rows),
+        }
+
+
+def _jsonable(stats):
+    if stats is None:
+        return None
+    return {
+        c: {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in s.items()}
+        for c, s in stats.items()
+    }

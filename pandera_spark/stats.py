@@ -29,6 +29,7 @@ def profile(
     quantiles: Sequence[float] = DEFAULT_QUANTILES,
     accuracy: int = 10_000,
     isin_max_distinct: int = 32,
+    exact_distinct: bool = False,
 ) -> dict:
     """Per-column statistics in ONE aggregate job.
 
@@ -44,7 +45,10 @@ def profile(
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__cnt__{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"))
-        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__hll__{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}"))
         dt = dtypes[c]
         if isinstance(dt, (T.NumericType, T.DateType, T.TimestampType, T.StringType, T.BooleanType)):
             aggs.append(F.min(F.col(c)).alias(f"__min__{c}"))

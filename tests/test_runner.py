@@ -1,0 +1,153 @@
+"""Partition-loop manifest: checkpoint, resume, idempotence
+(SURVEY.md §7.4.8); schema JSON round-trip."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark import Check, Column, Contiguity, DataFrameSchema
+from pandera_spark.fixtures import corrupted_transcripts_pandas, transcripts_pandas
+from pandera_spark.io.serialization import from_json, schema_to_dict, to_json
+from pandera_spark.runner import PartitionedValidationRun
+
+
+def make_schema():
+    return DataFrameSchema(
+        {
+            "conv_id": Column("string", checks=Check.str_matches(r"^conv-\d{8}$")),
+            "turn_idx": Column("int", checks=Check.ge(0)),
+            "role": Column(
+                "string", checks=Check.isin({"system", "user", "assistant", "tool"})
+            ),
+            "text": Column("string", checks=Check.str_length(1, 32768), nullable=True),
+            "tool": Column("string", nullable=True),
+            "ts": Column("timestamp"),
+        },
+        unique=["conv_id", "turn_idx"],
+        references=[Contiguity(partition_by="conv_id", order_col="turn_idx")],
+        index_cols=["conv_id", "turn_idx"],
+        name="transcripts",
+    )
+
+
+@pytest.fixture()
+def partitioned_df(spark):
+    pdf = corrupted_transcripts_pandas(n_convs=40)
+    df = spark.createDataFrame(pdf)
+    return df.withColumn("part_id", F.pmod(F.crc32(F.col("conv_id")), F.lit(4)))
+
+
+class TestManifestRun:
+    def test_full_run_and_summary(self, spark, partitioned_df, tmp_path):
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "out")
+        )
+        results = run.run()
+        assert len(results) == 4
+        assert all(r.status == "ok" for r in results)
+        s = run.summary()
+        assert s["partitions"] == 4
+        assert s["ok"] == 4
+        assert s["failed_validation"] >= 1  # corrupted fixture must fail somewhere
+        assert s["n_rows"] == partitioned_df.count()
+
+    def test_resume_skips_completed(self, spark, partitioned_df, tmp_path):
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out, run_id="first"
+        )
+        first = run.run(max_partitions=2)
+        assert len(first) == 2
+        # simulate a new process resuming
+        run2 = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out, run_id="second"
+        )
+        rest = run2.run(resume=True)
+        assert len(rest) == 2  # only the remaining partitions
+        assert {r.partition_id for r in first}.isdisjoint(
+            {r.partition_id for r in rest}
+        )
+        assert run2.summary()["partitions"] == 4
+
+    def test_rerun_is_idempotent(self, spark, partitioned_df, tmp_path):
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out
+        )
+        run.run()
+        v1 = spark.read.parquet(os.path.join(out, "violations")).count()
+        s1 = run.summary()
+        # force re-run of everything (resume=False) — supersedes, no double count
+        run.run(resume=False)
+        v2 = spark.read.parquet(os.path.join(out, "violations")).count()
+        s2 = run.summary()
+        assert v1 == v2
+        assert s1["n_violations"] == s2["n_violations"]
+        assert s2["partitions"] == 4
+
+    def test_error_partition_recorded(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "part_id int, x string"
+        )
+        bad_schema = DataFrameSchema(
+            {"x": Column("string", checks=Check(lambda c: 1 / 0, name="boom"))}
+        )
+        run = PartitionedValidationRun(bad_schema, df, "part_id", str(tmp_path / "o"))
+        results = run.run()
+        assert all(r.status == "error" for r in results)
+        s = run.summary()
+        assert s["errors"] == 2
+
+
+class TestSerialization:
+    def test_round_trip(self, spark, tmp_path):
+        schema = make_schema()
+        js = to_json(schema)
+        loaded = from_json(js)
+        assert set(loaded.columns) == set(schema.columns)
+        assert loaded.unique == schema.unique
+        assert loaded.index_cols == schema.index_cols
+        assert len(loaded.references) == 1
+        assert loaded.columns["turn_idx"].checks[0].error == "greater_than_or_equal_to(0)"
+        # loaded schema validates data identically
+        pdf = transcripts_pandas(n_convs=20)
+        df = spark.createDataFrame(pdf)
+        r1 = schema.validate(df)
+        r2 = loaded.validate(df)
+        assert r1.passed == r2.passed
+
+    def test_file_round_trip(self, tmp_path):
+        p = str(tmp_path / "schema.json")
+        to_json(make_schema(), path=p)
+        loaded = from_json(p)
+        assert loaded.name == "transcripts"
+
+    def test_all_builtin_checks_round_trip(self):
+        checks = [
+            Check.equal_to(1), Check.not_equal_to(2), Check.greater_than(0),
+            Check.greater_than_or_equal_to(0), Check.less_than(10),
+            Check.less_than_or_equal_to(10), Check.in_range(0, 5),
+            Check.isin([1, 2]), Check.notin([9]), Check.str_matches("^a"),
+            Check.str_contains("b"), Check.str_startswith("c"),
+            Check.str_endswith("d"), Check.str_length(1, 5),
+            Check.unique_values_eq(["x", "y"]),
+        ]
+        schema = DataFrameSchema(
+            {"c": Column("string", checks=checks, nullable=True)}
+        )
+        loaded = from_json(to_json(schema))
+        assert [c.name for c in loaded.columns["c"].checks] == [
+            c.name for c in checks
+        ]
+        assert [c.error for c in loaded.columns["c"].checks] == [
+            c.error for c in checks
+        ]
+
+    def test_unserializable_custom_check_raises(self):
+        schema = DataFrameSchema(
+            {"c": Column("int", checks=Check(lambda c: c > 0, name="mycustom"))}
+        )
+        with pytest.raises(ValueError):
+            schema_to_dict(schema)
