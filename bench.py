@@ -219,11 +219,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tpath = ensure_transcripts(spark)
 
+    verbose = os.environ.get("BENCH_VERBOSE")
     timings: dict[str, float] = {}
     for name, fn in WORKLOADS.items():
         t0 = time.time()
         fn(spark)
         timings[name] = round(time.time() - t0, 3)
+        if verbose:
+            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     n_turns, tsec = bench_transcripts_validate(spark, tpath)
     timings["transcripts_validate"] = round(tsec, 3)

@@ -1,0 +1,101 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency ≥0.8
+from N to 4N executors; sandbox stand-in: local[8] vs local[32] on the
+SAME input — BASELINE.md row 'scaling efficiency').
+
+Runs the headline transcripts validation (full schema + uniqueness +
+contiguity + drift) in two freshly-forked Spark sessions, one per
+parallelism level (subprocesses, so each JVM sizes itself to its core
+count), and writes BENCH/BASELINE.md with throughput at both levels and
+efficiency = (T_N / T_4N) / (cpus_4N / cpus_N).
+
+Usage: python bench_scaling.py [--low 8] [--high 32] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bench import build_spark, bench_transcripts_validate, ensure_transcripts
+
+cpus = int(sys.argv[1])
+repeats = int(sys.argv[2])
+spark = build_spark(cpus)
+spark.sparkContext.setLogLevel("ERROR")
+path = ensure_transcripts(spark)
+# warm-up (JIT, parquet footer cache) — excluded from timing
+bench_transcripts_validate(spark, path)
+best = None
+for _ in range(repeats):
+    n, dt = bench_transcripts_validate(spark, path)
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_turns": n, "seconds": best,
+                  "turns_per_sec": n / best}))
+"""
+
+
+def run_level(cpus: int, repeats: int) -> dict:
+    code = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(repeats)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"scaling child failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    low = run_level(args.low, args.repeats)
+    high = run_level(args.high, args.repeats)
+    ratio = high["cpus"] / low["cpus"]
+    efficiency = (low["seconds"] / high["seconds"]) / ratio
+    result = {
+        "low": low,
+        "high": high,
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured engine numbers
+
+Workload: full transcripts validation pass (schema + value checks +
+joint uniqueness + per-conversation contiguity + stats + text-length
+KS drift) over the deterministic synthetic transcript table
+({low['n_turns']:,} turns), local mode, same input at two parallelism
+levels (sandbox stand-in for N vs 4N executors per BASELINE.json).
+
+| parallelism | wall (s) | throughput (turns/sec) |
+|---|---|---|
+| local[{low['cpus']}] (N) | {low['seconds']:.2f} | {low['turns_per_sec']:,.0f} |
+| local[{high['cpus']}] (4N) | {high['seconds']:.2f} | {high['turns_per_sec']:,.0f} |
+
+**Scaling efficiency** = (T_N / T_4N) / {ratio:.0f} =
+**{efficiency:.3f}** (target ≥ 0.8 → {"MET" if efficiency >= 0.8 else "NOT MET"}).
+
+Reproduce: `python bench_scaling.py --low {low['cpus']} --high {high['cpus']}`.
+Headline suite: `python bench.py` (see BENCH_r*.json recorded by the driver).
+""")
+
+
+if __name__ == "__main__":
+    main()

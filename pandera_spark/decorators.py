@@ -1,0 +1,124 @@
+"""Function-boundary validation decorators.
+
+Reference: pandera/decorators.py — check_input:154, check_output:296,
+check_io:436, check_types:531.  Each resolves its target argument / return
+value, validates with the given schema (DataFrameModel or DataFrameSchema),
+and raises SchemaErrors on failure (lazy collection inside)."""
+
+from __future__ import annotations
+
+import functools
+import inspect
+from typing import Any, Callable, Optional, Union
+
+from pyspark.sql import DataFrame
+
+from .model import DataFrameModel
+from .schema import DataFrameSchema
+
+
+def _resolve_schema(s) -> DataFrameSchema:
+    if isinstance(s, DataFrameSchema):
+        return s
+    if isinstance(s, type) and issubclass(s, DataFrameModel):
+        return s.to_schema()
+    raise TypeError(f"expected DataFrameSchema or DataFrameModel, got {s!r}")
+
+
+def _validated(schema: DataFrameSchema, df: DataFrame) -> DataFrame:
+    res = schema.validate(df)
+    return res.raise_on_error()
+
+
+def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
+    """Validate (and replace with the parsed frame) one input argument:
+    by position, by name, or the first argument (pandera/decorators.py:154)."""
+    sch = _resolve_schema(schema)
+
+    def deco(fn: Callable) -> Callable:
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            if isinstance(obj_getter, str):
+                target = obj_getter
+            elif isinstance(obj_getter, int):
+                target = list(bound.arguments)[obj_getter]
+            else:
+                target = next(iter(bound.arguments))
+            bound.arguments[target] = _validated(sch, bound.arguments[target])
+            return fn(*bound.args, **bound.kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def check_output(schema):
+    sch = _resolve_schema(schema)
+
+    def deco(fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            out = fn(*args, **kwargs)
+            return _validated(sch, out)
+
+        return wrapper
+
+    return deco
+
+
+def check_io(out: Any = None, **inputs):
+    """check_io(df=schema_a, other=schema_b, out=schema_c)"""
+    in_schemas = {k: _resolve_schema(v) for k, v in inputs.items()}
+    out_schema = _resolve_schema(out) if out is not None else None
+
+    def deco(fn: Callable) -> Callable:
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            for argname, sch in in_schemas.items():
+                if argname in bound.arguments:
+                    bound.arguments[argname] = _validated(sch, bound.arguments[argname])
+            result = fn(*bound.args, **bound.kwargs)
+            if out_schema is not None:
+                result = _validated(out_schema, result)
+            return result
+
+        return wrapper
+
+    return deco
+
+
+def check_types(fn: Callable) -> Callable:
+    """Validate args/return whose annotations are DataFrameModel subclasses
+    (pandera/decorators.py:531)."""
+    sig = inspect.signature(fn)
+    hints = {
+        name: p.annotation
+        for name, p in sig.parameters.items()
+        if isinstance(p.annotation, type)
+        and issubclass(p.annotation, DataFrameModel)
+    }
+    ret = sig.return_annotation
+    ret_model = (
+        ret if isinstance(ret, type) and issubclass(ret, DataFrameModel) else None
+    )
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        for name, model in hints.items():
+            if name in bound.arguments:
+                bound.arguments[name] = _validated(
+                    model.to_schema(), bound.arguments[name]
+                )
+        out = fn(*bound.args, **bound.kwargs)
+        if ret_model is not None:
+            out = _validated(ret_model.to_schema(), out)
+        return out
+
+    return wrapper

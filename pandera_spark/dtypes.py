@@ -17,6 +17,7 @@ alias resolver + equality helper that preserves the reference's semantics:
 from __future__ import annotations
 
 import datetime
+import re
 import decimal
 from typing import Any, Union
 
@@ -48,7 +49,78 @@ _STRING_ALIASES: dict[str, T.DataType] = {
     "bool": T.BooleanType(),
     "str": T.StringType(),
     "object": T.StringType(),
+    # Spark DDL simple names (resolved WITHOUT a live SparkSession —
+    # T._parse_datatype_string needs one in Spark 4)
+    "boolean": T.BooleanType(),
+    "tinyint": T.ByteType(),
+    "byte": T.ByteType(),
+    "smallint": T.ShortType(),
+    "short": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "real": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "decimal": T.DecimalType(10, 0),
 }
+
+
+def _parse_ddl(s: str) -> T.DataType:
+    """Minimal session-free DDL parser: simple names, decimal(p,s),
+    array<...>, map<k,v>, struct<name:type,...> (nested)."""
+    s = s.strip()
+    low = s.lower()
+    if low in _STRING_ALIASES:
+        return _STRING_ALIASES[low]
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", low)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"varchar\s*\(\s*\d+\s*\)|char\s*\(\s*\d+\s*\)", low)
+    if m:
+        return T.StringType()
+    m = re.fullmatch(r"array\s*<(.*)>", s, flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        return T.ArrayType(_parse_ddl(m.group(1)))
+    m = re.fullmatch(r"map\s*<(.*)>", s, flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        k, v = _split_top_level(m.group(1))
+        return T.MapType(_parse_ddl(k), _parse_ddl(v))
+    m = re.fullmatch(r"struct\s*<(.*)>", s, flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_top_level(m.group(1), all_parts=True):
+            fname, _, ftype = part.partition(":")
+            fields.append(T.StructField(fname.strip(), _parse_ddl(ftype)))
+        return T.StructType(fields)
+    raise TypeError(f"cannot parse dtype DDL {s!r}")
+
+
+def _split_top_level(s: str, all_parts: bool = False):
+    """Split on commas not nested inside <...> or (...)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    if all_parts:
+        return parts
+    if len(parts) != 2:
+        raise TypeError(f"expected two type args in {s!r}")
+    return parts[0], parts[1]
 
 DTypeLike = Union[str, type, T.DataType, None]
 
@@ -80,7 +152,7 @@ def resolve_dtype(dtype: DTypeLike) -> T.DataType:
             except TypeError:
                 pass  # parametrized type like DecimalType needs args → DDL path
         # Spark DDL: "bigint", "decimal(10,2)", "array<struct<a:int>>", ...
-        return T._parse_datatype_string(key)
+        return _parse_ddl(key)
     raise TypeError(f"cannot resolve dtype from {dtype!r}")
 
 

@@ -208,6 +208,8 @@ def write_bench_transcripts(
         # re-key conv ids so chunks don't collide
         ords = pdf["conv_id"].str.slice(5).astype(int) + start
         pdf["conv_id"] = "conv-" + ords.astype(str).str.zfill(8)
+        # Spark can't scan TIMESTAMP(NANOS) parquet — write microseconds
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         pq.write_table(table, os.path.join(path, f"part-{start:08d}.parquet"))
         written += len(pdf)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import fingerprint, shingle_fingerprints
+from .text import fingerprint, shingle_fingerprints, word_shingle_fingerprints
 
 # 2^31-1: a*h with a,h < p stays under 2^62 — no int64 overflow under
 # Spark's ANSI arithmetic (2^31 hash space is ample for minhash estimates)
@@ -82,23 +82,80 @@ def _minhash_params(num_hashes: int, seed: int = 42):
 
 
 def minhash_signature(
-    text_col: str, num_hashes: int = 64, shingle_k: int = 8, seed: int = 42
+    text_col: str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42,
+    shingle_mode: str = "word",
 ):
-    """Column: array<bigint> of minhash values (pure JVM array ops)."""
-    shingles = F.array_distinct(shingle_fingerprints(text_col, k=shingle_k))
+    """Column: array<bigint> of minhash values (pure JVM array ops).
+    shingle_mode="word" (n-gram over tokens, default) keeps the per-row
+    array ~20x smaller than char shingles — HOFs evaluate interpreted, so
+    element count is the cost driver."""
+    if shingle_mode == "word":
+        shingles = F.array_distinct(word_shingle_fingerprints(text_col, n=shingle_k))
+    else:
+        shingles = F.array_distinct(shingle_fingerprints(text_col, k=shingle_k))
     a, b = _minhash_params(num_hashes, seed)
+    a_lit = F.array(*[F.lit(int(x)) for x in a])
+    b_lit = F.array(*[F.lit(int(x)) for x in b])
+    p = F.lit(MERSENNE_P)
 
-    def hasher(ai: int, bi: int):
-        # 1-arg lambda (PySpark HOFs dispatch on arity — default args count)
-        return lambda h: F.pmod(
-            ai * F.pmod(h, F.lit(MERSENNE_P)) + bi, F.lit(MERSENNE_P)
-        )
+    # single nested-HOF expression: the shingle array appears ONCE in the
+    # tree (a per-hash list comprehension would inline it num_hashes times
+    # after Catalyst's CollapseProject, exploding codegen and recomputing
+    # the shingling per hash)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda h: F.pmod(
+                    F.element_at(a_lit, i) * F.pmod(h, p) + F.element_at(b_lit, i),
+                    p,
+                ),
+            )
+        ),
+    )
 
-    mins = [
-        F.array_min(F.transform(shingles, hasher(ai, bi)))
-        for ai, bi in zip(a, b)
-    ]
-    return F.array(*mins)
+
+def minhash_signature_udf(
+    num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
+):
+    """Vectorized minhash signature as an Arrow-batched pandas_udf.
+
+    Spark evaluates higher-order array functions interpreted (no
+    whole-stage codegen), so the expression variant pays ~µs per array
+    element; this numpy implementation computes the full (num_hashes ×
+    n_shingles) universal-hash matrix per document in C.  Word n-gram
+    shingles hashed with crc32 (deterministic across runs/processes).
+    """
+    import zlib
+
+    a, b = _minhash_params(num_hashes, seed)
+    A = np.asarray(a, dtype=np.int64)[:, None]
+    B = np.asarray(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_hashes, MERSENNE_P, dtype=np.int64)
+        for t in texts:
+            if t is None:
+                out.append(empty.tolist())
+                continue
+            toks = str(t).lower().split()
+            n_g = max(len(toks) - shingle_k + 1, 1)
+            grams = {
+                " ".join(toks[i : i + shingle_k]) for i in range(n_g)
+            }
+            h = np.fromiter(
+                (zlib.crc32(g.encode("utf-8")) for g in grams),
+                dtype=np.int64,
+                count=len(grams),
+            )[None, :]
+            sigs = ((A * (h % MERSENNE_P) + B) % MERSENNE_P).min(axis=1)
+            out.append(sigs.tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_candidates(
@@ -107,8 +164,10 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 8,
+    shingle_k: int = 3,
     seed: int = 42,
+    shingle_mode: str = "word",
+    impl: str = "udf",
 ) -> DataFrame:
     """Candidate near-dup pairs from banded minhash bucketing.
 
@@ -118,10 +177,16 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes, shingle_k, seed).alias("__sig__"),
-    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if impl == "udf":
+        sig_expr = minhash_signature_udf(num_hashes, shingle_k, seed)(
+            F.col(text_col)
+        )
+    else:
+        sig_expr = minhash_signature(
+            text_col, num_hashes, shingle_k, seed, shingle_mode
+        )
+    sig = df.repartition(par).select(F.col(id_col), sig_expr.alias("__sig__"))
     band_cols = [
         F.xxhash64(
             F.slice("__sig__", i * rows_per_band + 1, rows_per_band).cast("string"),

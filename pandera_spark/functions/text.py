@@ -152,9 +152,22 @@ def fingerprint(col) -> Column:
 
 def shingle_fingerprints(col, k: int = 8) -> Column:
     """Rolling-window (character k-shingle) xxhash64 fingerprints as an
-    array — the input to minhash (functions/dedup.py)."""
+    array — fine-grained fingerprinting for short strings."""
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     n = F.length(normalized)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.xxhash64(normalized.substr(i, F.lit(k))))
+
+
+def word_shingle_fingerprints(col, n: int = 3) -> Column:
+    """Word n-gram xxhash64 fingerprints — the minhash input for documents.
+    ~token_count elements per doc (vs ~char_count for char shingles), which
+    matters because Spark evaluates higher-order functions interpreted,
+    not codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n)))
+    )

@@ -1,0 +1,230 @@
+"""Class-based schema API — DataFrameModel / Field / @check.
+
+Reference: pandera/api/dataframe/model.py:116 (DataFrameModel),
+model_components.py:118 (Field), :298/:325 (@check/@dataframe_check),
+pyspark variant to_structtype/to_ddl pandera/api/pyspark/model.py:277-292.
+
+Annotations supply the dtype; ``Field(...)`` supplies per-column options
+and builtin-check shorthands (ge=, le=, isin=, str_matches=, ...);
+``@check("col")`` methods become custom column checks and
+``@dataframe_check`` methods df-level checks.  ``to_schema()`` compiles to
+the engine DataFrameSchema; ``validate`` delegates.
+"""
+
+from __future__ import annotations
+
+import typing
+from typing import Any, Optional
+
+from .checks import Check
+from .schema import Column, DataFrameSchema
+
+
+class FieldInfo:
+    def __init__(
+        self,
+        nullable: bool = False,
+        unique: bool = False,
+        coerce: bool = False,
+        required: bool = True,
+        regex: bool = False,
+        default: Any = None,
+        report_duplicates: str = "all",
+        alias: Optional[str] = None,
+        title: Optional[str] = None,
+        description: Optional[str] = None,
+        checks: Optional[list[Check]] = None,
+        **check_kwargs: Any,
+    ):
+        self.nullable = nullable
+        self.unique = unique
+        self.coerce = coerce
+        self.required = required
+        self.regex = regex
+        self.default = default
+        self.report_duplicates = report_duplicates
+        self.alias = alias
+        self.title = title
+        self.description = description
+        self.checks = list(checks or [])
+        # builtin-check shorthands: Field(ge=0, isin={"a","b"}, ...)
+        shorthand = {
+            "eq": Check.equal_to, "ne": Check.not_equal_to,
+            "gt": Check.greater_than, "ge": Check.greater_than_or_equal_to,
+            "lt": Check.less_than, "le": Check.less_than_or_equal_to,
+            "in_range": None, "isin": Check.isin, "notin": Check.notin,
+            "str_matches": Check.str_matches, "str_contains": Check.str_contains,
+            "str_startswith": Check.str_startswith,
+            "str_endswith": Check.str_endswith, "str_length": None,
+            "unique_values_eq": Check.unique_values_eq,
+        }
+        for key, val in check_kwargs.items():
+            if key not in shorthand:
+                raise TypeError(f"Field() got unexpected argument {key!r}")
+            if key == "in_range":
+                self.checks.append(Check.in_range(**val))
+            elif key == "str_length":
+                if isinstance(val, dict):
+                    self.checks.append(Check.str_length(**val))
+                else:
+                    self.checks.append(Check.str_length(*val))
+            else:
+                self.checks.append(shorthand[key](val))
+
+
+def Field(**kw) -> Any:
+    return FieldInfo(**kw)
+
+
+def check(*fields: str, **check_kw):
+    """Method decorator: custom check over named column(s).  The method is
+    a classmethod-style fn(cls, col_expr_or_series) per the declared
+    check_kw (vectorized=True → pandas Series contract)."""
+
+    def deco(fn):
+        fn.__pandera_check_fields__ = fields
+        fn.__pandera_check_kwargs__ = check_kw
+        return fn
+
+    return deco
+
+
+def dataframe_check(fn=None, **check_kw):
+    def deco(f):
+        f.__pandera_df_check__ = True
+        f.__pandera_check_kwargs__ = check_kw
+        return f
+
+    if fn is not None:
+        return deco(fn)
+    return deco
+
+
+_DTYPE_FROM_ANNOTATION = {
+    int: "bigint",
+    float: "double",
+    str: "string",
+    bool: "boolean",
+    bytes: "binary",
+}
+
+
+def _annotation_to_dtype(ann):
+    import datetime
+
+    origin = typing.get_origin(ann)
+    if origin is typing.Union or str(origin) == "types.UnionType":
+        args = [a for a in typing.get_args(ann) if a is not type(None)]
+        if len(args) == 1:
+            inner_dtype, _ = _annotation_to_dtype(args[0])
+            return inner_dtype, True  # Optional[X] → nullable
+        raise TypeError(f"unsupported union annotation {ann}")
+    if ann in _DTYPE_FROM_ANNOTATION:
+        return _DTYPE_FROM_ANNOTATION[ann], False
+    if ann is datetime.datetime:
+        return "timestamp", False
+    if ann is datetime.date:
+        return "date", False
+    if isinstance(ann, str):
+        return ann, False  # DDL string annotation
+    raise TypeError(f"unsupported annotation {ann!r}")
+
+
+class _ModelMeta(type):
+    def __new__(mcs, name, bases, ns):
+        cls = super().__new__(mcs, name, bases, ns)
+        cls.__schema_cache__ = None
+        return cls
+
+
+class DataFrameModel(metaclass=_ModelMeta):
+    """Subclass with annotated fields:
+
+        class Transcript(DataFrameModel):
+            conv_id: str = Field(str_matches=r"^conv-\\d{8}$")
+            turn_idx: "int" = Field(ge=0)
+            tool: typing.Optional[str] = Field(nullable=True)
+
+            class Config:
+                unique = ["conv_id", "turn_idx"]
+                strict = True
+    """
+
+    class Config:
+        pass
+
+    @classmethod
+    def to_schema(cls) -> DataFrameSchema:
+        if cls.__schema_cache__ is not None:
+            return cls.__schema_cache__
+        hints = typing.get_type_hints(cls)
+        columns: dict[str, Column] = {}
+        for fname, ann in hints.items():
+            if fname.startswith("_"):
+                continue
+            dtype, nullable_from_ann = _annotation_to_dtype(ann)
+            info = getattr(cls, fname, None)
+            if not isinstance(info, FieldInfo):
+                info = FieldInfo()
+            colname = info.alias or fname
+            columns[colname] = Column(
+                dtype=dtype,
+                checks=list(info.checks),
+                nullable=info.nullable or nullable_from_ann,
+                unique=info.unique,
+                coerce=info.coerce,
+                required=info.required,
+                regex=info.regex,
+                default=info.default,
+                report_duplicates=info.report_duplicates,
+                title=info.title,
+                description=info.description,
+                name=colname,
+            )
+        # custom check methods
+        df_checks: list[Check] = []
+        for attr_name in dir(cls):
+            attr = getattr(cls, attr_name)
+            if callable(attr) and hasattr(attr, "__pandera_check_fields__"):
+                for fld in attr.__pandera_check_fields__:
+                    if fld not in columns:
+                        raise ValueError(f"@check field {fld!r} not a model column")
+                    kw = dict(attr.__pandera_check_kwargs__)
+                    columns[fld].checks.append(
+                        Check(attr, name=attr_name, error=attr_name, **kw)
+                    )
+            elif callable(attr) and getattr(attr, "__pandera_df_check__", False):
+                kw = dict(attr.__pandera_check_kwargs__)
+                df_checks.append(
+                    Check(attr, name=attr_name, error=attr_name, df_level=True, **kw)
+                )
+
+        cfg = cls.Config
+        schema = DataFrameSchema(
+            columns=columns,
+            checks=df_checks,
+            coerce=getattr(cfg, "coerce", False),
+            strict=getattr(cfg, "strict", False),
+            ordered=getattr(cfg, "ordered", False),
+            unique=getattr(cfg, "unique", None),
+            unique_column_names=getattr(cfg, "unique_column_names", False),
+            add_missing_columns=getattr(cfg, "add_missing_columns", False),
+            drop_invalid_rows=getattr(cfg, "drop_invalid_rows", False),
+            index_cols=getattr(cfg, "index_cols", None),
+            references=list(getattr(cfg, "references", [])),
+            name=getattr(cfg, "name", cls.__name__),
+        )
+        cls.__schema_cache__ = schema
+        return schema
+
+    @classmethod
+    def validate(cls, df, **kw):
+        return cls.to_schema().validate(df, **kw)
+
+    @classmethod
+    def to_structtype(cls):
+        return cls.to_schema().to_structtype()
+
+    @classmethod
+    def to_ddl(cls) -> str:
+        return cls.to_schema().to_ddl()

@@ -10,8 +10,13 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.join(repo, "tests")
+    pp = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = f"{repo}:{tests_dir}:{pp}"
     spark = (
         SparkSession.builder.master("local[*]")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .appName("pandera_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,138 @@
+"""Class-based model API + function decorators (reference
+tests/core/test_model.py, tests/core/test_decorators.py patterns)."""
+
+import typing
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark import SchemaErrors
+from pandera_spark.decorators import check_input, check_io, check_output, check_types
+from pandera_spark.model import DataFrameModel, Field, check, dataframe_check
+
+
+class Product(DataFrameModel):
+    name: str = Field(str_startswith="p_")
+    price: int = Field(ge=0)
+    category: typing.Optional[str] = Field(nullable=True)
+
+    class Config:
+        name = "product_schema"
+        strict = True
+
+    @check("price", vectorized=True)
+    def price_not_420(cls_or_series, *args):  # receives pd.Series
+        s = cls_or_series if args == () else args[0]
+        return s != 420
+
+    @dataframe_check
+    def name_longer_than_category(df):
+        return F.length("name") >= F.coalesce(F.length("category"), F.lit(0))
+
+
+class TestModel:
+    def test_to_schema(self):
+        schema = Product.to_schema()
+        assert set(schema.columns) == {"name", "price", "category"}
+        assert schema.columns["category"].nullable  # from Optional[...]
+        assert schema.strict is True
+        assert schema.name == "product_schema"
+        assert schema.columns["price"].checks[0].error == "greater_than_or_equal_to(0)"
+
+    def test_structtype_ddl(self):
+        st = Product.to_structtype()
+        assert [f.name for f in st.fields] == ["name", "price", "category"]
+        assert "price bigint" in Product.to_ddl()
+
+    def test_validate_pass(self, spark):
+        df = spark.createDataFrame(
+            [("p_a", 5, "x"), ("p_b", 0, None)], "name string, price bigint, category string"
+        )
+        r = Product.validate(df)
+        assert r.passed, r.report
+
+    def test_validate_failures(self, spark):
+        df = spark.createDataFrame(
+            [("q_a", -1, "cccc")], "name string, price bigint, category string"
+        )
+        r = Product.validate(df)
+        assert not r.passed
+        failed = {x["check"] for x in r.violations.collect()}
+        assert "str_startswith('p_')" in failed
+        assert "greater_than_or_equal_to(0)" in failed
+        assert "name_longer_than_category" in failed
+
+    def test_custom_vectorized_method(self, spark):
+        df = spark.createDataFrame(
+            [("p_a", 420, None)], "name string, price bigint, category string"
+        )
+        r = Product.validate(df)
+        assert not r.passed
+        assert any(
+            x["check"] == "price_not_420" for x in r.violations.collect()
+        )
+
+    def test_field_rejects_unknown_kwargs(self):
+        with pytest.raises(TypeError):
+            Field(bogus_check=1)
+
+    def test_alias(self, spark):
+        class M(DataFrameModel):
+            weird: int = Field(alias="weird name", ge=0)
+
+        schema = M.to_schema()
+        assert "weird name" in schema.columns
+
+
+class SimpleModel(DataFrameModel):
+    a: int = Field(ge=0)
+
+
+class TestDecorators:
+    def test_check_input_first_arg(self, spark):
+        @check_input(SimpleModel)
+        def f(df):
+            return df.count()
+
+        good = spark.createDataFrame([(1,)], "a bigint")
+        assert f(good) == 1
+        bad = spark.createDataFrame([(-1,)], "a bigint")
+        with pytest.raises(SchemaErrors):
+            f(bad)
+
+    def test_check_input_by_name(self, spark):
+        @check_input(SimpleModel, "df2")
+        def f(x, df2):
+            return df2.count()
+
+        bad = spark.createDataFrame([(-5,)], "a bigint")
+        with pytest.raises(SchemaErrors):
+            f(1, df2=bad)
+
+    def test_check_output(self, spark):
+        @check_output(SimpleModel)
+        def f(df):
+            return df.withColumn("a", F.col("a") - 10)
+
+        df = spark.createDataFrame([(5,)], "a bigint")
+        with pytest.raises(SchemaErrors):
+            f(df)
+
+    def test_check_io(self, spark):
+        @check_io(df=SimpleModel, out=SimpleModel)
+        def f(df):
+            return df
+
+        good = spark.createDataFrame([(1,)], "a bigint")
+        assert f(good).count() == 1
+
+    def test_check_types(self, spark):
+        @check_types
+        def f(df: SimpleModel) -> SimpleModel:
+            return df
+
+        good = spark.createDataFrame([(2,)], "a bigint")
+        assert f(good).count() == 1
+        bad = spark.createDataFrame([(-2,)], "a bigint")
+        with pytest.raises(SchemaErrors):
+            f(bad)
