@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "120000"))
+N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "360000"))
 CACHE = os.path.join(REPO, ".cache")
 
 
@@ -35,6 +35,9 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scan splits sized so the bench table yields ≥2 tasks/core at the
+        # high parallelism level — file-count must not cap the scan
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -189,15 +192,13 @@ def bench_transcripts_validate(spark, path: str) -> tuple[int, float]:
     schema = make_transcript_schema()
     t0 = time.time()
     r = schema.validate(df, collect_stats=True, collect_failure_cases=False)
-    # drift: text length distribution, first half vs second half of convs
+    # drift: text length distribution, conv-hash split — fused grouped KS
+    # (one scan for quantiles, one for ECDFs)
     lens = df.select(
         F.length("text").cast("double").alias("text_len"),
         (F.crc32(F.col("conv_id")) % 2 == 0).alias("grp"),
     )
-    drift.ks_2samp(
-        lens.filter("grp"), "text_len", lens.filter("NOT grp"), "text_len",
-        num_grid=101,
-    )
+    drift.ks_2samp_grouped(lens, "text_len", "grp", num_grid=101)
     dt = time.time() - t0
     return r.n_rows, dt
 

@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from bench import build_spark, bench_transcripts_validate, ensure_transcripts
 
 cpus = int(sys.argv[1])
@@ -43,7 +43,7 @@ print(json.dumps({"cpus": cpus, "n_turns": n, "seconds": best,
 
 
 def run_level(cpus: int, repeats: int) -> dict:
-    code = CHILD.format(repo=REPO)
+    code = CHILD.replace("@REPO@", REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(repeats)],
         capture_output=True, text=True, timeout=1800,

@@ -20,6 +20,10 @@ from .errors import (  # noqa: F401
 from .schema import Column, DataFrameSchema, Parser  # noqa: F401
 from .backend.validate import ValidationResult, validate  # noqa: F401
 from .backend.referential import Contiguity, ForeignKey, Monotonic  # noqa: F401
+from .decorators import check_input, check_io, check_output, check_types  # noqa: F401
+from .hypotheses import Hypothesis  # noqa: F401
+from .model import DataFrameModel, Field, check, dataframe_check  # noqa: F401
+from .stats import infer_schema, profile  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -218,6 +218,42 @@ def ks_2samp(
     return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "sketch")
 
 
+def ks_2samp_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    num_grid: int = 201,
+    accuracy: int = 10_000,
+) -> KSResult:
+    """Two-sample KS between the two values of a boolean/binary group
+    column, with BOTH samples' quantiles and ECDFs computed in fused
+    aggregates over a single scan each (2 jobs total, vs 4 for the
+    two-DataFrame form) — conditional aggregation ``f(when(grp, col))``
+    ignores the other group's rows without a second pass."""
+    g = F.col(group_col)
+    a_val = F.when(g, F.col(col))
+    b_val = F.when(~g, F.col(col))
+    probs = [i / (num_grid - 1) for i in range(num_grid)]
+    row = df.agg(
+        F.percentile_approx(a_val, probs, accuracy).alias("qa"),
+        F.percentile_approx(b_val, probs, accuracy).alias("qb"),
+    ).collect()[0]
+    grid = sorted(set((row["qa"] or []) + (row["qb"] or [])))
+    if not grid:
+        return KSResult(0.0, 1.0, 0, 0, "sketch")
+    aggs = [F.count(a_val).alias("__na__"), F.count(b_val).alias("__nb__")]
+    for i, gv in enumerate(grid):
+        aggs.append(F.sum((a_val <= F.lit(float(gv))).cast("long")).alias(f"__a{i}__"))
+        aggs.append(F.sum((b_val <= F.lit(float(gv))).cast("long")).alias(f"__b{i}__"))
+    r = df.agg(*aggs).collect()[0]
+    na, nb = max(r["__na__"], 1), max(r["__nb__"], 1)
+    d = max(
+        abs((r[f"__a{i}__"] or 0) / na - (r[f"__b{i}__"] or 0) / nb)
+        for i in range(len(grid))
+    )
+    return KSResult(d, ks_pvalue(d, r["__na__"], r["__nb__"]), r["__na__"], r["__nb__"], "sketch")
+
+
 def ks_2samp_exact(
     df1: DataFrame, col1: str, df2: DataFrame, col2: Optional[str] = None
 ) -> KSResult:

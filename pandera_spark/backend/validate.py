@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checks import Check
-from ..config import CONFIG
+from .. import config as _config
 from ..dtypes import dtype_equal, dtype_str, resolve_dtype
 from ..errors import (
     ErrorHandler,
@@ -104,7 +104,7 @@ def validate(
 ) -> ValidationResult:
     handler = ErrorHandler(lazy=lazy)
 
-    if not CONFIG.validation_enabled:
+    if not _config.CONFIG.validation_enabled:
         return ValidationResult(True, {}, [], df)
 
     # ---------------- subsample (pandera/backends/pyspark/base.py:52-63) --
@@ -116,7 +116,7 @@ def validate(
     schema_name = schema.name or "DataFrameSchema"
 
     # ---------------- driver-side schema checks + parser chain ------------
-    if CONFIG.schema_checks_active:
+    if _config.CONFIG.schema_checks_active:
         _check_column_names_unique(schema, df, handler, schema_name)
         df = _parse_add_missing_columns(schema, df, handler, schema_name)
         df = _parse_strict(schema, df, handler, schema_name)
@@ -127,9 +127,9 @@ def validate(
     df, coerce_checks = _parse_coerce(schema, df, handler, schema_name)
     df = _apply_custom_parsers(schema, df)
 
-    if CONFIG.schema_checks_active and not _should_coerce(schema):
+    if _config.CONFIG.schema_checks_active and not _should_coerce(schema):
         _check_dtypes(schema, df, handler, schema_name)
-    elif CONFIG.schema_checks_active:
+    elif _config.CONFIG.schema_checks_active:
         # after coercion the casted columns match by construction; still
         # verify non-coerced columns
         _check_dtypes(schema, df, handler, schema_name, skip_coerced=True)
@@ -138,7 +138,7 @@ def validate(
     compiled: list[CompiledCheck] = []
     agg_only: list[tuple[str, Check]] = []  # unique_values_eq etc.
     grouped: list[tuple[Optional[str], Check]] = []
-    if CONFIG.data_checks_active:
+    if _config.CONFIG.data_checks_active:
         compiled, agg_only, grouped = _compile_checks(schema, df, coerce_checks)
 
     stats_wanted = collect_stats
@@ -163,7 +163,7 @@ def validate(
 
     # ---------------- uniqueness (salted) ---------------------------------
     unique_violations = None
-    if CONFIG.data_checks_active:
+    if _config.CONFIG.data_checks_active:
         from .unique import run_uniqueness_checks
 
         unique_violations = run_uniqueness_checks(
@@ -173,7 +173,7 @@ def validate(
 
     # ---------------- referential / cross-table checks --------------------
     ref_violations = None
-    if CONFIG.data_checks_active and schema.references:
+    if _config.CONFIG.data_checks_active and schema.references:
         from .referential import run_referential_checks
 
         ref_violations = run_referential_checks(

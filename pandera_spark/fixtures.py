@@ -191,7 +191,7 @@ def write_bench_transcripts(
     path: str,
     n_convs: int = 120_000,
     seed: int = 42,
-    chunk: int = 30_000,
+    chunk: int = 7_500,
     partitions: Optional[int] = None,
 ) -> None:
     """Write the bench-scale transcripts table to parquet once (~10^6 turns

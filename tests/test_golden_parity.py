@@ -1,0 +1,138 @@
+"""Golden-parity tests: exact failure-case frames / report shapes mirrored
+from the reference's own tests, with Spark-native index semantics
+(row-label index → natural-key string, SURVEY.md §7.4.1).
+
+Sources:
+- tests/core/test_schemas.py:1482-1524 (consolidated failure-case frame
+  for nullable+str_matches+unique 'id' column)
+- tests/pyspark/conftest.py:36-54 + test_pyspark_error.py:52-85
+  (product/price report dict)
+- tests/core/test_schemas.py:1817-1841 (report_duplicates index lists —
+  covered in test_schema_validate.TestUniqueness)
+"""
+
+import pytest
+
+from pandera_spark import Check, Column, DataFrameSchema
+from pandera_spark.errors import FAILURE_CASE_COLUMNS
+
+
+class TestIdColumnGolden:
+    """Mirror of test_lazy_dataframe_validation_nullable_with_checks."""
+
+    def test_consolidated_failure_cases(self, spark):
+        schema = DataFrameSchema(
+            {
+                "id": Column(
+                    "string",
+                    checks=Check.str_matches(r"^ID[\d]{3}$"),
+                    required=True,
+                    unique=True,
+                    nullable=False,
+                )
+            },
+            index_cols=["row"],
+        )
+        df = spark.createDataFrame(
+            [(0, "ID001"), (1, None), (2, "XXX")], "row int, id string"
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        got = sorted(
+            (
+                x["schema_context"],
+                x["column"],
+                x["check"],
+                x["check_number"],
+                x["failure_case"],
+                x["index"],
+            )
+            for x in r.violations.collect()
+        )
+        expected = sorted(
+            [
+                ("Column", "id", "not_nullable", None, None, "1"),
+                ("Column", "id", r"str_matches('^ID[\d]{3}$')", 0, "XXX", "2"),
+            ]
+        )
+        assert got == expected
+        assert tuple(r.violations.columns) == FAILURE_CASE_COLUMNS
+
+
+class TestProductPriceGolden:
+    """Mirror of the reference pyspark report-dict golden."""
+
+    def test_report_dict_shape(self, spark):
+        schema = DataFrameSchema(
+            {
+                "product": Column("string", checks=Check.str_startswith("B")),
+                "price": Column("int", checks=Check.greater_than(5)),
+            },
+            name="product_schema",
+        )
+        df = spark.createDataFrame(
+            [("Bread", 5), ("Cutter", 15)], "product string, price int"
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        entries = r.report["DATA"]["DATAFRAME_CHECK"]
+        by_col = {e["column"]: e for e in entries}
+        assert set(by_col) == {"product", "price"}
+        assert by_col["product"]["check"] == "str_startswith('B')"
+        assert by_col["price"]["check"] == "greater_than(5)"
+        assert by_col["product"]["schema"] == "product_schema"
+        for e in entries:
+            assert set(e) == {"schema", "column", "check", "error"}
+
+    def test_passing_data_empty_report(self, spark):
+        schema = DataFrameSchema(
+            {
+                "product": Column("string", checks=Check.str_startswith("B")),
+                "price": Column("int", checks=Check.greater_than(5)),
+            },
+            name="product_schema",
+        )
+        df = spark.createDataFrame(
+            [("Bread", 9), ("Butter", 15)], "product string, price int"
+        )
+        r = schema.validate(df)
+        assert r.passed
+        assert r.report == {}
+
+
+class TestValidationDepthGating:
+    """Mirror of tests/pyspark/test_pyspark_config.py depth semantics."""
+
+    def test_schema_only_skips_data_checks(self, spark, monkeypatch):
+        from pandera_spark import config as cfg
+        from pandera_spark.config import Config, ValidationDepth
+
+        monkeypatch.setattr(
+            cfg, "CONFIG", Config(validation_depth=ValidationDepth.SCHEMA_ONLY)
+        )
+        df = spark.createDataFrame([(-5,)], "a int")
+        schema = DataFrameSchema({"a": Column("int", checks=Check.ge(0))})
+        r = schema.validate(df)
+        assert r.passed  # data check skipped
+
+    def test_data_only_skips_dtype_errors(self, spark, monkeypatch):
+        from pandera_spark import config as cfg
+        from pandera_spark.config import Config, ValidationDepth
+
+        monkeypatch.setattr(
+            cfg, "CONFIG", Config(validation_depth=ValidationDepth.DATA_ONLY)
+        )
+        df = spark.createDataFrame([("x",)], "a string")
+        schema = DataFrameSchema({"a": Column("bigint")})
+        r = schema.validate(df)
+        assert r.passed  # dtype (schema-scope) check skipped
+
+    def test_disabled_validation_noop(self, spark, monkeypatch):
+        from pandera_spark import config as cfg
+        from pandera_spark.config import Config
+
+        monkeypatch.setattr(cfg, "CONFIG", Config(validation_enabled=False))
+        df = spark.createDataFrame([(-5,)], "a int")
+        schema = DataFrameSchema({"a": Column("int", checks=Check.ge(0))})
+        r = schema.validate(df)
+        assert r.passed and r.report == {}

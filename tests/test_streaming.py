@@ -1,0 +1,80 @@
+"""Structured Streaming validation: foreachBatch micro-batch validation and
+the stateful contiguity monitor (availableNow triggers — offline-friendly)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from pandera_spark import Check, Column, DataFrameSchema
+from pandera_spark import streaming as st
+from pandera_spark.fixtures import transcripts_pandas
+
+
+@pytest.fixture()
+def stream_source(spark, tmp_path):
+    pdf = transcripts_pandas(n_convs=20)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.loc[pdf.index[3], "role"] = "operator"  # one violation
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(pdf)
+    df.coalesce(2).write.parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+class TestValidateStream:
+    def test_foreachbatch_validation(self, spark, stream_source, tmp_path):
+        schema = DataFrameSchema(
+            {
+                "role": Column(
+                    "string",
+                    checks=Check.isin({"system", "user", "assistant", "tool"}),
+                ),
+            },
+            index_cols=["conv_id", "turn_idx"],
+            name="transcripts_stream",
+        )
+        out = str(tmp_path / "out")
+        q = st.validate_stream(
+            stream_source,
+            schema,
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        metrics = sorted(glob.glob(os.path.join(out, "metrics", "*.json")))
+        assert metrics
+        rows = [json.load(open(m)) for m in metrics]
+        assert sum(r["n_rows"] for r in rows) > 0
+        assert any(not r["passed"] for r in rows)
+        viols = spark.read.parquet(os.path.join(out, "violations"))
+        bad = viols.collect()
+        assert any(v["failure_case"] == "operator" for v in bad)
+
+
+class TestContiguityMonitor:
+    def test_gap_detection(self, spark, tmp_path):
+        import pandas as pd
+
+        rows = [("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)]
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx"])
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("conv_id string, turn_idx bigint").parquet(src)
+        monitored = st.contiguity_monitor(stream)
+        q = (
+            monitored.writeStream.format("memory")
+            .queryName("contig_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from contig_test").collect()
+        assert len(out) == 1
+        assert out[0]["conv_id"] == "c1"
+        assert out[0]["turn_idx"] == 3
+        assert out[0]["kind"] == "gap"
