@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "360000"))
+N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1440000"))
 CACHE = os.path.join(REPO, ".cache")
 
 
@@ -38,6 +38,9 @@ def build_spark(cpus: int) -> SparkSession:
         # scan splits sized so the bench table yields ≥2 tasks/core at the
         # high parallelism level — file-count must not cap the scan
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # shuffle/spill on tmpfs — the sandbox's disk is slow and noisy;
+        # on a real cluster this is local NVMe
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

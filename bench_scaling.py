@@ -27,14 +27,14 @@ sys.path.insert(0, "@REPO@")
 from bench import build_spark, bench_transcripts_validate, ensure_transcripts
 
 cpus = int(sys.argv[1])
-repeats = int(sys.argv[2])
+inner = int(sys.argv[2])
 spark = build_spark(cpus)
 spark.sparkContext.setLogLevel("ERROR")
 path = ensure_transcripts(spark)
 # warm-up (JIT, parquet footer cache) — excluded from timing
 bench_transcripts_validate(spark, path)
 best = None
-for _ in range(repeats):
+for _ in range(inner):
     n, dt = bench_transcripts_validate(spark, path)
     best = dt if best is None else min(best, dt)
 print(json.dumps({"cpus": cpus, "n_turns": n, "seconds": best,
@@ -42,10 +42,10 @@ print(json.dumps({"cpus": cpus, "n_turns": n, "seconds": best,
 """
 
 
-def run_level(cpus: int, repeats: int) -> dict:
+def run_level(cpus: int, inner: int) -> dict:
     code = CHILD.replace("@REPO@", REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(repeats)],
+        [sys.executable, "-c", code, str(cpus), str(inner)],
         capture_output=True, text=True, timeout=1800,
     )
     if out.returncode != 0:
@@ -53,15 +53,33 @@ def run_level(cpus: int, repeats: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _merge_best(samples: list[dict]) -> dict:
+    best = min(samples, key=lambda s: s["seconds"])
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="alternating rounds per level (fresh session each)")
+    ap.add_argument("--inner", type=int, default=2,
+                    help="measured runs per session (min taken)")
     args = ap.parse_args()
 
-    low = run_level(args.low, args.repeats)
-    high = run_level(args.high, args.repeats)
+    # The sandbox CPU is contended in bursty waves (noisy neighbor) — a
+    # single A-then-B measurement confounds the A/B ratio with the noise
+    # wave.  Alternate low/high rounds so both levels sample the same
+    # timeline, then take the per-level minimum (uncontended capability).
+    lows, highs = [], []
+    for i in range(args.repeats):
+        lows.append(run_level(args.low, args.inner))
+        print(f"round {i} low: {lows[-1]['seconds']:.2f}s", file=sys.stderr, flush=True)
+        highs.append(run_level(args.high, args.inner))
+        print(f"round {i} high: {highs[-1]['seconds']:.2f}s", file=sys.stderr, flush=True)
+    low = _merge_best(lows)
+    high = _merge_best(highs)
     ratio = high["cpus"] / low["cpus"]
     efficiency = (low["seconds"] / high["seconds"]) / ratio
     result = {

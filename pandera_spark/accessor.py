@@ -1,0 +1,40 @@
+"""``df.pandera.errors`` accessor parity.
+
+The reference pyspark backend attaches the error report to the validated
+DataFrame via a registered accessor
+(pandera/accessors/pyspark_sql_accessor.py:16-49;
+pandera/backends/pyspark/container.py:182-188).  Our engine returns an
+explicit ValidationResult, but for drop-in familiarity the same accessor
+surface is provided: after ``schema.validate(df)``, the RESULT dataframe
+(``result.df``) carries ``.pandera.errors`` / ``.pandera.result``.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame
+
+_ATTACHED = "_pandera_spark_result"
+
+
+def attach_result(df: DataFrame, result) -> DataFrame:
+    object.__setattr__(df, _ATTACHED, result)
+    return df
+
+
+def _pandera_namespace(self: DataFrame) -> SimpleNamespace:
+    result = getattr(self, _ATTACHED, None)
+    return SimpleNamespace(
+        errors=result.report if result is not None else {},
+        result=result,
+    )
+
+
+def register_accessor() -> None:
+    """Install the ``.pandera`` property on pyspark DataFrame (idempotent)."""
+    if not hasattr(DataFrame, "pandera"):
+        DataFrame.pandera = property(_pandera_namespace)  # type: ignore[attr-defined]
+
+
+register_accessor()

@@ -79,7 +79,13 @@ def run_referential_checks(
     schema_name: str,
     index_cols: Optional[list[str]],
     collect_failure_cases: bool = True,
+    fused_unique: Optional[list[str]] = None,
 ) -> Optional[DataFrame]:
+    """``fused_unique``: when the schema's joint-unique key set equals a
+    Contiguity's (partition_by, order_col), the contiguity groupBy already
+    proves/disproves uniqueness (dcnt != cnt) — the DUPLICATES record is
+    emitted from the same job and the separate uniqueness shuffle is
+    skipped (backend/validate.py decides)."""
     parts: list[DataFrame] = []
     df_cols = set(df.columns)
     for ref in schema.references:
@@ -103,7 +109,14 @@ def run_referential_checks(
         if isinstance(ref, ForeignKey):
             v = _run_fk(ref, df, handler, schema_name, index_cols, collect_failure_cases)
         elif isinstance(ref, Contiguity):
-            v = _run_contiguity(ref, df, handler, schema_name, collect_failure_cases)
+            fuse = (
+                fused_unique is not None
+                and set(fused_unique) == {ref.partition_by, ref.order_col}
+            )
+            v = _run_contiguity(
+                ref, df, handler, schema_name, collect_failure_cases,
+                fused_unique=fused_unique if fuse else None,
+            )
         elif isinstance(ref, Monotonic):
             v = _run_monotonic(ref, df, handler, schema_name, index_cols, collect_failure_cases)
         else:
@@ -126,6 +139,23 @@ def _required_columns(ref) -> list[str]:
     if isinstance(ref, Monotonic):
         return [ref.partition_by, ref.order_col, ref.sort_col]
     return []
+
+
+def _emit_duplicates(handler, schema_name, keys, n):
+    handler.collect_error(
+        SchemaErrorRecord(
+            reason_code=SchemaErrorReason.DUPLICATES,
+            schema_context="DataFrameSchema",
+            column=", ".join(keys),
+            check="multiple_fields_uniqueness",
+            message=(
+                f"columns {list(keys)} in {schema_name} contain duplicate "
+                "key combinations"
+            ),
+            n_failure_cases=n,
+            schema_name=schema_name,
+        )
+    )
 
 
 def _emit(handler, schema_name, name, column, n, message):
@@ -228,7 +258,7 @@ def _run_fk(fk, df, handler, schema_name, index_cols, collect):
     return viol
 
 
-def _run_contiguity(cg, df, handler, schema_name, collect):
+def _run_contiguity(cg, df, handler, schema_name, collect, fused_unique=None):
     agg = df.groupBy(cg.partition_by).agg(
         F.count(F.lit(1)).alias("__cnt__"),
         F.count_distinct(F.col(cg.order_col)).alias("__dcnt__"),
@@ -241,10 +271,34 @@ def _run_contiguity(cg, df, handler, schema_name, collect):
         | (F.col("__dcnt__") != F.col("__cnt__"))
     )
     if not collect:
-        n = bad.limit(1).count()
+        if fused_unique is not None:
+            bad = bad.cache()
+            row = bad.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("__dcnt__") != F.col("__cnt__")).cast("long")).alias("nd"),
+            ).collect()[0]
+            n, n_dup_groups = row["n"], row["nd"] or 0
+            bad.unpersist()
+            if n_dup_groups:
+                _emit_duplicates(handler, schema_name, fused_unique, None)
+        else:
+            n = bad.limit(1).count()
+            n_dup_groups = 0
         if n:
             _emit(handler, schema_name, cg.name, cg.partition_by, None,
                   f"non-contiguous {cg.order_col} sequences per {cg.partition_by}")
+        return None
+    bad = bad.cache()
+    if fused_unique is not None:
+        row = bad.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__dcnt__") != F.col("__cnt__")).cast("long")).alias("nd"),
+        ).collect()[0]
+        n, n_dup_groups = row["n"], row["nd"] or 0
+    else:
+        n, n_dup_groups = bad.count(), 0
+    if n == 0:
+        bad.unpersist()
         return None
     viol = bad.select(
         F.lit("DataFrameSchema").alias("schema_context"),
@@ -259,13 +313,20 @@ def _run_contiguity(cg, df, handler, schema_name, collect):
             F.col("__cnt__").cast("string"),
         ).alias("failure_case"),
         F.col(cg.partition_by).cast("string").alias("index"),
-    ).cache()
-    n = viol.count()
-    if n == 0:
-        viol.unpersist()
-        return None
+    )
+    if n_dup_groups:
+        _emit_duplicates(handler, schema_name, fused_unique, int(n_dup_groups))
+        dup_viol = bad.filter(F.col("__dcnt__") != F.col("__cnt__")).select(
+            F.lit("DataFrameSchema").alias("schema_context"),
+            F.lit(", ".join(fused_unique)).alias("column"),
+            F.lit("multiple_fields_uniqueness").alias("check"),
+            F.lit(None).cast("int").alias("check_number"),
+            F.col(cg.partition_by).cast("string").alias("failure_case"),
+            F.col(cg.partition_by).cast("string").alias("index"),
+        )
+        viol = viol.unionByName(dup_viol)
     _emit(
-        handler, schema_name, cg.name, cg.partition_by, n,
+        handler, schema_name, cg.name, cg.partition_by, int(n),
         f"{n} groups with non-contiguous {cg.order_col} "
         f"(expected dense from {cg.start})",
     )

@@ -22,7 +22,7 @@ partial row per input partition to the shuffle.  An explicit extra-salt
 stage (``group_by(keys, salt)`` then re-aggregate) is provided for
 aggregates without a cheap combiner, but for counts it only adds a shuffle.
 The join-back to extract duplicate ROWS is skew-safe because the build side
-(duplicated keys only) is usually tiny → broadcast; the occurrence-selection
+(duplicated keys only) is usually tiny (AQE broadcasts it); the occurrence-selection
 window runs over duplicate rows only, never the full table.
 """
 
@@ -85,12 +85,15 @@ def run_uniqueness_checks(
     schema_name: str,
     index_cols: Optional[list[str]],
     collect_failure_cases: bool = True,
+    skip_joint: bool = False,
 ) -> Optional[DataFrame]:
-    """Run joint + per-column uniqueness; returns violation rows (or None)."""
+    """Run joint + per-column uniqueness; returns violation rows (or None).
+    ``skip_joint``: the joint-unique verdict is being derived from a fused
+    contiguity groupBy (backend/validate.py) — don't shuffle again."""
     violation_parts: list[DataFrame] = []
 
     # ---- joint uniqueness (schema.unique) ------------------------------
-    if schema.unique:
+    if schema.unique and not skip_joint:
         keys = [c for c in schema.unique if c in df.columns]
         if keys:
             dups = duplicate_keys(df, keys)
@@ -98,7 +101,10 @@ def run_uniqueness_checks(
             dup_rows = None
             total_dup_rows = 0
             if collect_failure_cases:
-                dup_rows = df.join(F.broadcast(dups.select(*keys)), on=keys, how="inner")
+                # no broadcast hint: the dup-key set is usually tiny (AQE will
+                # broadcast it from runtime stats) but CAN be huge in
+                # pathological data — a forced broadcast would OOM the driver
+                dup_rows = df.join(dups.select(*keys), on=keys, how="inner")
                 idx = _index_col(index_cols or keys)
                 selected = _select_occurrences(
                     dup_rows, keys, idx, schema.report_duplicates
@@ -152,9 +158,7 @@ def run_uniqueness_checks(
             nn = df.filter(F.col(t).isNotNull())
             dups = duplicate_keys(nn, [t])
             if collect_failure_cases:
-                dup_rows = nn.join(
-                    F.broadcast(dups.select(t)), on=[t], how="inner"
-                )
+                dup_rows = nn.join(dups.select(t), on=[t], how="inner")
                 idx = _index_col(index_cols or [t])
                 selected = _select_occurrences(
                     dup_rows, [t], idx, col.report_duplicates

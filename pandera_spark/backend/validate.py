@@ -161,6 +161,27 @@ def validate(
     if grouped:
         _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results)
 
+    # ---- uniqueness ⊆ contiguity fusion (verdict mode only) --------------
+    # If the joint-unique key set equals a Contiguity's (partition_by,
+    # order_col), the contiguity groupBy proves/disproves uniqueness via
+    # dcnt != cnt — one shuffle instead of two.  Only in verdict mode:
+    # failure-row collection keeps the exact per-row duplicate report.
+    fused_unique = None
+    if (
+        not collect_failure_cases
+        and schema.unique
+        and _config.CONFIG.data_checks_active
+    ):
+        from .referential import Contiguity
+
+        for ref in schema.references:
+            if isinstance(ref, Contiguity) and set(schema.unique) == {
+                ref.partition_by,
+                ref.order_col,
+            }:
+                fused_unique = list(schema.unique)
+                break
+
     # ---------------- uniqueness (salted) ---------------------------------
     unique_violations = None
     if _config.CONFIG.data_checks_active:
@@ -169,6 +190,7 @@ def validate(
         unique_violations = run_uniqueness_checks(
             schema, df, handler, schema_name, index_cols,
             collect_failure_cases=collect_failure_cases,
+            skip_joint=fused_unique is not None,
         )
 
     # ---------------- referential / cross-table checks --------------------
@@ -179,6 +201,7 @@ def validate(
         ref_violations = run_referential_checks(
             schema, df, handler, schema_name, index_cols,
             collect_failure_cases=collect_failure_cases,
+            fused_unique=fused_unique,
         )
 
     # ---------------- job 2: violation-row extraction ---------------------
@@ -224,7 +247,9 @@ def validate(
         )
 
     passed = not handler.has_errors
-    return ValidationResult(
+    from ..accessor import attach_result
+
+    result = ValidationResult(
         passed=passed,
         report=handler.summarize(),
         records=handler.collected,
@@ -234,6 +259,8 @@ def validate(
         check_results=check_results,
         n_rows=n_rows,
     )
+    attach_result(out_df, result)
+    return result
 
 
 # ---------------------------------------------------------------------- #

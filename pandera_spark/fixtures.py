@@ -186,6 +186,24 @@ def drift_pair_pandas(
     return base, cand
 
 
+def _write_chunk(args: tuple) -> int:
+    path, start, cnt, seed = args
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = transcripts_pandas(cnt, seed + start)
+    # re-key conv ids so chunks don't collide
+    ords = pdf["conv_id"].str.slice(5).astype(int) + start
+    pdf["conv_id"] = "conv-" + ords.astype(str).str.zfill(8)
+    # Spark can't scan TIMESTAMP(NANOS) parquet — write microseconds
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, os.path.join(path, f"part-{start:08d}.parquet"))
+    return len(pdf)
+
+
 def write_bench_transcripts(
     spark: SparkSession,
     path: str,
@@ -193,23 +211,18 @@ def write_bench_transcripts(
     seed: int = 42,
     chunk: int = 7_500,
     partitions: Optional[int] = None,
+    workers: Optional[int] = None,
 ) -> None:
-    """Write the bench-scale transcripts table to parquet once (~10^6 turns
-    at the default size), generated in seeded chunks so memory stays flat."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """Write the bench-scale transcripts table to parquet once, chunks
+    generated in parallel processes (seeded → deterministic per chunk)."""
     import os
+    from concurrent.futures import ProcessPoolExecutor
 
     os.makedirs(path, exist_ok=True)
-    written = 0
-    for start in range(0, n_convs, chunk):
-        cnt = min(chunk, n_convs - start)
-        pdf = transcripts_pandas(cnt, seed + start)
-        # re-key conv ids so chunks don't collide
-        ords = pdf["conv_id"].str.slice(5).astype(int) + start
-        pdf["conv_id"] = "conv-" + ords.astype(str).str.zfill(8)
-        # Spark can't scan TIMESTAMP(NANOS) parquet — write microseconds
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{start:08d}.parquet"))
-        written += len(pdf)
+    jobs = [
+        (path, start, min(chunk, n_convs - start), seed)
+        for start in range(0, n_convs, chunk)
+    ]
+    workers = workers or min(16, os.cpu_count() or 4)
+    with ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_write_chunk, jobs))
