@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1440000"))
+N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "240000"))
 CACHE = os.path.join(REPO, ".cache")
 
 
@@ -201,7 +201,7 @@ def bench_transcripts_validate(spark, path: str) -> tuple[int, float]:
         F.length("text").cast("double").alias("text_len"),
         (F.crc32(F.col("conv_id")) % 2 == 0).alias("grp"),
     )
-    drift.ks_2samp_grouped(lens, "text_len", "grp", num_grid=101)
+    drift.ks_2samp_binned(lens, "text_len", "grp", bins=8192)
     dt = time.time() - t0
     return r.n_rows, dt
 

@@ -44,9 +44,13 @@ print(json.dumps({"cpus": cpus, "n_turns": n, "seconds": best,
 
 def run_level(cpus: int, inner: int) -> dict:
     code = CHILD.replace("@REPO@", REPO)
+    env = dict(os.environ)
+    # the scaling run uses a larger table than the per-round bench so
+    # compute dominates per-job fixed overhead
+    env.setdefault("BENCH_TRANSCRIPT_CONVS", "1440000")
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(inner)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"scaling child failed:\n{out.stderr[-3000:]}")

@@ -254,6 +254,61 @@ def ks_2samp_grouped(
     return KSResult(d, ks_pvalue(d, r["__na__"], r["__nb__"]), r["__na__"], r["__nb__"], "sketch")
 
 
+def ks_2samp_binned(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 8192,
+) -> KSResult:
+    """Two-sample KS via a uniform-bucket histogram: one tiny agg for
+    min/max, then ONE groupBy(width_bucket) shuffle of ≤bins+2 combined
+    rows, cumulative ECDFs on the driver.
+
+    Why not conditional sums per grid point: >100 aggregate expressions
+    exceed Spark's whole-stage-codegen field limit and fall back to
+    interpreted evaluation (measured 10-30x slower, non-scaling).  The
+    histogram plan stays fully codegen'd and its shuffle is O(bins).
+
+    D-statistic error ≤ the largest per-bucket probability mass
+    (≈ 1/bins for smooth distributions; heavy point masses sit exactly on
+    a bucket and contribute no error)."""
+    g = F.col(group_col)
+    mm = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None or hi is None:
+        return KSResult(0.0, 1.0, 0, 0, "binned")
+    if lo == hi:
+        hist_df = df
+        bucket = F.lit(1)
+    else:
+        bucket = F.width_bucket(
+            F.col(col), F.lit(float(lo)), F.lit(float(hi)), F.lit(bins)
+        )
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("__b__"))
+        .agg(
+            F.sum(g.cast("long")).alias("na"),
+            F.sum((~g).cast("long")).alias("nb"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["__b__"])
+    n1 = sum(r["na"] or 0 for r in rows)
+    n2 = sum(r["nb"] or 0 for r in rows)
+    if not n1 or not n2:
+        return KSResult(0.0, 1.0, n1, n2, "binned")
+    ca = cb = 0
+    d = 0.0
+    for r in rows:
+        ca += r["na"] or 0
+        cb += r["nb"] or 0
+        d = max(d, abs(ca / n1 - cb / n2))
+    return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "binned")
+
+
 def ks_2samp_exact(
     df1: DataFrame, col1: str, df2: DataFrame, col2: Optional[str] = None
 ) -> KSResult:
