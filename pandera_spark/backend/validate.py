@@ -118,6 +118,16 @@ def validate(
     # ---------------- driver-side schema checks + parser chain ------------
     if _config.CONFIG.schema_checks_active:
         _check_column_names_unique(schema, df, handler, schema_name)
+        if any(
+            r.reason_code == SchemaErrorReason.DUPLICATE_COLUMN_LABELS
+            for r in handler.collected
+        ):
+            # Spark cannot resolve expressions over ambiguous column names —
+            # short-circuit with the schema-scope report (the pandas
+            # reference continues because pandas tolerates dup labels)
+            return ValidationResult(
+                False, handler.summarize(), handler.collected, df
+            )
         df = _parse_add_missing_columns(schema, df, handler, schema_name)
         df = _parse_strict(schema, df, handler, schema_name)
         _check_ordered(schema, df, handler, schema_name)
