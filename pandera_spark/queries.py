@@ -271,6 +271,72 @@ def q_ann_topk_embeddings(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_check_options_part(spark, sf_dir):
+    """Wider builtin-check matrix (notin / str_contains / eq-family) on part."""
+    part = _t(spark, sf_dir, "part")
+    schema = DataFrameSchema(
+        {
+            "p_size": Column(
+                "int", checks=Check.in_range(1, 50, error="size_range"),
+                nullable=True,
+            ),
+            "p_retailprice": Column(
+                "double", checks=Check.gt(0.0, error="price_pos"), nullable=True
+            ),
+            "p_type": Column(
+                "string", checks=Check.notin({"zzz"}, error="type_notin"),
+                nullable=True,
+            ),
+            "p_name": Column(
+                "string", checks=Check.str_contains(" ", error="name_has_space"),
+                nullable=True,
+            ),
+        },
+        name="part",
+    )
+    r = schema.validate(part, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def q_violations_topk_orders(spark, sf_dir):
+    """n_failure_cases truncation: first 5 violations by natural-key order."""
+    orders = _t(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {
+            "o_totalprice": Column(
+                "double",
+                checks=Check.gt(100000.0, n_failure_cases=5),
+                nullable=True,
+            )
+        },
+        index_cols=["o_orderkey"],
+        name="orders",
+    )
+    r = schema.validate(orders)
+    return r.violations.select("column", "check", "failure_case", "index")
+
+
+def q_unique_values_eq_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_linestatus": Column(
+                "string", checks=Check.unique_values_eq({"O", "F"}), nullable=True
+            )
+        },
+        name="lineitem",
+    )
+    r = schema.validate(li, collect_failure_cases=False)
+    c = r.check_results[-1]
+    return spark.createDataFrame(
+        [("l_linestatus", c["passed"])], "col_name string, passed boolean"
+    )
+
+
 # rows-only (no SQL oracle — approximate / non-SQL-expressible operators)
 
 
@@ -340,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "check_options_part": q_check_options_part,
+        "violations_topk_orders": q_violations_topk_orders,
+        "unique_values_eq_lineitem": q_unique_values_eq_lineitem,
         # rows-only (approximate / non-SQL-expressible)
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_signatures_documents": q_simhash_signatures_documents,
@@ -538,6 +607,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_viol FROM lagged
             WHERE prev_ts IS NOT NULL AND ts <= prev_ts
             GROUP BY user_id
+        """,
+        "check_options_part": """
+            SELECT 'p_size' AS col_name, 'size_range' AS check_name,
+                   SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END) AS n_violations,
+                   SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END) = 0 AS passed
+            FROM part
+            UNION ALL
+            SELECT 'p_retailprice', 'price_pos',
+                   SUM(CASE WHEN p_retailprice IS NOT NULL AND NOT (p_retailprice > 0) THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN p_retailprice IS NOT NULL AND NOT (p_retailprice > 0) THEN 1 ELSE 0 END) = 0
+            FROM part
+            UNION ALL
+            SELECT 'p_type', 'type_notin',
+                   SUM(CASE WHEN p_type IS NOT NULL AND p_type IN ('zzz') THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN p_type IS NOT NULL AND p_type IN ('zzz') THEN 1 ELSE 0 END) = 0
+            FROM part
+            UNION ALL
+            SELECT 'p_name', 'name_has_space',
+                   SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END) = 0
+            FROM part
+        """,
+        "violations_topk_orders": """
+            SELECT 'o_totalprice' AS "column", 'greater_than(100000.0)' AS "check",
+                   CAST(o_totalprice AS VARCHAR) AS failure_case,
+                   CAST(o_orderkey AS VARCHAR) AS index
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 100000.0)
+            ORDER BY CAST(o_orderkey AS VARCHAR)
+            LIMIT 5
+        """,
+        "unique_values_eq_lineitem": """
+            SELECT 'l_linestatus' AS col_name,
+                   list_sort(list(DISTINCT l_linestatus)) = ['F', 'O'] AS passed
+            FROM lineitem
         """,
         "psi_events": _sql_psi(),
         "ks_events": _sql_ks(),

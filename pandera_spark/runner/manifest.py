@@ -198,18 +198,32 @@ class PartitionedValidationRun:
         resume: bool = True,
         max_partitions: Optional[int] = None,
         on_partition: Optional[Callable[[PartitionResult], None]] = None,
+        parallelism: int = 1,
     ) -> list[PartitionResult]:
+        """``parallelism`` > 1 dispatches independent partitions from a
+        thread pool — Spark's scheduler runs concurrent jobs (FIFO/FAIR),
+        so small partitions pipeline instead of serializing driver round
+        trips.  Manifest appends are one file per attempt → thread-safe."""
         parts = self.discover_partitions()
         done = self.completed_partitions() if resume else set()
         todo = [p for p in parts if p not in done]
         if max_partitions is not None:
             todo = todo[:max_partitions]
-        results = []
-        for p in todo:
-            r = self.run_partition(p)
-            if on_partition:
-                on_partition(r)
-            results.append(r)
+        results: list[PartitionResult] = []
+        if parallelism <= 1:
+            for p in todo:
+                r = self.run_partition(p)
+                if on_partition:
+                    on_partition(r)
+                results.append(r)
+            return results
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(parallelism) as ex:
+            for r in ex.map(self.run_partition, todo):
+                if on_partition:
+                    on_partition(r)
+                results.append(r)
         return results
 
     def summary(self) -> dict:

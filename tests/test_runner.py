@@ -87,6 +87,15 @@ class TestManifestRun:
         assert s1["n_violations"] == s2["n_violations"]
         assert s2["partitions"] == 4
 
+    def test_parallel_dispatch(self, spark, partitioned_df, tmp_path):
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "out")
+        )
+        results = run.run(parallelism=4)
+        assert len(results) == 4
+        assert all(r.status == "ok" for r in results)
+        assert run.summary()["partitions"] == 4
+
     def test_error_partition_recorded(self, spark, tmp_path):
         df = spark.createDataFrame(
             [(1, "a"), (2, "b")], "part_id int, x string"
