@@ -122,11 +122,32 @@ class PartitionedValidationRun:
     # ------------------------------------------------------------------ #
 
     def _write_manifest_row(self, row: dict) -> None:
+        """One pyarrow file per attempt — append-only, crash-safe, and safe
+        under concurrent partition dispatch (Spark's FileOutputCommitter
+        shares a _temporary staging dir per target and races on concurrent
+        appends; a direct single-row parquet write has no staging)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         attempt = uuid.uuid4().hex[:8]
         row = {**row, "attempt": attempt}
-        df = self.spark.createDataFrame([tuple(row.get(f.name) for f in MANIFEST_SCHEMA.fields)], MANIFEST_SCHEMA)
-        # one file per attempt → append-only, crash-safe
-        df.coalesce(1).write.mode("append").parquet(self.manifest_dir)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        arrays, names = [], []
+        for f in MANIFEST_SCHEMA.fields:
+            v = row.get(f.name)
+            names.append(f.name)
+            if isinstance(f.dataType, T.TimestampType):
+                arrays.append(pa.array([v], type=pa.timestamp("us")))
+            elif isinstance(f.dataType, T.BooleanType):
+                arrays.append(pa.array([v], type=pa.bool_()))
+            elif isinstance(f.dataType, T.LongType):
+                arrays.append(pa.array([v], type=pa.int64()))
+            else:
+                arrays.append(pa.array([v], type=pa.string()))
+        table = pa.Table.from_arrays(arrays, names=names)
+        pq.write_table(
+            table, os.path.join(self.manifest_dir, f"attempt-{attempt}.parquet")
+        )
 
     def _partition_df(self, p: str) -> DataFrame:
         # predicate on the partition column — pushed down to the source
