@@ -107,6 +107,13 @@ def validate(
     if not _config.CONFIG.validation_enabled:
         return ValidationResult(True, {}, [], df)
 
+    if df.isStreaming:
+        raise TypeError(
+            "schema.validate() is a batch operation; for streaming "
+            "DataFrames use pandera_spark.streaming.validate_stream "
+            "(foreachBatch micro-batch validation)"
+        )
+
     # ---------------- subsample (pandera/backends/pyspark/base.py:52-63) --
     if head is not None:
         df = df.limit(head)

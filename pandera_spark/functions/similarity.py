@@ -134,6 +134,46 @@ def cosine_topk_ivf(
     return cosine_topk(pruned.drop("__cluster__"), vec_col, query_vec, k, id_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    index_path: str,
+    nlist: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize an IVF index: assign every row its nearest-centroid
+    cluster and write parquet PARTITIONED BY cluster.  Queries then touch
+    only ``nprobe`` partition directories — at 100 TB this is file-level
+    partition pruning at the source, not a filter after a full scan.
+    Returns the centroids (persist them next to the index)."""
+    cents = train_centroids(df, vec_col, nlist=nlist, seed=seed)
+    assigned = df.withColumn("__cluster__", assign_cluster(vec_col, cents))
+    assigned.write.mode("overwrite").partitionBy("__cluster__").parquet(index_path)
+    np.save(index_path.rstrip("/") + "_centroids.npy", cents)
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    index_path: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: Optional[str] = None,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Top-k over a materialized IVF index: the ``__cluster__ IN (...)``
+    predicate prunes partition directories before any data is read."""
+    if centroids is None:
+        centroids = np.load(index_path.rstrip("/") + "_centroids.npy")
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = [int(x) for x in np.argsort(d)[:nprobe]]
+    df = spark.read.parquet(index_path).filter(F.col("__cluster__").isin(probe))
+    return cosine_topk(df.drop("__cluster__"), vec_col, query_vec, k, id_col)
+
+
 # ---------------------------------------------------------------------- #
 # random-hyperplane LSH
 # ---------------------------------------------------------------------- #

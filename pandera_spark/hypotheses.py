@@ -143,6 +143,33 @@ class Hypothesis(Check):
         )
 
     @classmethod
+    def psi(
+        cls,
+        sample1,
+        sample2,
+        groupby: str,
+        threshold: float = 0.2,
+        buckets: int = 10,
+        raise_warning: bool = False,
+    ) -> "Hypothesis":
+        """Population-stability-index drift check between two groupby
+        levels: fails when PSI > threshold (industry rule of thumb: 0.1
+        moderate, 0.2 significant drift).  Evaluated from quantile-bucket
+        aggregates (backend/drift.py:psi_numeric) — no sample collection."""
+        return cls(
+            test=lambda *a, **k: (0.0, 1.0),
+            samples=[sample1, sample2],
+            groupby=groupby,
+            relationship=lambda stat, pvalue, alpha: stat <= threshold,
+            alpha=threshold,
+            name="psi",
+            error=f"failed PSI drift check between '{sample1}' and '{sample2}' (threshold {threshold})",
+            raise_warning=raise_warning,
+            agg_impl="psi",
+            agg_kwargs={"buckets": buckets},
+        )
+
+    @classmethod
     def ks_2samp(
         cls,
         sample1,
@@ -186,6 +213,12 @@ class Hypothesis(Check):
         if self.agg_impl == "one_sample_ttest":
             res = drift.one_sample_ttest(df, column, self.agg_kwargs["popmean"])
             return self._relationship_fn(res.statistic, res.pvalue, self.alpha)
+        if self.agg_impl == "psi":
+            g = self.groupby[0]
+            base = df.filter(F.col(g) == F.lit(self.samples[0]))
+            cand = df.filter(F.col(g) == F.lit(self.samples[1]))
+            res = drift.psi_numeric(base, cand, column, **self.agg_kwargs)
+            return self._relationship_fn(res.psi, 1.0, self.alpha)
         if self.agg_impl == "ks_2samp":
             g = self.groupby[0]
             d1 = df.filter(F.col(g) == F.lit(self.samples[0]))

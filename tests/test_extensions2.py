@@ -1,0 +1,66 @@
+"""Round-1 late additions: PSI hypothesis factory, streaming-df guard,
+materialized IVF index with partition pruning."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_spark import Column, DataFrameSchema
+from pandera_spark.functions import similarity
+from pandera_spark.hypotheses import Hypothesis
+
+
+class TestPSIHypothesis:
+    def test_drifted_fails_same_passes(self, spark):
+        from pandera_spark.fixtures import drift_pair_pandas
+
+        b_pd, c_pd = drift_pair_pandas(n=5000, shifted=True)
+        b = spark.createDataFrame(b_pd).withColumn("src", F.lit("base"))
+        c = spark.createDataFrame(c_pd).withColumn("src", F.lit("cand"))
+        both = b.unionByName(c)
+        schema = DataFrameSchema(
+            {
+                "text_len": Column(
+                    "double",
+                    checks=Hypothesis.psi("base", "cand", groupby="src", threshold=0.2),
+                ),
+                "role": Column("string"),
+                "src": Column("string"),
+            }
+        )
+        assert not schema.validate(both).passed
+
+        _, s_pd = drift_pair_pandas(n=5000, shifted=False)
+        s = spark.createDataFrame(s_pd).withColumn("src", F.lit("cand"))
+        both_same = b.unionByName(s)
+        assert schema.validate(both_same).passed
+
+
+class TestStreamingGuard:
+    def test_batch_validate_rejects_stream(self, spark, tmp_path):
+        src = str(tmp_path / "s")
+        spark.createDataFrame([(1,)], "a int").write.parquet(src)
+        stream = spark.readStream.schema("a int").parquet(src)
+        schema = DataFrameSchema({"a": Column("int")})
+        with pytest.raises(TypeError, match="validate_stream"):
+            schema.validate(stream)
+
+
+class TestIVFIndex:
+    def test_build_query_roundtrip(self, spark, tmp_path):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(16)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+        rows.append((99, [float(x) for x in base]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        path = str(tmp_path / "ivf")
+        cents = similarity.build_ivf_index(df, "embedding", path, nlist=4)
+        assert cents.shape[1] == 16
+        out = similarity.query_ivf_index(
+            spark, path, "embedding", base.tolist(), k=3, id_col="vec_id", nprobe=2
+        ).collect()
+        assert out[0]["vec_id"] == 99
+        # partition pruning reaches the scan
+        df2 = spark.read.parquet(path).filter(F.col("__cluster__").isin([0, 1]))
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or "__cluster__" in plan
