@@ -101,6 +101,12 @@ class Check:
                 "backend, not compiled to a row predicate"
             )
         if self.df_level:
+            if self.vectorized or self.element_wise:
+                # cross-column vectorized check: fn(pd.DataFrame) ->
+                # pd.Series[bool] (or fn(row_namedtuple) -> bool when
+                # element_wise).  The whole row travels as ONE Arrow struct
+                # column — still batched, no per-row Python dispatch.
+                return self._as_df_pandas_udf(df)(F.struct(*df.columns))
             return self.fn(df)
         if column is None:
             raise ValueError(f"check {self.name} requires a column")
@@ -132,6 +138,21 @@ class Check:
                 return out.astype("boolean")
 
         return F.pandas_udf(series_fn, T.BooleanType())
+
+    def _as_df_pandas_udf(self, df: DataFrame):
+        in_fn = self.fn
+        element_wise = self.element_wise
+
+        def struct_fn(pdf: pd.DataFrame) -> pd.Series:
+            if element_wise:
+                out = pdf.apply(lambda row: bool(in_fn(row)), axis=1)
+            else:
+                out = in_fn(pdf)
+            if not isinstance(out, pd.Series):
+                out = pd.Series([bool(out)] * len(pdf), index=pdf.index)
+            return out.astype("boolean")
+
+        return F.pandas_udf(struct_fn, T.BooleanType())
 
     # ------------------------------------------------------------------ #
     # dunder / repr

@@ -209,6 +209,36 @@ class TestCustomChecks:
         assert not r.passed
         assert r.check_results[-1]["n_violations"] == 1
 
+    def test_df_level_vectorized_check(self, spark):
+        # cross-column pandas check: fn(pd.DataFrame) -> pd.Series[bool]
+        df = spark.createDataFrame([(1, 2), (5, 3)], "a int, b int")
+        chk = Check(
+            lambda pdf: pdf["a"] < pdf["b"],
+            df_level=True,
+            vectorized=True,
+            name="a_lt_b_vec",
+        )
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")}, checks=chk
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        assert r.check_results[-1]["n_violations"] == 1
+
+    def test_df_level_element_wise_check(self, spark):
+        df = spark.createDataFrame([(1, 2), (5, 3)], "a int, b int")
+        chk = Check(
+            lambda row: row["a"] < row["b"],
+            df_level=True,
+            element_wise=True,
+            name="a_lt_b_ew",
+        )
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")}, checks=chk
+        )
+        r = schema.validate(df)
+        assert r.check_results[-1]["n_violations"] == 1
+
     def test_groupby_check(self, spark):
         # contract: fn receives dict[group_key -> pd.Series]
         # (reference tests/core/test_checks.py:36-133)
