@@ -42,9 +42,18 @@ from ..errors import (
     SchemaErrorReason,
     SchemaErrorRecord,
     SchemaErrors,
+    VALIDATION_SCOPE,
 )
 
 PRE_COERCE_PREFIX = "__pre_coerce__"
+
+
+def _scope_active(reason_code: SchemaErrorReason) -> bool:
+    """True iff the current validation depth enables checks whose errors
+    carry this reason code (pandera/validation_depth.py:45-84)."""
+    if VALIDATION_SCOPE[reason_code] == "SCHEMA":
+        return _config.CONFIG.schema_checks_active
+    return _config.CONFIG.data_checks_active
 
 
 @dataclass
@@ -139,6 +148,11 @@ def validate(
         df = _parse_strict(schema, df, handler, schema_name)
         _check_ordered(schema, df, handler, schema_name)
         _check_presence(schema, df, handler, schema_name)
+    else:
+        # the parser still transforms the frame at DATA_ONLY depth; its
+        # no-default error is DATA-scope (ADD_MISSING_COLUMN_NO_DEFAULT,
+        # pandera/validation_depth.py:29) and is gated inside
+        df = _parse_add_missing_columns(schema, df, handler, schema_name)
 
     df = _parse_set_defaults(schema, df)
     df, coerce_checks = _parse_coerce(schema, df, handler, schema_name)
@@ -152,11 +166,15 @@ def validate(
         _check_dtypes(schema, df, handler, schema_name, skip_coerced=True)
 
     # ---------------- compile row-level checks ----------------------------
-    compiled: list[CompiledCheck] = []
-    agg_only: list[tuple[str, Check]] = []  # unique_values_eq etc.
-    grouped: list[tuple[Optional[str], Check]] = []
-    if _config.CONFIG.data_checks_active:
-        compiled, agg_only, grouped = _compile_checks(schema, df, coerce_checks)
+    # Each compiled pseudo-check is gated by the validation scope of its
+    # reason code (pandera/validation_depth.py:13-33): not_nullable is
+    # SCHEMA-scope (SERIES_CONTAINS_NULLS), coercion-failure capture is
+    # DATA-scope (DATATYPE_COERCION), value checks are DATA-scope
+    # (DATAFRAME_CHECK) — not lumped under one depth flag.
+    compiled, agg_only, grouped = _compile_checks(schema, df, coerce_checks)
+    compiled = [cc for cc in compiled if _scope_active(cc.reason_code)]
+    if not _config.CONFIG.data_checks_active:
+        agg_only, grouped = [], []
 
     stats_wanted = collect_stats
     index_cols = _resolve_index_cols(schema, df)
@@ -257,8 +275,11 @@ def validate(
             .select(F.col("index").alias("__bad_index__"))
             .distinct()
         )
+        # no broadcast hint: the violation-key set is data-dependent and
+        # unbounded (a bad upstream load can mark every row); AQE picks
+        # broadcast at runtime when the build side is actually small
         out_df = out_df.join(
-            F.broadcast(bad_keys),
+            bad_keys,
             on=_index_expr(index_cols) == F.col("__bad_index__"),
             how="left_anti",
         )
@@ -319,6 +340,8 @@ def _parse_add_missing_columns(schema, df, handler, schema_name):
         if col.regex or name in df_cols:
             continue
         if col.default is None and not col.nullable:
+            if not _scope_active(SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT):
+                continue
             handler.collect_error(
                 SchemaErrorRecord(
                     reason_code=SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT,

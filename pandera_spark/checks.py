@@ -36,6 +36,18 @@ def _opts(kw: dict, name: str, error: str) -> dict:
     return {"name": kw.pop("name", name), "error": kw.pop("error", error)}
 
 
+def _render_values(values) -> str:
+    """Deterministic set-literal rendering for default error strings.
+
+    ``f"{set(values)}"`` iterates in hash order, which varies across
+    processes (PYTHONHASHSEED) — check names in reports, window keys for
+    n_failure_cases limits, and serialized schemas would flap run-to-run.
+    Render sorted (by repr for mixed types) in set-literal syntax instead.
+    """
+    items = sorted(values, key=repr)
+    return "{" + ", ".join(repr(v) for v in items) + "}"
+
+
 class Check:
     """A named, compilable predicate.
 
@@ -287,7 +299,7 @@ class Check:
         values = frozenset(allowed_values)  # pandera/api/checks.py:393
         return cls(
             lambda c: c.isin(*values),
-            **_opts(kw, "isin", f"isin({set(values)})"),
+            **_opts(kw, "isin", f"isin({_render_values(values)})"),
             # name/error overridable via kw
             statistics={"allowed_values": sorted(values, key=repr)},
             **kw,
@@ -298,7 +310,7 @@ class Check:
         values = frozenset(forbidden_values)
         return cls(
             lambda c: ~c.isin(*values),
-            **_opts(kw, "notin", f"notin({set(values)})"),
+            **_opts(kw, "notin", f"notin({_render_values(values)})"),
             # name/error overridable via kw
             statistics={"forbidden_values": sorted(values, key=repr)},
             **kw,
@@ -389,7 +401,7 @@ class Check:
         expected = frozenset(values)
         chk = cls(
             lambda c: F.lit(True),  # placeholder; backend intercepts by name
-            **_opts(kw, "unique_values_eq", f"unique_values_eq({set(expected)})"),
+            **_opts(kw, "unique_values_eq", f"unique_values_eq({_render_values(expected)})"),
             # name/error overridable via kw
             statistics={"values": sorted(expected, key=repr)},
             **kw,

@@ -42,16 +42,18 @@ class SchemaErrorReason(Enum):
     MISMATCH_INDEX = "mismatch_index"
 
 
-#: reason code → validation scope ("SCHEMA" or "DATA"), mirroring
-#: pandera/validation_depth.py:13-33.
+#: reason code → validation scope ("SCHEMA" or "DATA"), verbatim from
+#: pandera/validation_depth.py:13-33 (VALIDATION_DEPTH_ERROR_CODE_MAP).
+#: SCHEMA_COMPONENT_PARSER / DATAFRAME_PARSER are absent from the reference
+#: map; they follow PARSER_ERROR (DATA).
 VALIDATION_SCOPE: dict[SchemaErrorReason, str] = {
-    SchemaErrorReason.INVALID_TYPE: "SCHEMA",
-    SchemaErrorReason.DATATYPE_COERCION: "SCHEMA",
+    SchemaErrorReason.INVALID_TYPE: "DATA",
+    SchemaErrorReason.DATATYPE_COERCION: "DATA",
     SchemaErrorReason.COLUMN_NOT_IN_SCHEMA: "SCHEMA",
     SchemaErrorReason.COLUMN_NOT_ORDERED: "SCHEMA",
     SchemaErrorReason.DUPLICATE_COLUMN_LABELS: "SCHEMA",
     SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME: "SCHEMA",
-    SchemaErrorReason.SCHEMA_COMPONENT_CHECK: "DATA",
+    SchemaErrorReason.SCHEMA_COMPONENT_CHECK: "SCHEMA",
     SchemaErrorReason.DATAFRAME_CHECK: "DATA",
     SchemaErrorReason.CHECK_ERROR: "DATA",
     SchemaErrorReason.SCHEMA_COMPONENT_PARSER: "DATA",
@@ -59,13 +61,13 @@ VALIDATION_SCOPE: dict[SchemaErrorReason, str] = {
     SchemaErrorReason.PARSER_ERROR: "DATA",
     SchemaErrorReason.DUPLICATES: "DATA",
     SchemaErrorReason.WRONG_FIELD_NAME: "SCHEMA",
-    SchemaErrorReason.SERIES_CONTAINS_NULLS: "DATA",
+    SchemaErrorReason.SERIES_CONTAINS_NULLS: "SCHEMA",
     SchemaErrorReason.SERIES_CONTAINS_DUPLICATES: "DATA",
     SchemaErrorReason.WRONG_DATATYPE: "SCHEMA",
     SchemaErrorReason.NO_ERROR: "SCHEMA",
-    SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT: "SCHEMA",
+    SchemaErrorReason.ADD_MISSING_COLUMN_NO_DEFAULT: "DATA",
     SchemaErrorReason.INVALID_COLUMN_NAME: "SCHEMA",
-    SchemaErrorReason.MISMATCH_INDEX: "SCHEMA",
+    SchemaErrorReason.MISMATCH_INDEX: "DATA",
 }
 
 #: canonical consolidated failure-case column order

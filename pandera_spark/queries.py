@@ -508,22 +508,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "check_verdicts_orders": """
             SELECT 'o_orderkey' AS col_name, 'not_nullable' AS check_name,
-                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
             FROM orders
             UNION ALL
             SELECT 'o_totalprice', 'greater_than(0.0)',
-                   SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
             FROM orders
             UNION ALL
             SELECT 'o_orderstatus', 'isin(O,F)',
-                   SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) = 0
             FROM orders
             UNION ALL
             SELECT 'o_orderpriority', 'priority_format',
-                   SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END) = 0
             FROM orders
         """,
@@ -571,25 +571,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_profile_lineitem": """
             SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS cnt,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
                    COUNT(DISTINCT l_quantity) AS n_distinct,
                    ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', COUNT(l_extendedprice),
-                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT l_extendedprice),
                    ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', COUNT(l_discount),
-                   SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT l_discount),
                    ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
             FROM lineitem
             UNION ALL
             SELECT 'l_tax', COUNT(l_tax),
-                   SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT l_tax),
                    ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4)
             FROM lineitem
@@ -610,22 +610,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "check_options_part": """
             SELECT 'p_size' AS col_name, 'size_range' AS check_name,
-                   SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END) AS n_violations,
+                   CAST(SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                    SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END) = 0 AS passed
             FROM part
             UNION ALL
             SELECT 'p_retailprice', 'price_pos',
-                   SUM(CASE WHEN p_retailprice IS NOT NULL AND NOT (p_retailprice > 0) THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN p_retailprice IS NOT NULL AND NOT (p_retailprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN p_retailprice IS NOT NULL AND NOT (p_retailprice > 0) THEN 1 ELSE 0 END) = 0
             FROM part
             UNION ALL
             SELECT 'p_type', 'type_notin',
-                   SUM(CASE WHEN p_type IS NOT NULL AND p_type IN ('zzz') THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN p_type IS NOT NULL AND p_type IN ('zzz') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN p_type IS NOT NULL AND p_type IN ('zzz') THEN 1 ELSE 0 END) = 0
             FROM part
             UNION ALL
             SELECT 'p_name', 'name_has_space',
-                   SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END) = 0
             FROM part
         """,

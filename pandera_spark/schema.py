@@ -89,11 +89,16 @@ class Column:
 
     def matched_columns(self, df_columns: list[str]) -> list[str]:
         """Regex-name expansion against actual columns
-        (pandera/backends/pandas/components.py:155)."""
+        (pandera/backends/pandas/components.py:155).
+
+        Anchored at the start like the reference's ``str.match``
+        (pandera/backends/pandas/components.py:174-188) — a regex column
+        named 'id' must NOT match 'conv_id'.
+        """
         if not self.regex:
             return [self.name] if self.name in df_columns else []
         pat = re.compile(self.name)
-        return [c for c in df_columns if pat.search(c)]
+        return [c for c in df_columns if pat.match(c)]
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Column {self.name}: {dtype_str(self.dtype) if self.dtype else 'any'}>"

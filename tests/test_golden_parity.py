@@ -127,6 +127,40 @@ class TestValidationDepthGating:
         r = schema.validate(df)
         assert r.passed  # dtype (schema-scope) check skipped
 
+    def test_nullable_errors_are_schema_scope(self, spark):
+        # reference: tests/pyspark/test_pyspark_error.py:122 asserts nullable
+        # errors nest under errors['SCHEMA'] (SERIES_CONTAINS_NULLS → SCHEMA)
+        df = spark.createDataFrame([("a",), (None,)], "a string")
+        schema = DataFrameSchema({"a": Column("string", nullable=False)})
+        r = schema.validate(df)
+        assert not r.passed
+        assert "SERIES_CONTAINS_NULLS" in r.report["SCHEMA"]
+
+    def test_schema_only_still_enforces_nullability(self, spark, monkeypatch):
+        from pandera_spark import config as cfg
+        from pandera_spark.config import Config, ValidationDepth
+
+        monkeypatch.setattr(
+            cfg, "CONFIG", Config(validation_depth=ValidationDepth.SCHEMA_ONLY)
+        )
+        df = spark.createDataFrame([("a",), (None,)], "a string")
+        schema = DataFrameSchema({"a": Column("string", nullable=False)})
+        r = schema.validate(df)
+        assert not r.passed  # SCHEMA-scope check runs at SCHEMA_ONLY
+        assert "SERIES_CONTAINS_NULLS" in r.report["SCHEMA"]
+
+    def test_schema_only_skips_coercion_failures(self, spark, monkeypatch):
+        from pandera_spark import config as cfg
+        from pandera_spark.config import Config, ValidationDepth
+
+        monkeypatch.setattr(
+            cfg, "CONFIG", Config(validation_depth=ValidationDepth.SCHEMA_ONLY)
+        )
+        df = spark.createDataFrame([("1",), ("xyz",)], "a string")
+        schema = DataFrameSchema({"a": Column("bigint", nullable=True)}, coerce=True)
+        r = schema.validate(df)
+        assert r.passed  # DATATYPE_COERCION is DATA scope → skipped
+
     def test_disabled_validation_noop(self, spark, monkeypatch):
         from pandera_spark import config as cfg
         from pandera_spark.config import Config

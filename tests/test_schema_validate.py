@@ -114,7 +114,8 @@ class TestParsers:
         )
         r = schema.validate(df)
         assert not r.passed
-        assert "ADD_MISSING_COLUMN_NO_DEFAULT" in r.report["SCHEMA"]
+        # DATA scope per pandera/validation_depth.py:29
+        assert "ADD_MISSING_COLUMN_NO_DEFAULT" in r.report["DATA"]
 
     def test_set_defaults(self, spark):
         df = spark.createDataFrame([(None,), (3,)], "a int")
@@ -137,7 +138,8 @@ class TestParsers:
         schema = DataFrameSchema({"a": Column("bigint", nullable=True)}, coerce=True)
         r = schema.validate(df)
         assert not r.passed
-        assert "DATATYPE_COERCION" in r.report["SCHEMA"]
+        # DATA scope per pandera/validation_depth.py:15
+        assert "DATATYPE_COERCION" in r.report["DATA"]
         rows = r.violations.collect()
         assert rows[0]["check"] == "coerce_dtype('bigint')"
         assert rows[0]["failure_case"] == "xyz"
@@ -331,6 +333,28 @@ class TestReportContract:
         r = schema.validate(df)
         assert [x["id"] for x in r.df.collect()] == [1]
 
+    def test_drop_invalid_rows_no_forced_broadcast(self, spark):
+        # the violation-key anti-join must work when broadcast is impossible
+        # (data-dependent key set; AQE decides) — simulate by disabling the
+        # broadcast threshold and dropping many keys
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = spark.range(0, 20000).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2 * 2 - 1).cast("int").alias("x"),  # odd→1, even→-1
+            )
+            schema = DataFrameSchema(
+                {"x": Column("int", checks=Check.ge(0))},
+                index_cols=["id"],
+                drop_invalid_rows=True,
+            )
+            r = schema.validate(df)
+            assert r.df.count() == 10000
+            assert r.df.agg(F.min("x")).collect()[0][0] == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def test_stats_collection(self, spark):
         df = spark.createDataFrame([(1,), (2,), (None,)], "a int")
         schema = DataFrameSchema({"a": Column("int", nullable=True)})
@@ -352,6 +376,18 @@ class TestRegexColumns:
         assert r.passed
         checked = {c["column"] for c in r.check_results}
         assert checked == {"m_a", "m_b"}
+
+    def test_regex_is_anchored_like_str_match(self, spark):
+        # reference uses str.match (start-anchored): regex column 'id' must
+        # not match 'conv_id' (pandera/backends/pandas/components.py:174-188)
+        df = spark.createDataFrame([(1, "c1")], "id int, conv_id string")
+        schema = DataFrameSchema(
+            {"id": Column(None, checks=Check.ge(0), regex=True, name="id")}
+        )
+        r = schema.validate(df)
+        assert r.passed
+        checked = {c["column"] for c in r.check_results}
+        assert checked == {"id"}
 
 
 class TestTranscriptsEndToEnd:
