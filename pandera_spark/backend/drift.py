@@ -186,13 +186,25 @@ def ks_2samp(
     num_grid: int = 201,
     accuracy: int = 10_000,
     grid: Optional[Sequence[float]] = None,
+    bins: int = 8192,
+    method: str = "binned",
 ) -> KSResult:
-    """Sketch-based two-sample KS: 3 aggregate jobs total, no global sort.
+    """Two-sample KS, scale-safe by default.
 
-    Grid = union of both samples' approximate quantiles (the D statistic's
-    sup is attained at sample points; evaluating at ~2*num_grid merged
-    quantiles bounds the error by the inter-quantile mass ≈ 1/num_grid,
-    refined by ``accuracy`` of the Greenwald-Khanna sketch).
+    Default path (``method="binned"``): union both frames with a side tag
+    and run the binned-histogram plan — one tiny min/max aggregate + ONE
+    groupBy(width_bucket) shuffle of ≤bins+2 rows, cumulative ECDFs on the
+    driver.  Fully whole-stage-codegen at any ``bins``; D error ≤ largest
+    per-bucket mass (≈1/bins for smooth distributions).
+
+    ``grid=...`` evaluates ECDFs at an explicit grid via conditional sums —
+    keep grids ≲100 points: past ~100 aggregate expressions Spark falls out
+    of codegen (measured 10-30x slower in BENCH/BASELINE.md).
+
+    ``method="sketch"`` is the legacy quantile-merge path (grid = union of
+    both samples' percentile_approx quantiles, then conditional sums at up
+    to 2*num_grid points) — same codegen caveat; retained for small
+    num_grid and cross-validation.
     """
     col2 = col2 or col1
     if grid is not None:
@@ -200,6 +212,16 @@ def ks_2samp(
         e2, n2 = _ecdf_at(df2, col2, grid)
         d = max(abs(a - b) for a, b in zip(e1, e2))
         return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "grid")
+    if method == "binned":
+        u = df1.select(
+            F.col(col1).cast("double").alias("__v__"), F.lit(True).alias("__g__")
+        ).unionByName(
+            df2.select(
+                F.col(col2).cast("double").alias("__v__"),
+                F.lit(False).alias("__g__"),
+            )
+        )
+        return ks_2samp_binned(u, "__v__", "__g__", bins=bins)
     probs = [i / (num_grid - 1) for i in range(num_grid)]
     q1, q2 = (
         df1.agg(

@@ -21,15 +21,56 @@ Five strategies, all Spark-first:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .text import fingerprint, shingle_fingerprints, word_shingle_fingerprints
+
+logger = logging.getLogger(__name__)
+
+#: default per-(band,)bucket row cap for LSH candidate joins.  A self-join
+#: within one bucket is quadratic in the bucket size; real corpora have
+#: degenerate buckets (empty text, boilerplate headers) that would absorb
+#: the whole job.  Rows in over-cap buckets are excluded from the candidate
+#: join (recall loss only inside degenerate buckets — for minhash/simhash a
+#: pair can still surface via its other bands).
+DEFAULT_BUCKET_CAP = 2000
+
+
+def _cap_bucket_size(df: DataFrame, keys: list[str], cap: Optional[int]) -> DataFrame:
+    """Drop rows in buckets larger than ``cap`` via a window count.
+
+    The window shuffles on the same keys the candidate self-join uses, so
+    the join downstream reuses the partitioning instead of adding a second
+    shuffle."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bucket_n__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n__") <= cap)
+        .drop("__bucket_n__")
+    )
+
+
+def overflow_buckets(
+    df: DataFrame, keys: list[str], cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Diagnostic: the (keys..., n) buckets that exceed ``cap`` (the ones a
+    capped candidate join skipped).  Run separately when you need the
+    dropped-bucket report — keeping it out of the candidate plan keeps that
+    plan single-pass."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+    )
 
 # 2^31-1: a*h with a,h < p stays under 2^62 — no int64 overflow under
 # Spark's ANSI arithmetic (2^31 hash space is ample for minhash estimates)
@@ -168,12 +209,15 @@ def minhash_lsh_candidates(
     seed: int = 42,
     shingle_mode: str = "word",
     impl: str = "udf",
+    bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded minhash bucketing.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Only pairs
     colliding in ≥1 band are compared; est_jaccard = fraction of agreeing
-    minhash positions.
+    minhash positions.  Buckets larger than ``bucket_cap`` are excluded
+    from the join (see DEFAULT_BUCKET_CAP; ``overflow_buckets`` reports
+    them); pass ``bucket_cap=None`` to disable.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -194,7 +238,6 @@ def minhash_lsh_candidates(
         ).alias(f"__band_{i}__")
         for i in range(bands)
     ]
-    sig = sig.persist()  # self-joined below — avoid recomputing signatures
     banded = sig.select(id_col, "__sig__", F.explode(F.array(
         *[F.struct(F.lit(i).alias("band"), band_cols[i].alias("bucket"))
           for i in range(bands)]
@@ -202,6 +245,12 @@ def minhash_lsh_candidates(
         id_col, "__sig__", F.col("__b__.band").alias("band"),
         F.col("__b__.bucket").alias("bucket"),
     )
+    # the bucket-cap window shuffles on (band, bucket) — the same key the
+    # self-join below uses, so both join inputs arrive pre-partitioned.
+    # No persist: recomputing the vectorized signature on the second join
+    # branch measured same-or-faster than pinning it in executor cache at
+    # sf0.1 (1.1-1.3s vs 1.5-1.7s) and leaves no cache-manager leak
+    banded = _cap_bucket_size(banded, ["band", "bucket"], bucket_cap)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -299,11 +348,16 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by 4×16-bit band blocking (any pair within Hamming
     distance ≤ 16*3/16 shares ≥1 exact band by pigeonhole when distance<4
-    over 4 bands), then exact Hamming via bit_count."""
+    over 4 bands), then exact Hamming via bit_count.  Buckets larger than
+    ``bucket_cap`` are excluded (degenerate-bucket guard)."""
     sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(
         id_col,
@@ -322,6 +376,7 @@ def simhash_candidates(
             )
         ).alias("__b__"),
     ).select(id_col, "simhash", "__b__.band", "__b__.bucket")
+    bands = _cap_bucket_size(bands, ["band", "bucket"], bucket_cap)
     l, r = bands.alias("l"), bands.alias("r")
     pairs = (
         l.join(
@@ -355,13 +410,22 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: Optional[int] = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for pairs sharing ≥1 n-gram.
 
     Inverted-index self-join: explode distinct n-grams → join on n-gram →
     count intersections → join set sizes.  Length prefilter: |A|·t ≤ |B| ≤
     |A|/t is applied before the expensive count (prefix-filtering family,
-    cf. set-similarity join literature)."""
+    cf. set-similarity join literature).
+
+    ``max_df`` drops n-grams whose posting list exceeds that many docs
+    (stop-gram removal — a boilerplate n-gram shared by 10^6 docs would
+    make its posting-list self-join quadratic).  NOTE: unlike the LSH caps
+    this skews the Jaccard DENOMINATOR too — intersection counts lose the
+    dropped grams but set sizes keep them — so estimates for pairs sharing
+    a dropped gram are slightly conservative.  Pass ``max_df=None`` for the
+    exact join."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.array_distinct(
         F.transform(
@@ -373,6 +437,7 @@ def ngram_jaccard_pairs(
         "__sz__", F.size("__grams__")
     )
     inv = gdf.select(id_col, "__sz__", F.explode("__grams__").alias("__g__"))
+    inv = _cap_bucket_size(inv, ["__g__"], max_df)
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(
@@ -409,9 +474,12 @@ def embedding_cosine_dups(
     planes: int = 12,
     seed: int = 42,
     dim: Optional[int] = None,
+    bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH buckets
-    (docs with identical sign pattern) then exact cosine within buckets."""
+    (docs with identical sign pattern) then exact cosine within buckets.
+    Buckets larger than ``bucket_cap`` are excluded (degenerate-bucket
+    guard; e.g. a zero-vector bucket)."""
     from .similarity import cosine_sim_expr, hyperplane_bucket
 
     if dim is None:
@@ -421,6 +489,7 @@ def embedding_cosine_dups(
         F.col(vec_col),
         hyperplane_bucket(vec_col, dim=dim, planes=planes, seed=seed).alias("__bkt__"),
     )
+    b = _cap_bucket_size(b, ["__bkt__"], bucket_cap)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,

@@ -16,8 +16,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a, b) -> Column:
@@ -94,8 +96,34 @@ def train_centroids(
 
 
 def assign_cluster(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id, vectorized: one numpy matmul per Arrow batch.
+
+    The higher-order-function expression variant
+    (``assign_cluster_expr``) evaluates interpreted — nlist×dim arithmetic
+    per ROW through non-codegen HOFs dominates index-build cost.  Here the
+    whole batch computes ``argmin(-2 X Cᵀ + ‖c‖²)`` in C (same fix as the
+    minhash signature udf, dedup.py)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C**2).sum(1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per row → argmin
+        # needs only -2XCᵀ + ‖c‖² (ties break to the lowest cluster id,
+        # matching the expression variant's first-match semantics)
+        d = X @ C.T * -2.0 + c_sq[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return _assign(F.col(vec_col))
+
+
+def assign_cluster_expr(vec_col: str, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a JVM expression (distance per centroid via
-    array ops; argmin over a struct array)."""
+    array ops; argmin over a struct array).  Interpreted HOF evaluation —
+    prefer ``assign_cluster`` (Arrow batch) for index builds."""
     dists = []
     for j, c in enumerate(centroids):
         cl = F.array(*[F.lit(float(v)) for v in c])

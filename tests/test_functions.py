@@ -119,6 +119,76 @@ class TestMinHash:
         assert 3 in ids and 4 in ids
 
 
+class TestBucketCap:
+    """Degenerate-bucket guard: a boilerplate bucket (thousands of
+    identical docs) must not make the candidate self-join quadratic."""
+
+    @pytest.fixture(scope="class")
+    def degenerate(self, spark):
+        distinct = spark.range(0, 50).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), (F.col("id") * (j + 7) % 997).cast("string"))
+                    for j in range(12)
+                ],
+            ).alias("text"),
+        )
+        junk = spark.range(100000, 105000).select(
+            F.col("id").alias("doc_id"), F.lit("the the the").alias("text")
+        )
+        return distinct.unionByName(junk)
+
+    def test_minhash_cap_drops_degenerate_bucket(self, degenerate):
+        # uncapped would be C(5000,2) ≈ 12.5M pairs; capped excludes the
+        # junk bucket entirely
+        n = dedup.minhash_lsh_candidates(
+            degenerate, "text", "doc_id", num_hashes=32, bands=16
+        ).count()
+        assert n < 1000, n
+
+    def test_cap_preserves_small_bucket_pairs(self, spark):
+        pairs_df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        n = dedup.minhash_lsh_candidates(
+            pairs_df, "text", "doc_id", num_hashes=32, bands=16, bucket_cap=10
+        ).count()
+        assert n == 1
+
+    def test_overflow_buckets_reports_dropped(self, degenerate):
+        banded = degenerate.select(
+            "doc_id", F.lit(0).alias("band"), F.xxhash64("text").alias("bucket")
+        )
+        over = dedup.overflow_buckets(banded, ["band", "bucket"], cap=2000).collect()
+        assert len(over) == 1 and over[0]["n"] == 5000
+
+    def test_simhash_cap(self, degenerate):
+        n = dedup.simhash_candidates(
+            degenerate, "text", "doc_id", max_hamming=3, bucket_cap=1000
+        ).count()
+        assert n < 1000
+
+    def test_ngram_max_df(self, degenerate):
+        n = dedup.ngram_jaccard_pairs(
+            degenerate, "text", "doc_id", n=3, threshold=0.8, max_df=1000
+        ).count()
+        assert n < 1000
+
+    def test_embedding_cap(self, spark):
+        emb = spark.range(0, 3000).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias("v"),
+        )
+        n = dedup.embedding_cosine_dups(
+            emb, "v", "vec_id", threshold=0.99, planes=4, bucket_cap=1000
+        ).count()
+        assert n == 0  # the one giant identical-vector bucket is dropped
+
+
 class TestSimHash:
     def test_simhash_near_dups(self, docs):
         cands = dedup.simhash_candidates(docs, "text", "doc_id", max_hamming=6)
