@@ -49,9 +49,19 @@ class TestKS:
         res = drift.ks_2samp(base, "text_len", same, "text_len")
         assert not res.reject(0.01)
 
-    def test_sketch_close_to_exact(self, drift_frames):
+    def test_binned_default_close_to_exact(self, drift_frames):
         base, cand, _ = drift_frames
         approx = drift.ks_2samp(base, "text_len", cand, "text_len")
+        exact = drift.ks_2samp_exact(base, "text_len", cand, "text_len")
+        assert abs(approx.statistic - exact.statistic) < 0.02
+        # scale-safe binned histogram is the default two-frame path
+        assert approx.method == "binned" and exact.method == "exact"
+
+    def test_sketch_close_to_exact(self, drift_frames):
+        base, cand, _ = drift_frames
+        approx = drift.ks_2samp(
+            base, "text_len", cand, "text_len", method="sketch", num_grid=51
+        )
         exact = drift.ks_2samp_exact(base, "text_len", cand, "text_len")
         assert abs(approx.statistic - exact.statistic) < 0.02
         assert approx.method == "sketch" and exact.method == "exact"
