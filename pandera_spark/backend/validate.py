@@ -821,12 +821,25 @@ def _failure_message(schema_name, cc, n_viol, n_rows) -> str:
     )
 
 
+#: per-group row cap for generic (sample-collecting) grouped checks.  The
+#: dict-of-series contract requires each group's full value list on the
+#: driver — faithful to pandera but inherently driver-bound.  Groups larger
+#: than this raise a pointed error instead of OOMing the driver; builtin
+#: Hypothesis factories (ks_2samp / psi / two_sample_ttest) never collect
+#: and have no cap.
+MAX_GROUP_SAMPLE_ROWS = 100_000
+
+
 def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results):
     """groupby checks via applyInPandas
     (contract: pandera/backends/pandas/checks.py:93-135 — the check fn
     receives Dict[group_key → pd.Series]).  One Spark job per distinct
     groupby key-set; the reference pyspark backend doesn't support these at
-    all (pandera/backends/pyspark/checks.py:27-47)."""
+    all (pandera/backends/pyspark/checks.py:27-47).
+
+    Driver-memory contract: each group's sample is capped at
+    MAX_GROUP_SAMPLE_ROWS (recognized statistical tests are auto-routed to
+    the collection-free ``agg_impl`` path in hypotheses.py)."""
     import pandas as pd
 
     df_cols = set(df.columns)
@@ -881,24 +894,46 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
         target = colname
         fn = chk.fn
         groups = chk.groups
+        check_label = chk.error or chk.name
+        cap = MAX_GROUP_SAMPLE_ROWS
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             key = tuple(pdf[g].iloc[0] for g in gcols)
             if len(key) == 1:
                 key = key[0]
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"grouped-sample cap exceeded: check '{check_label}' "
+                    f"would collect {len(pdf)} rows for group {key!r} "
+                    f"(cap {cap})"
+                )
             return pd.DataFrame(
                 {"__group__": [str(key)], "__series__": [pdf[target].tolist()]}
             )
 
-        gdf = (
-            df.groupBy(*gcols)
-            .applyInPandas(
-                run_group, schema="__group__ string, __series__ array<double>"
-                if _is_numeric_col(df, target)
-                else "__group__ string, __series__ array<string>",
+        try:
+            gdf = (
+                df.groupBy(*gcols)
+                .applyInPandas(
+                    run_group, schema="__group__ string, __series__ array<double>"
+                    if _is_numeric_col(df, target)
+                    else "__group__ string, __series__ array<string>",
+                )
+                .collect()
             )
-            .collect()
-        )
+        except Exception as e:  # surface the cap breach as a pointed error
+            if "grouped-sample cap exceeded" in str(e):
+                raise RuntimeError(
+                    f"grouped check '{check_label}' on column '{target}': a "
+                    f"group exceeds MAX_GROUP_SAMPLE_ROWS={cap} rows; the "
+                    "dict-of-series contract collects whole groups to the "
+                    "driver. Use a builtin Hypothesis factory "
+                    "(Hypothesis.ks_2samp / .psi / .two_sample_ttest run as "
+                    "distributed aggregates), subsample with "
+                    "validate(sample=...), or raise "
+                    "pandera_spark.backend.validate.MAX_GROUP_SAMPLE_ROWS."
+                ) from None
+            raise
         sample_dict = {r["__group__"]: pd.Series(r["__series__"]) for r in gdf}
         if groups is not None:
             missing = [g for g in groups if str(g) not in sample_dict]

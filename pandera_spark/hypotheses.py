@@ -89,6 +89,27 @@ class Hypothesis(Check):
         )
         self._relationship_fn = rel_fn
 
+        # auto-route recognized scipy-style tests to the sketch/closed-form
+        # aggregate path instead of collecting whole group samples to the
+        # driver (the user's relationship/alpha still apply).  Pass
+        # ``agg_impl=False`` to force sample collection.
+        if (
+            self.agg_impl is None
+            and groupby
+            and self.samples
+            and len(self.samples) == 2
+        ):
+            auto = {
+                "ks_2samp": "ks_2samp",
+                "ttest_ind": "two_sample_ttest",
+            }.get(getattr(test, "__name__", ""))
+            if auto:
+                self.agg_impl = auto
+                if auto == "two_sample_ttest":
+                    self.agg_kwargs = {
+                        "equal_var": self.test_kwargs.get("equal_var", True)
+                    }
+
     # -------------------- builtin scalable factories -------------------- #
 
     @classmethod

@@ -5,6 +5,7 @@ pandera/api/hypotheses.py:101-143)."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pandera_spark import Check, Column, DataFrameSchema
 from pandera_spark.backend import drift
@@ -196,6 +197,66 @@ class TestHypothesisIntegration:
             {"x": Column("double", checks=h), "g": Column("string")}
         )
         assert schema.validate(df).passed
+
+
+class TestGroupedCollectionGuard:
+    def test_huge_group_raises_pointed_error(self, spark, monkeypatch):
+        import importlib
+
+        # the package attr 'validate' is shadowed by the function re-export
+        v = importlib.import_module("pandera_spark.backend.validate")
+        monkeypatch.setattr(v, "MAX_GROUP_SAMPLE_ROWS", 100)
+        df = spark.range(0, 500).select(
+            F.lit("a").alias("g"), F.col("id").cast("double").alias("x")
+        )
+        h = Hypothesis(
+            test=lambda s: (float(s.mean()), 1.0),
+            samples=["a"],
+            groupby="g",
+            relationship="equal",
+            agg_impl=False,  # force the sample-collection path
+        )
+        schema = DataFrameSchema({"x": Column("double", checks=h), "g": Column("string")})
+        with pytest.raises(RuntimeError, match="MAX_GROUP_SAMPLE_ROWS"):
+            schema.validate(df)
+
+    def test_scipy_named_test_auto_routes_to_agg(self, spark):
+        # a callable named like scipy.stats.ks_2samp is routed to the
+        # sketch aggregate — the callable itself is never invoked and no
+        # group samples are collected
+        def ks_2samp(s1, s2):
+            raise AssertionError("sample-collection path must not run")
+
+        h = Hypothesis(
+            test=ks_2samp, samples=["a", "b"], groupby="g", relationship="equal"
+        )
+        assert h.agg_impl == "ks_2samp"
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(50)]
+            + [("b", float(v)) for v in range(50)],
+            "g string, x double",
+        )
+        schema = DataFrameSchema({"x": Column("double", checks=h), "g": Column("string")})
+        assert schema.validate(df).passed  # same distribution → equal holds
+
+    def test_agg_impl_false_forces_collection(self, spark):
+        calls = []
+
+        def ks_2samp(s1, s2):
+            calls.append(len(s1))
+            return 0.0, 1.0
+
+        h = Hypothesis(
+            test=ks_2samp, samples=["a", "b"], groupby="g",
+            relationship="equal", agg_impl=False,
+        )
+        assert h.agg_impl is False
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, x double"
+        )
+        schema = DataFrameSchema({"x": Column("double", checks=h), "g": Column("string")})
+        assert schema.validate(df).passed
+        assert calls == [2]
 
 
 class TestStatsProfile:
