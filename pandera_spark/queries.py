@@ -337,6 +337,94 @@ def q_unique_values_eq_lineitem(spark, sf_dir):
     )
 
 
+def q_check_builtins_customer(spark, sf_dir):
+    """Verdict matrix covering the remaining §2.4 builtins: equal_to /
+    not_equal_to / greater_than_or_equal_to / less_than / str_startswith /
+    str_endswith / str_length (default check names)."""
+    cust = _t(spark, sf_dir, "customer")
+    schema = DataFrameSchema(
+        {
+            "c_mktsegment": Column(
+                "string",
+                checks=[Check.equal_to("FURNITURE"), Check.not_equal_to("FURNITURE")],
+                nullable=True,
+            ),
+            "c_nationkey": Column(
+                "int",
+                checks=[Check.greater_than_or_equal_to(5), Check.less_than(20)],
+                nullable=True,
+            ),
+            "c_name": Column(
+                "string",
+                checks=[
+                    Check.str_startswith("Customer#"),
+                    Check.str_endswith("0"),
+                    Check.str_length(18, 18),
+                ],
+                nullable=True,
+            ),
+        },
+        name="customer",
+    )
+    r = schema.validate(cust, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def _report_dups_query(spark, sf_dir, mode):
+    orders = _t(spark, sf_dir, "orders")
+    schema = DataFrameSchema(
+        {"o_custkey": Column("bigint", unique=True, report_duplicates=mode)},
+        index_cols=["o_orderkey"],
+        name="orders",
+    )
+    r = schema.validate(orders)
+    return r.violations.select("column", "check", "failure_case", "index")
+
+
+def q_report_dups_excl_first_orders(spark, sf_dir):
+    """report_duplicates='exclude_first': first occurrence (by natural-key
+    string order) of each duplicated o_custkey is not reported."""
+    return _report_dups_query(spark, sf_dir, "exclude_first")
+
+
+def q_report_dups_excl_last_orders(spark, sf_dir):
+    return _report_dups_query(spark, sf_dir, "exclude_last")
+
+
+def q_ignore_na_orders(spark, sf_dir):
+    """ignore_na semantics side-by-side: the same predicate with
+    ignore_na=False counts NULLs as failures, default passes them
+    (reference: pandera Check(..., ignore_na) null-guard)."""
+    orders = _t(spark, sf_dir, "orders")
+    masked = orders.withColumn(
+        "o_price_masked",
+        F.when(F.col("o_orderkey") % 10 != 0, F.col("o_totalprice")),
+    )
+    schema = DataFrameSchema(
+        {
+            "o_price_masked": Column(
+                "double",
+                checks=[
+                    Check.gt(1000.0, ignore_na=False, error="gt_strict"),
+                    Check.gt(1000.0, error="gt_lenient"),
+                ],
+                nullable=True,
+            )
+        },
+        name="orders_na",
+    )
+    r = schema.validate(masked, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
 # rows-only (no SQL oracle — approximate / non-SQL-expressible operators)
 
 
@@ -407,6 +495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "check_options_part": q_check_options_part,
+        "check_builtins_customer": q_check_builtins_customer,
+        "report_dups_excl_first_orders": q_report_dups_excl_first_orders,
+        "report_dups_excl_last_orders": q_report_dups_excl_last_orders,
+        "ignore_na_orders": q_ignore_na_orders,
         "violations_topk_orders": q_violations_topk_orders,
         "unique_values_eq_lineitem": q_unique_values_eq_lineitem,
         # rows-only (approximate / non-SQL-expressible)
@@ -628,6 +720,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, ' ') THEN 1 ELSE 0 END) = 0
             FROM part
+        """,
+        "check_builtins_customer": """
+            SELECT 'c_mktsegment' AS col_name, 'equal_to(FURNITURE)' AS check_name,
+                   CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND NOT (c_mktsegment = 'FURNITURE') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   SUM(CASE WHEN c_mktsegment IS NOT NULL AND NOT (c_mktsegment = 'FURNITURE') THEN 1 ELSE 0 END) = 0 AS passed
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', 'not_equal_to(FURNITURE)',
+                   CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND NOT (c_mktsegment != 'FURNITURE') THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_mktsegment IS NOT NULL AND NOT (c_mktsegment != 'FURNITURE') THEN 1 ELSE 0 END) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', 'greater_than_or_equal_to(5)',
+                   CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT (c_nationkey >= 5) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT (c_nationkey >= 5) THEN 1 ELSE 0 END) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', 'less_than(20)',
+                   CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT (c_nationkey < 20) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT (c_nationkey < 20) THEN 1 ELSE 0 END) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', 'str_startswith(''Customer#'')',
+                   CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT starts_with(c_name, 'Customer#') THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_name IS NOT NULL AND NOT starts_with(c_name, 'Customer#') THEN 1 ELSE 0 END) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', 'str_endswith(''0'')',
+                   CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT ends_with(c_name, '0') THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_name IS NOT NULL AND NOT ends_with(c_name, '0') THEN 1 ELSE 0 END) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', 'str_length(18, 18)',
+                   CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) = 0
+            FROM customer
+        """,
+        "report_dups_excl_first_orders": """
+            WITH d AS (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY CAST(o_orderkey AS VARCHAR)) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+              FROM orders WHERE o_custkey IS NOT NULL)
+            SELECT 'o_custkey' AS "column", 'field_uniqueness' AS "check",
+                   CAST(o_custkey AS VARCHAR) AS failure_case,
+                   CAST(o_orderkey AS VARCHAR) AS index
+            FROM d WHERE cnt > 1 AND rn > 1
+        """,
+        "report_dups_excl_last_orders": """
+            WITH d AS (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY CAST(o_orderkey AS VARCHAR) DESC) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+              FROM orders WHERE o_custkey IS NOT NULL)
+            SELECT 'o_custkey' AS "column", 'field_uniqueness' AS "check",
+                   CAST(o_custkey AS VARCHAR) AS failure_case,
+                   CAST(o_orderkey AS VARCHAR) AS index
+            FROM d WHERE cnt > 1 AND rn > 1
+        """,
+        "ignore_na_orders": """
+            WITH m AS (
+              SELECT CASE WHEN o_orderkey % 10 != 0 THEN o_totalprice END
+                     AS o_price_masked
+              FROM orders)
+            SELECT 'o_price_masked' AS col_name, 'gt_strict' AS check_name,
+                   CAST(SUM(CASE WHEN o_price_masked IS NULL OR NOT (o_price_masked > 1000.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   SUM(CASE WHEN o_price_masked IS NULL OR NOT (o_price_masked > 1000.0) THEN 1 ELSE 0 END) = 0 AS passed
+            FROM m
+            UNION ALL
+            SELECT 'o_price_masked', 'gt_lenient',
+                   CAST(SUM(CASE WHEN o_price_masked IS NOT NULL AND NOT (o_price_masked > 1000.0) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN o_price_masked IS NOT NULL AND NOT (o_price_masked > 1000.0) THEN 1 ELSE 0 END) = 0
+            FROM m
         """,
         "violations_topk_orders": """
             SELECT 'o_totalprice' AS "column", 'greater_than(100000.0)' AS "check",
