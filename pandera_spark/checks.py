@@ -455,23 +455,26 @@ def register_check_method(
             stats = dict(zip(params, args))
             stats.update({k: v for k, v in kw.items() if k in params})
             opts = {k: v for k, v in kw.items() if k not in params}
-            arg_str = ", ".join(repr(a) for a in args)
+            # statistic args in declared order, whether given positionally
+            # or by keyword (serialization round-trips pass them by keyword)
+            call_args = [stats[p] for p in params if p in stats]
+            arg_str = ", ".join(repr(a) for a in call_args)
             common = dict(
-                name=method_name,
-                error=f"{method_name}({arg_str})",
+                name=opts.pop("name", method_name),
+                error=opts.pop("error", None) or f"{method_name}({arg_str})",
                 statistics=stats,
                 ignore_na=opts.pop("ignore_na", ignore_na),
                 **opts,
             )
             if check_type == "expression":
-                return Check(lambda c: func(c, *args), **common)
+                return Check(lambda c: func(c, *call_args), **common)
             if check_type == "vectorized":
-                return Check(lambda s: func(s, *args), vectorized=True, **common)
+                return Check(lambda s: func(s, *call_args), vectorized=True, **common)
             if check_type == "element_wise":
-                return Check(lambda x: func(x, *args), element_wise=True, **common)
+                return Check(lambda x: func(x, *call_args), element_wise=True, **common)
             if check_type == "groupby":
                 gb = common.pop("groupby", None) or opts.get("groupby")
-                return Check(lambda d: func(d, *args), groupby=gb, **common)
+                return Check(lambda d: func(d, *call_args), groupby=gb, **common)
             raise ValueError(f"unknown check_type {check_type}")
 
         _CHECK_REGISTRY[method_name] = factory

@@ -1,2 +1,10 @@
-from .serialization import from_dict, from_json, schema_to_dict, to_json  # noqa: F401
+from .serialization import (  # noqa: F401
+    from_dict,
+    from_json,
+    from_yaml,
+    schema_to_dict,
+    to_json,
+    to_script,
+    to_yaml,
+)
 from .sources import read_table, write_table  # noqa: F401

@@ -194,3 +194,105 @@ def from_json(source: str) -> DataFrameSchema:
         with open(source) as f:
             return from_dict(json.load(f))
     return from_dict(json.loads(source))
+
+
+def to_yaml(schema: DataFrameSchema, path: str | None = None) -> str:
+    """YAML serialization (pandera/io/pandas_io.py:346 to_yaml parity).
+
+    Same dict shape as to_json — the two formats are interchangeable."""
+    try:
+        import yaml
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("to_yaml requires pyyaml") from e
+    s = yaml.safe_dump(
+        schema_to_dict(schema), sort_keys=False, default_flow_style=False
+    )
+    if path:
+        with open(path, "w") as f:
+            f.write(s)
+    return s
+
+
+def from_yaml(source: str) -> DataFrameSchema:
+    """Accepts a YAML string or a path to a YAML file
+    (pandera/io/pandas_io.py:360 from_yaml parity)."""
+    try:
+        import yaml
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("from_yaml requires pyyaml") from e
+    import os
+
+    if os.path.exists(source):
+        with open(source) as f:
+            return from_dict(yaml.safe_load(f))
+    return from_dict(yaml.safe_load(source))
+
+
+def _render_check_call(d: dict) -> str:
+    stats = dict(d.get("statistics") or {})
+    opts = {k: v for k, v in (d.get("options") or {}).items() if v is not None}
+    name = d["name"]
+    if name == "isin":
+        args = [repr(stats.pop("allowed_values"))]
+    elif name == "notin":
+        args = [repr(stats.pop("forbidden_values"))]
+    elif name == "unique_values_eq":
+        args = [repr(stats.pop("values"))]
+    else:
+        args = []
+    kwargs = [f"{k}={v!r}" for k, v in {**stats, **opts}.items()]
+    return f"Check.{name}({', '.join(args + kwargs)})"
+
+
+def to_script(schema: DataFrameSchema, path: str | None = None) -> str:
+    """Emit a runnable Python script reconstructing the schema
+    (pandera/io/pandas_io.py:562 to_script parity)."""
+    d = schema_to_dict(schema)
+    lines = [
+        "from pandera_spark import Check, Column, DataFrameSchema",
+    ]
+    if d["references"]:
+        lines.append(
+            "from pandera_spark.backend.referential import Contiguity, Monotonic"
+        )
+    lines += ["", "schema = DataFrameSchema(", "    columns={"]
+    for cname, cd in d["columns"].items():
+        checks = ", ".join(_render_check_call(c) for c in cd["checks"])
+        col_kw = [f"dtype={cd['dtype']!r}"]
+        if checks:
+            col_kw.append(f"checks=[{checks}]")
+        for k in ("nullable", "unique", "coerce", "regex"):
+            if cd[k]:
+                col_kw.append(f"{k}={cd[k]!r}")
+        if cd["report_duplicates"] != "all":
+            col_kw.append(f"report_duplicates={cd['report_duplicates']!r}")
+        if not cd["required"]:
+            col_kw.append("required=False")
+        if cd["default"] is not None:
+            col_kw.append(f"default={cd['default']!r}")
+        lines.append(f"        {cname!r}: Column({', '.join(col_kw)}),")
+    lines.append("    },")
+    for k in (
+        "coerce", "strict", "ordered", "unique", "unique_column_names",
+        "add_missing_columns", "drop_invalid_rows", "index_cols", "name",
+    ):
+        v = d[k]
+        if v not in (False, None):
+            lines.append(f"    {k}={v!r},")
+    if d["report_duplicates"] != "all":
+        lines.append(f"    report_duplicates={d['report_duplicates']!r},")
+    if d["references"]:
+        refs = []
+        for r in d["references"]:
+            kw = {k: v for k, v in r.items() if k != "kind"}
+            cls = {"contiguity": "Contiguity", "monotonic": "Monotonic"}[r["kind"]]
+            refs.append(
+                f"{cls}({', '.join(f'{k}={v!r}' for k, v in kw.items())})"
+            )
+        lines.append(f"    references=[{', '.join(refs)}],")
+    lines.append(")")
+    s = "\n".join(lines) + "\n"
+    if path:
+        with open(path, "w") as f:
+            f.write(s)
+    return s

@@ -163,11 +163,18 @@ class PartitionedValidationRun:
                 pdf, collect_stats=self.collect_stats, collect_failure_cases=True
             )
             n_viol = 0
+            viol_path = os.path.join(self.violations_dir, f"partition_id={p}")
             if res.violations is not None:
                 out = res.violations.withColumn("partition_id", F.lit(p))
-                viol_path = os.path.join(self.violations_dir, f"partition_id={p}")
                 out.drop("partition_id").write.mode("overwrite").parquet(viol_path)
                 n_viol = self.spark.read.parquet(viol_path).count()
+            elif os.path.isdir(viol_path):
+                # a prior attempt left violation rows but this attempt is
+                # clean — remove them so downstream readers of the
+                # violations sink never double-count (idempotent re-run)
+                import shutil
+
+                shutil.rmtree(viol_path, ignore_errors=True)
             metrics = {
                 "stats": _jsonable(res.stats),
                 "check_results": res.check_results,

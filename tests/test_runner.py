@@ -87,6 +87,25 @@ class TestManifestRun:
         assert s1["n_violations"] == s2["n_violations"]
         assert s2["partitions"] == 4
 
+    def test_clean_rerun_clears_stale_violations(self, spark, tmp_path):
+        # a partition that failed once and passes on re-run must leave no
+        # violation rows behind in the sink (idempotent re-run contract)
+        out = str(tmp_path / "out")
+        bad = spark.createDataFrame([(1, -5), (2, 7)], "part_id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))}, index_cols=["part_id"]
+        )
+        run1 = PartitionedValidationRun(schema, bad, "part_id", out)
+        run1.run()
+        viol_p1 = os.path.join(out, "violations", "partition_id=1")
+        assert os.path.isdir(viol_p1)
+        # same partition, now-clean data
+        good = spark.createDataFrame([(1, 5), (2, 7)], "part_id int, x int")
+        run2 = PartitionedValidationRun(schema, good, "part_id", out)
+        run2.run(resume=False)
+        assert not os.path.isdir(viol_p1)
+        assert run2.summary()["n_violations"] == 0
+
     def test_parallel_dispatch(self, spark, partitioned_df, tmp_path):
         run = PartitionedValidationRun(
             make_schema(), partitioned_df, "part_id", str(tmp_path / "out")
@@ -160,3 +179,49 @@ class TestSerialization:
         )
         with pytest.raises(ValueError):
             schema_to_dict(schema)
+
+    def test_yaml_round_trip(self, spark, tmp_path):
+        from pandera_spark.io import from_yaml, to_yaml
+
+        schema = make_schema()
+        y = to_yaml(schema)
+        loaded = from_yaml(y)
+        assert set(loaded.columns) == set(schema.columns)
+        assert loaded.unique == schema.unique
+        assert len(loaded.references) == 1
+        p = str(tmp_path / "schema.yaml")
+        to_yaml(schema, path=p)
+        assert from_yaml(p).name == "transcripts"
+        # yaml and json round-trips agree
+        assert schema_to_dict(from_yaml(y)) == schema_to_dict(
+            from_json(to_json(schema))
+        )
+
+    def test_yaml_round_trip_registered_custom_check(self, spark):
+        from pandera_spark import register_check_method
+        from pandera_spark.io import from_yaml, to_yaml
+
+        @register_check_method(name="is_even_ser")
+        def is_even_ser(col, base):
+            return col % base == 0
+
+        schema = DataFrameSchema(
+            {"c": Column("bigint", checks=Check.is_even_ser(2), nullable=True)}
+        )
+        loaded = from_yaml(to_yaml(schema))
+        chk = loaded.columns["c"].checks[0]
+        assert chk.name == "is_even_ser" and chk.error == "is_even_ser(2)"
+        df = spark.createDataFrame([(2,), (3,)], "c bigint")
+        r = loaded.validate(df)
+        assert not r.passed  # 3 fails the reconstructed custom check
+
+    def test_to_script_exec_round_trip(self, spark):
+        from pandera_spark.io import to_script
+
+        schema = make_schema()
+        src = to_script(schema)
+        ns: dict = {}
+        exec(src, ns)
+        loaded = ns["schema"]
+        assert set(loaded.columns) == set(schema.columns)
+        assert schema_to_dict(loaded) == schema_to_dict(schema)
