@@ -77,18 +77,44 @@ def extract_row_violations(
         if cc.check is not None and cc.check.n_failure_cases is not None
     }
     if limits:
-        w = Window.partitionBy("column", "check").orderBy("index")
-        out = out.withColumn("__rn__", F.row_number().over(w))
-        # apply the tightest requested limit per (column, check); unlimited
-        # checks keep all rows
-        conds = F.lit(True)
+        # per-row limit (NULL → unlimited check)
+        k_expr = F.lit(None).cast("int")
         for (colname, chk), k in limits.items():
-            conds = conds & ~(
+            k_expr = F.when(
                 (F.coalesce(F.col("column"), F.lit("")) == (colname or ""))
-                & (F.col("check") == chk)
-                & (F.col("__rn__") > k)
-            )
-        out = out.filter(conds).drop("__rn__")
+                & (F.col("check") == chk),
+                F.lit(int(k)),
+            ).otherwise(k_expr)
+        out = out.withColumn("__k__", k_expr)
+
+        # stage 1 — per-input-partition pre-limit: global first-k by index
+        # is a subset of the union of per-partition first-k, so each
+        # (column, check, source-partition) group keeps at most k rows.
+        # Window partitions are bounded by one input partition's rows —
+        # a single check with 10^9 violations never lands in ONE sort.
+        pre_w = Window.partitionBy(
+            "column", "check", F.spark_partition_id()
+        ).orderBy("index")
+        out = (
+            out.withColumn("__prn__", F.row_number().over(pre_w))
+            .filter(F.col("__k__").isNull() | (F.col("__prn__") <= F.col("__k__")))
+            .drop("__prn__")
+        )
+
+        # stage 2 — exact global limit over the pre-limited rows.  Limited
+        # checks now have ≤ k × n_input_partitions rows per window group;
+        # unlimited-check rows get a degenerate per-row key (their index)
+        # so no giant group is ever sorted.
+        glob_w = Window.partitionBy(
+            "column",
+            "check",
+            F.when(F.col("__k__").isNull(), F.monotonically_increasing_id()),
+        ).orderBy("index")
+        out = (
+            out.withColumn("__rn__", F.row_number().over(glob_w))
+            .filter(F.col("__k__").isNull() | (F.col("__rn__") <= F.col("__k__")))
+            .drop("__rn__", "__k__")
+        )
     return out
 
 
