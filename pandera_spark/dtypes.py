@@ -32,6 +32,7 @@ _PYTHON_ALIASES: dict[Any, T.DataType] = {
     bytearray: T.BinaryType(),
     datetime.datetime: T.TimestampType(),
     datetime.date: T.DateType(),
+    datetime.timedelta: T.DayTimeIntervalType(),  # pandera Timedelta parity
     decimal.Decimal: T.DecimalType(38, 18),
     object: T.StringType(),
 }
@@ -69,6 +70,16 @@ _STRING_ALIASES: dict[str, T.DataType] = {
     "timestamp": T.TimestampType(),
     "timestamp_ntz": T.TimestampNTZType(),
     "decimal": T.DecimalType(10, 0),
+    # pandera Timedelta (pandera/dtypes.py:543) ↔ Spark day-time interval
+    "timedelta": T.DayTimeIntervalType(),
+    "timedelta64[ns]": T.DayTimeIntervalType(),
+    "interval day to second": T.DayTimeIntervalType(),
+    "daytimeinterval": T.DayTimeIntervalType(),
+    "interval year to month": T.YearMonthIntervalType(),
+    # pandera Category (pandera/dtypes.py:479): Spark has no categorical
+    # storage type — the value domain is a data property, enforced with
+    # Check.isin / unique_values_eq over a string column
+    "category": T.StringType(),
 }
 
 

@@ -1,0 +1,135 @@
+"""Optional-runtime integrations: Iceberg catalog tables and Spark Connect.
+
+Both skip cleanly when the runtime is absent from the container (no
+Iceberg jar / no grpcio here — no network to fetch them); on a real
+cluster with the dependencies present they run in full.
+"""
+
+import os
+
+import pytest
+
+
+def _iceberg_jar_present() -> bool:
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any("iceberg-spark-runtime" in j for j in os.listdir(jars))
+    except Exception:
+        return False
+
+
+def _grpc_present() -> bool:
+    try:
+        import grpc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _iceberg_jar_present(),
+    reason="iceberg-spark-runtime jar not in container (no network to fetch)",
+)
+class TestIcebergIntegration:
+    """End-to-end manifest loop against a real Iceberg catalog table:
+    partition pruning happens at the catalog (file-level), and the
+    violations sink overwrites per partition."""
+
+    @pytest.fixture(scope="class")
+    def iceberg_spark(self, tmp_path_factory):
+        from pyspark.sql import SparkSession
+
+        wh = str(tmp_path_factory.mktemp("iceberg_wh"))
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("iceberg-it")
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", wh)
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        yield spark
+
+    def test_manifest_loop_on_iceberg_table(self, iceberg_spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pandera_spark import Check, Column, DataFrameSchema
+        from pandera_spark.fixtures import corrupted_transcripts_df
+        from pandera_spark.runner import PartitionedValidationRun
+
+        df = corrupted_transcripts_df(iceberg_spark, n_convs=40).withColumn(
+            "part_id", F.pmod(F.crc32(F.col("conv_id")), F.lit(4))
+        )
+        df.writeTo("local.db.transcripts").partitionedBy("part_id").createOrReplace()
+        schema = DataFrameSchema(
+            {
+                "role": Column(
+                    "string",
+                    checks=Check.isin({"system", "user", "assistant", "tool"}),
+                ),
+                "text": Column("string", nullable=False),
+            },
+            index_cols=["conv_id", "turn_idx"],
+            name="transcripts",
+        )
+        run = PartitionedValidationRun(
+            schema,
+            "local.db.transcripts",
+            "part_id",
+            str(tmp_path / "out"),
+            spark=iceberg_spark,
+        )
+        results = run.run()
+        assert len(results) == 4
+        assert all(r.status == "ok" for r in results)
+        # pruning: a single-partition scan must read fewer files than all
+        one = run._partition_df(results[0].partition_id)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "Iceberg" in plan or "local.db.transcripts" in plan
+
+
+@pytest.mark.skipif(
+    not _grpc_present(), reason="grpcio not installed (Spark Connect client)"
+)
+class TestSparkConnectParity:
+    """The engine is expression-based (no sparkContext access in the hot
+    path), so a Connect session should validate identically to classic —
+    mirrors the reference's classic/connect parametrization
+    (/root/reference/tests/pyspark/conftest.py:14-33)."""
+
+    @pytest.fixture(scope="class")
+    def connect_spark(self):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.remote("local[4]").getOrCreate()
+        yield spark
+        spark.stop()
+
+    def test_validate_over_connect(self, connect_spark):
+        from pandera_spark import Check, Column, DataFrameSchema
+
+        df = connect_spark.createDataFrame(
+            [("u", 1), ("bogus", -1)], "role string, turn_idx int"
+        )
+        schema = DataFrameSchema(
+            {
+                "role": Column("string", checks=Check.isin({"u", "a"})),
+                "turn_idx": Column("int", checks=Check.ge(0)),
+            },
+            index_cols=["turn_idx"],
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        checks_failed = {c["check"] for c in r.check_results if not c["passed"]}
+        assert any("isin" in c for c in checks_failed)
+        assert "greater_than_or_equal_to(0)" in checks_failed

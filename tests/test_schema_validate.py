@@ -390,6 +390,33 @@ class TestRegexColumns:
         assert checked == {"id"}
 
 
+class TestDtypeParity:
+    def test_timedelta_maps_to_daytime_interval(self, spark):
+        import datetime
+
+        from pandera_spark.dtypes import dtype_equal, resolve_dtype
+
+        assert isinstance(resolve_dtype(datetime.timedelta), T.DayTimeIntervalType)
+        assert dtype_equal("timedelta64[ns]", T.DayTimeIntervalType())
+        assert dtype_equal("interval day to second", "timedelta")
+        # end-to-end: an interval column validates against 'timedelta'
+        df = spark.sql(
+            "SELECT INTERVAL '1 02:03:04' DAY TO SECOND AS dur"
+        )
+        r = DataFrameSchema({"dur": Column("timedelta", nullable=True)}).validate(df)
+        assert r.passed
+
+    def test_category_maps_to_string(self, spark):
+        from pandera_spark.dtypes import resolve_dtype
+
+        assert isinstance(resolve_dtype("category"), T.StringType)
+        df = spark.createDataFrame([("a",), ("b",)], "c string")
+        schema = DataFrameSchema(
+            {"c": Column("category", checks=Check.isin({"a", "b"}), nullable=True)}
+        )
+        assert schema.validate(df).passed
+
+
 class TestTranscriptsEndToEnd:
     @pytest.fixture(scope="class")
     def schemas(self):
