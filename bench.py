@@ -154,6 +154,56 @@ def bench_drift(spark):
     return round(ks.statistic + psi.psi, 6)
 
 
+def bench_violations_highcount(spark):
+    """Extraction with per-check limits under a ~100% violation rate —
+    exercises the two-stage bounded window (per-partition pre-limit +
+    degenerate-key global limit)."""
+    from pandera_spark import Check, Column, DataFrameSchema
+
+    li = _t(spark, "lineitem")
+    schema = DataFrameSchema(
+        {
+            # almost every row violates; limit keeps first 10 by index
+            "l_extendedprice": Column(
+                "double", checks=Check.le(0.0, n_failure_cases=10)
+            ),
+            # unlimited check alongside (must not be window-sorted)
+            "l_quantity": Column("double", checks=Check.in_range(1, 30)),
+        },
+        index_cols=["l_orderkey", "l_linenumber"],
+        name="lineitem",
+    )
+    r = schema.validate(li)
+    return r.violations.count()
+
+
+def bench_manifest_loop(spark):
+    """Partition-manifest loop: per-partition validate + violations sink +
+    checkpoint rows, 4 partitions dispatched in parallel."""
+    import shutil
+    import tempfile
+
+    from pandera_spark import Check, Column, DataFrameSchema
+    from pandera_spark.runner import PartitionedValidationRun
+
+    out = tempfile.mkdtemp(prefix="bench_manifest_", dir="/dev/shm")
+    try:
+        ev = _t(spark, "events")
+        schema = DataFrameSchema(
+            {
+                "value": Column("double", checks=Check.ge(0.0), nullable=True),
+                "user_id": Column("bigint", nullable=False),
+            },
+            index_cols=["event_id"],
+            name="events",
+        )
+        run = PartitionedValidationRun(schema, ev, "event_type", out)
+        results = run.run(parallelism=4)
+        return sum(r.n_rows or 0 for r in results)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_text_quality(spark):
     from pandera_spark.functions.text import quality_score
 
@@ -209,6 +259,8 @@ def bench_transcripts_validate(spark, path: str) -> tuple[int, float]:
 WORKLOADS = {
     "validate_lineitem": bench_validate_lineitem,
     "violations_lineitem": bench_violations_lineitem,
+    "violations_highcount": bench_violations_highcount,
+    "manifest_loop": bench_manifest_loop,
     "unique_contiguity": bench_unique_contiguity,
     "dedup_exact": bench_dedup_exact,
     "minhash_candidates": bench_minhash,

@@ -36,6 +36,31 @@ def _opts(kw: dict, name: str, error: str) -> dict:
     return {"name": kw.pop("name", name), "error": kw.pop("error", error)}
 
 
+def _to_java_regex(pat: str) -> str:
+    """Translate a (pre-validated) Python regex to the Java dialect Spark's
+    ``rlike`` executes.  Divergent constructs:
+
+      - ``(?P<name>…)`` / ``(?P=name)`` named groups → ``(?<name>…)`` /
+        ``\\k<name>``  (translated)
+      - ``\\Z`` end-of-string: Python ``\\Z`` == Java ``\\z``; Java ``\\Z``
+        tolerates a trailing newline  (translated)
+      - ``(?a)`` / ``(?L)`` flags have no Java equivalent  (rejected)
+
+    Everything else in Python ``re`` is a subset of java.util.regex.
+    (Possessive quantifiers / ``\\k`` are Java-only and already rejected by
+    the eager ``re.compile`` validation.)"""
+    if "(?a" in pat or "(?L" in pat:
+        raise ValueError(
+            f"regex {pat!r} uses a Python-only inline flag ((?a)/(?L)) with "
+            "no Java equivalent; Spark executes java.util.regex"
+        )
+    out = pat.replace("(?P<", "(?<")
+    out = re.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", out)
+    # \Z → \z on an even number of preceding backslashes (odd = literal)
+    out = re.sub(r"(?<!\\)((?:\\\\)*)\\Z", r"\1\\z", out)
+    return out
+
+
 def _render_values(values) -> str:
     """Deterministic set-literal rendering for default error strings.
 
@@ -321,8 +346,9 @@ class Check:
         pat = pattern.pattern if isinstance(pattern, re.Pattern) else pattern
         re.compile(pat)  # validate eagerly (pandera/api/checks.py:443)
         # pandas str.match anchors at the START; Spark rlike searches
-        # anywhere → prepend '^' (SURVEY.md §2.4 str_matches row)
-        anchored = pat if pat.startswith("^") else "^" + pat
+        # anywhere → prepend '^' (SURVEY.md §2.4 str_matches row).
+        # Execution is java.util.regex — translate dialect divergences.
+        anchored = _to_java_regex(pat if pat.startswith("^") else "^" + pat)
         return cls(
             lambda c: c.rlike(anchored),
             **_opts(kw, "str_matches", f"str_matches('{pat}')"),
@@ -335,8 +361,9 @@ class Check:
     def str_contains(cls, pattern: Union[str, re.Pattern], **kw) -> "Check":
         pat = pattern.pattern if isinstance(pattern, re.Pattern) else pattern
         re.compile(pat)
+        java_pat = _to_java_regex(pat)
         return cls(
-            lambda c: c.rlike(pat),
+            lambda c: c.rlike(java_pat),
             **_opts(kw, "str_contains", f"str_contains('{pat}')"),
             # name/error overridable via kw
             statistics={"pattern": pat},

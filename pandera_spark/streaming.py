@@ -71,6 +71,85 @@ def validate_stream(
     return writer.start()
 
 
+def baseline_bucket_shares(
+    df: DataFrame, col: str, edges: list[float], eps: float = 1e-4
+) -> list[float]:
+    """Bucket shares of a static baseline frame over fixed edges (one
+    conditional-sum aggregate) — feed to ``windowed_psi_monitor``."""
+    bounds = [None] + sorted(float(e) for e in edges) + [None]
+    aggs = [F.count(F.col(col)).alias("__n__")]
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = F.col(col).isNotNull()
+        if lo is not None:
+            c = c & (F.col(col) > F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(col) <= F.lit(hi))
+        aggs.append(F.sum(c.cast("long")).alias(f"__b{i}__"))
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["__n__"], 1)
+    return [
+        max((row[f"__b{i}__"] or 0) / n, eps) for i in range(len(bounds) - 1)
+    ]
+
+
+def windowed_psi_monitor(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    edges: list[float],
+    baseline_shares: list[float],
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Watermark-aware per-event-time-window PSI vs a static baseline.
+
+    ONE stateful aggregation: each window accumulates conditional bucket
+    counts (map-side combined); a stateless projection then folds the PSI
+    sum against the baseline shares (driver literals).  Append mode emits a
+    (window_start, window_end, n, psi) row once the watermark passes the
+    window end — late data inside the delay still lands in its window.
+
+    At 10^12-turn scale this is the streaming counterpart of
+    ``backend/drift.psi_numeric``: state per window is O(buckets), never
+    per-row."""
+    bounds = [None] + sorted(float(e) for e in edges) + [None]
+    nb = len(bounds) - 1
+    if len(baseline_shares) != nb:
+        raise ValueError(
+            f"baseline_shares has {len(baseline_shares)} entries; "
+            f"{nb} buckets defined by {len(bounds) - 2} edges"
+        )
+    v = F.col(value_col)
+    aggs = [F.count(v).alias("__n__")]
+    for i in range(nb):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = v.isNotNull()
+        if lo is not None:
+            c = c & (v > F.lit(lo))
+        if hi is not None:
+            c = c & (v <= F.lit(hi))
+        aggs.append(F.sum(c.cast("long")).alias(f"__b{i}__"))
+    win = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w__"))
+        .agg(*aggs)
+    )
+    n = F.greatest(F.col("__n__"), F.lit(1))
+    psi = F.lit(0.0)
+    for i in range(nb):
+        qi = F.greatest(F.col(f"__b{i}__") / n, F.lit(eps))
+        pi = F.lit(max(float(baseline_shares[i]), eps))
+        psi = psi + (pi - qi) * F.log(pi / qi)
+    return win.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        F.col("__n__").alias("n_rows"),
+        F.round(psi, 6).alias("psi"),
+    )
+
+
 CONTIGUITY_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),

@@ -130,6 +130,30 @@ class TestStringChecks:
         assert _failed_indexes(r) == [0]
 
 
+class TestRegexDialectShim:
+    def test_python_named_group_translated(self, spark):
+        # (?P<name>...) is Python-only syntax; Java wants (?<name>...)
+        chk = Check.str_matches(r"(?P<prefix>conv)-\d+")
+        r = _validate_col(spark, ["conv-123", "xonv-1"], chk, dtype="string")
+        assert _failed_indexes(r) == [1]
+
+    def test_python_named_backref_translated(self, spark):
+        chk = Check.str_contains(r"(?P<ch>[ab])(?P=ch)")
+        r = _validate_col(spark, ["xaa", "xab"], chk, dtype="string")
+        assert _failed_indexes(r) == [1]
+
+    def test_end_anchor_translated(self, spark):
+        # Python \Z is strict end-of-string == Java \z (Java \Z tolerates a
+        # trailing newline — would wrongly pass "ab\n")
+        chk = Check.str_matches("ab\\Z")
+        r = _validate_col(spark, ["ab", "ab\n"], chk, dtype="string")
+        assert _failed_indexes(r) == [1]
+
+    def test_python_only_flag_rejected(self):
+        with pytest.raises(ValueError, match="Python-only inline flag"):
+            Check.str_matches(r"(?a)\w+")
+
+
 class TestNullSemantics:
     def test_ignore_na_default(self, spark):
         # a NULL never fails a value check when ignore_na=True (default)

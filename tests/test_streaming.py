@@ -54,6 +54,60 @@ class TestValidateStream:
         assert any(v["failure_case"] == "operator" for v in bad)
 
 
+class TestWindowedPsiMonitor:
+    def test_psi_per_event_time_window(self, spark, tmp_path):
+        import datetime
+
+        import pandas as pd
+
+        base = datetime.datetime(2026, 1, 1, 10, 0, 0)
+        rows = []
+        # window A (10:00-10:10): uniform over buckets → psi ≈ 0
+        for i in range(200):
+            rows.append((base + datetime.timedelta(seconds=i), float(i % 100)))
+        # window B (10:10-10:20): all mass in the top bucket → psi large
+        for i in range(200):
+            rows.append(
+                (base + datetime.timedelta(minutes=10, seconds=i), 90.0 + i % 10)
+            )
+        # watermark sentinel: pushes the watermark past both windows so
+        # append mode flushes them (finite-source gotcha)
+        rows.append((base + datetime.timedelta(hours=1), 50.0))
+        pdf = pd.DataFrame(rows, columns=["ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+        edges = [25.0, 50.0, 75.0]
+        baseline = spark.createDataFrame(
+            pd.DataFrame({"value": [float(i % 100) for i in range(400)]})
+        )
+        shares = st.baseline_bucket_shares(baseline, "value", edges)
+        assert len(shares) == 4 and abs(sum(shares) - 1.0) < 0.01
+
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        mon = st.windowed_psi_monitor(
+            stream, "value", "ts", edges, shares,
+            window_duration="10 minutes", watermark_delay="0 seconds",
+        )
+        q = (
+            mon.writeStream.format("memory")
+            .queryName("psi_windows")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {
+            r["window_start"].minute: r["psi"]
+            for r in spark.sql("select * from psi_windows").collect()
+        }
+        assert 0 in out and 10 in out
+        assert out[0] < 0.05  # same distribution as baseline
+        assert out[10] > 0.5  # drifted window flagged
+
+
 class TestContiguityMonitor:
     def test_gap_detection(self, spark, tmp_path):
         import pandas as pd
