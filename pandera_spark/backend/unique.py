@@ -58,7 +58,13 @@ def duplicate_keys(
 def _select_occurrences(
     dup_rows: DataFrame, keys: list[str], order_expr, report_duplicates: str
 ) -> DataFrame:
-    """Occurrence selection over duplicate rows only (skew-bounded)."""
+    """Occurrence selection over duplicate rows only (skew-bounded).
+
+    Tie-break note: when two duplicate rows also share the index string
+    (fully identical natural keys), row_number picks an arbitrary winner —
+    but the excluded and reported rows are then identical in every output
+    column, so the violations frame is content-deterministic regardless.
+    """
     if report_duplicates == "all":
         return dup_rows
     w = Window.partitionBy(*keys).orderBy(order_expr)
