@@ -813,6 +813,10 @@ def _collect_agg_verdicts(
 
 
 def _failure_message(schema_name, cc, n_viol, n_rows) -> str:
+    if cc.check_name == "not_nullable":
+        # verbatim reference text (pandera/backends/pyspark/column.py:144,
+        # asserted by tests/pyspark/test_pyspark_error.py)
+        return f"non-nullable column '{cc.column}' contains null"
     where = f"column '{cc.column}'" if cc.column else "dataframe"
     return (
         f"{schema_name} {where} failed "

@@ -135,6 +135,10 @@ class TestValidationDepthGating:
         r = schema.validate(df)
         assert not r.passed
         assert "SERIES_CONTAINS_NULLS" in r.report["SCHEMA"]
+        entry = r.report["SCHEMA"]["SERIES_CONTAINS_NULLS"][0]
+        # verbatim reference text (tests/pyspark/test_pyspark_error.py:110)
+        assert entry["error"] == "non-nullable column 'a' contains null"
+        assert entry["check"] == "not_nullable"
 
     def test_schema_only_still_enforces_nullability(self, spark, monkeypatch):
         from pandera_spark import config as cfg
