@@ -97,8 +97,12 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured engine numbers
+    # raw machine-readable result (every run appends; BASELINE.md curation
+    # below includes methodology sections maintained by hand)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps({**result, "raw_low": lows, "raw_high": highs}) + "\n")
+    with open(os.path.join(REPO, "BENCH", "BASELINE_TABLE.md"), "w") as f:
+        f.write(f"""# BENCH scaling table (script-written; see BASELINE.md)
 
 Workload: full transcripts validation pass (schema + value checks +
 joint uniqueness + per-conversation contiguity + stats + text-length

@@ -374,6 +374,28 @@ def q_check_builtins_customer(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
+def q_model_verdicts_supplier(spark, sf_dir):
+    """DataFrameModel/Field class API end-to-end (meta-operator §2.7):
+    same fused-verdict engine, schema declared as a class."""
+    from .model import DataFrameModel, Field
+
+    class Supplier(DataFrameModel):
+        s_suppkey: int = Field(ge=0, nullable=False)
+        s_name: str = Field(str_startswith="Supplier#", nullable=True)
+        s_acctbal: float = Field(gt=-1000.0, nullable=True)
+
+        class Config:
+            name = "supplier"
+
+    sup = _t(spark, sf_dir, "supplier")
+    r = Supplier.validate(sup, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
 def _report_dups_query(spark, sf_dir, mode):
     orders = _t(spark, sf_dir, "orders")
     schema = DataFrameSchema(
@@ -496,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "check_options_part": q_check_options_part,
         "check_builtins_customer": q_check_builtins_customer,
+        "model_verdicts_supplier": q_model_verdicts_supplier,
         "report_dups_excl_first_orders": q_report_dups_excl_first_orders,
         "report_dups_excl_last_orders": q_report_dups_excl_last_orders,
         "ignore_na_orders": q_ignore_na_orders,
@@ -756,6 +779,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) = 0
             FROM customer
+        """,
+        "model_verdicts_supplier": """
+            SELECT 's_suppkey' AS col_name, 'not_nullable' AS check_name,
+                   CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+            FROM supplier
+            UNION ALL
+            SELECT 's_suppkey', 'greater_than_or_equal_to(0)',
+                   CAST(SUM(CASE WHEN s_suppkey IS NOT NULL AND NOT (s_suppkey >= 0) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN s_suppkey IS NOT NULL AND NOT (s_suppkey >= 0) THEN 1 ELSE 0 END) = 0
+            FROM supplier
+            UNION ALL
+            SELECT 's_name', 'str_startswith(''Supplier#'')',
+                   CAST(SUM(CASE WHEN s_name IS NOT NULL AND NOT starts_with(s_name, 'Supplier#') THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN s_name IS NOT NULL AND NOT starts_with(s_name, 'Supplier#') THEN 1 ELSE 0 END) = 0
+            FROM supplier
+            UNION ALL
+            SELECT 's_acctbal', 'greater_than(-1000.0)',
+                   CAST(SUM(CASE WHEN s_acctbal IS NOT NULL AND NOT (s_acctbal > -1000.0) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN s_acctbal IS NOT NULL AND NOT (s_acctbal > -1000.0) THEN 1 ELSE 0 END) = 0
+            FROM supplier
         """,
         "report_dups_excl_first_orders": """
             WITH d AS (
