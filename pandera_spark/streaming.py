@@ -167,17 +167,7 @@ def _contiguity_fn(
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     max_idx = state.get[0] if state.exists else -1
-    out = []
-    for pdf in pdfs:
-        for t in sorted(int(x) for x in pdf["turn_idx"]):
-            expected = max_idx + 1
-            if t == expected:
-                max_idx = t
-            elif t <= max_idx:
-                out.append((conv_id, t, expected, "duplicate_or_out_of_order"))
-            else:  # t > expected → gap
-                out.append((conv_id, t, expected, "gap"))
-                max_idx = t
+    max_idx, out = _emit_contiguity(conv_id, max_idx, pdfs)
     state.update((max_idx,))
     if out:
         yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "expected_idx", "kind"])
@@ -203,4 +193,62 @@ def contiguity_monitor(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def _emit_contiguity(conv_id: str, max_idx: int, pdfs) -> tuple[int, list]:
+    """Shared turn-order logic for both stateful APIs."""
+    out = []
+    for pdf in pdfs:
+        for t in sorted(int(x) for x in pdf["turn_idx"]):
+            expected = max_idx + 1
+            if t == expected:
+                max_idx = t
+            elif t <= max_idx:
+                out.append((conv_id, t, expected, "duplicate_or_out_of_order"))
+            else:
+                out.append((conv_id, t, expected, "gap"))
+                max_idx = t
+    return max_idx, out
+
+
+def contiguity_monitor_tws(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """``transformWithStateInPandas`` variant of the contiguity monitor —
+    Spark 4's successor API for arbitrary stateful processing (typed value
+    state, RocksDB-backed; the session must run the RocksDB state store
+    provider).  Same semantics as ``contiguity_monitor``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ContiguityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("max_idx", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (conv_id,) = key
+            max_idx = self._state.get()[0] if self._state.exists() else -1
+            max_idx, out = _emit_contiguity(conv_id, max_idx, rows)
+            self._state.update((max_idx,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["conv_id", "turn_idx", "expected_idx", "kind"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    slim = stream_df.select(
+        F.col(conv_col).alias("conv_id"), F.col(turn_col).cast("int").alias("turn_idx")
+    )
+    return slim.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=_ContiguityProcessor(),
+        outputStructType=CONTIGUITY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

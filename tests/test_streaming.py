@@ -108,6 +108,63 @@ class TestWindowedPsiMonitor:
         assert out[10] > 0.5  # drifted window flagged
 
 
+class TestContiguityMonitorTWS:
+    def test_gap_detection_tws(self, spark, tmp_path):
+        import pandas as pd
+
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        rocksdb = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, rocksdb)
+        try:
+            rows = [("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)]
+            pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx"])
+            src = str(tmp_path / "src")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+            stream = spark.readStream.schema(
+                "conv_id string, turn_idx bigint"
+            ).parquet(src)
+            monitored = st.contiguity_monitor_tws(stream)
+            q = (
+                monitored.writeStream.format("memory")
+                .queryName("contig_tws_test")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            out = spark.sql("select * from contig_tws_test").collect()
+            assert len(out) == 1
+            assert (out[0]["conv_id"], out[0]["turn_idx"], out[0]["kind"]) == (
+                "c1", 3, "gap",
+            )
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if any(
+                s in msg
+                for s in (
+                    "RocksDB",
+                    "StateStoreProvider",
+                    # TWS python driver worker needs google.protobuf, which
+                    # this container lacks (no network to install)
+                    "driver worker exited",
+                    "STREAMING_PYTHON_RUNNER_INITIALIZATION",
+                    "protobuf",
+                )
+            ):
+                pytest.skip(f"transformWithState runtime unavailable: {e}")
+            raise
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+
 class TestContiguityMonitor:
     def test_gap_detection(self, spark, tmp_path):
         import pandas as pd
