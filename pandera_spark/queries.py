@@ -396,6 +396,31 @@ def q_model_verdicts_supplier(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
+def q_df_check_lineitem(spark, sf_dir):
+    """Cross-column df-level custom check through the fused engine with
+    failure rows: l_discount must not exceed l_tax + 0.02."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = DataFrameSchema(
+        {
+            "l_discount": Column("double", nullable=True),
+            "l_tax": Column("double", nullable=True),
+        },
+        checks=Check(
+            lambda d: F.col("l_discount") <= F.col("l_tax") + 0.02,
+            df_level=True,
+            error="discount_le_tax_plus_2pct",
+        ),
+        index_cols=["l_orderkey", "l_linenumber"],
+        name="lineitem",
+    )
+    r = schema.validate(li)
+    if r.violations is None:
+        from .backend.violations import empty_violations
+
+        return empty_violations(spark).select("check", "index")
+    return r.violations.select("check", "index")
+
+
 def _report_dups_query(spark, sf_dir, mode):
     orders = _t(spark, sf_dir, "orders")
     schema = DataFrameSchema(
@@ -519,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_options_part": q_check_options_part,
         "check_builtins_customer": q_check_builtins_customer,
         "model_verdicts_supplier": q_model_verdicts_supplier,
+        "df_check_lineitem": q_df_check_lineitem,
         "report_dups_excl_first_orders": q_report_dups_excl_first_orders,
         "report_dups_excl_last_orders": q_report_dups_excl_last_orders,
         "ignore_na_orders": q_ignore_na_orders,
@@ -779,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN c_name IS NOT NULL AND NOT (length(c_name) >= 18 AND length(c_name) <= 18) THEN 1 ELSE 0 END) = 0
             FROM customer
+        """,
+        "df_check_lineitem": """
+            SELECT 'discount_le_tax_plus_2pct' AS "check",
+                   CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS index
+            FROM lineitem
+            WHERE l_discount IS NULL OR l_tax IS NULL
+               OR NOT (l_discount <= l_tax + 0.02)
         """,
         "model_verdicts_supplier": """
             SELECT 's_suppkey' AS col_name, 'not_nullable' AS check_name,
