@@ -502,6 +502,24 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cos_sim"))
 
 
+def q_multimodal_features_documents(spark, sf_dir):
+    """Multimodal plumbing (rows-only): documents.text encoded to a binary
+    payload, metadata struct attached, deterministic fake-decode features
+    via Arrow mapInPandas.  Real codecs are the decoder='real' plug point."""
+    from .functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    with_meta = multimodal.attach_media_metadata(docs, "payload", "image", "png")
+    feats = multimodal.extract_features(with_meta, "payload", out_dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.size("features").alias("feat_dim"),
+    )
+
+
 def q_embedding_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -556,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_dups": q_embedding_dups,
+        "multimodal_features_documents": q_multimodal_features_documents,
     }
 
 
@@ -941,6 +960,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id + 100000, text FROM documents)
             SELECT MIN(doc_id) AS doc_id FROM u
             GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "multimodal_features_documents": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   8 AS feat_dim
+            FROM documents
         """,
         "ann_topk_embeddings": f"""
             SELECT vec_id FROM (
