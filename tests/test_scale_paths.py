@@ -75,6 +75,57 @@ class TestPlanShape:
         assert jobs_for(many_checks) == jobs_for(one_check)
 
 
+class TestChunkedFusedAggregate:
+    """Past MAX_FUSED_AGG_EXPRS the fused aggregate splits into
+    column-pruned chunks (codegen budget); verdicts must be identical."""
+
+    def _make(self, spark):
+        df = spark.createDataFrame(
+            [(i, i * 2, f"s{i}", float(i)) for i in range(50)],
+            "a int, b int, s string, d double",
+        )
+        checks_a = [Check.ge(0), Check.lt(100), Check.ne(-1)]
+        checks_b = [Check.ge(0), Check.le(98)]
+        schema = DataFrameSchema(
+            {
+                "a": Column("int", checks=checks_a, nullable=False),
+                "b": Column("int", checks=checks_b),
+                "s": Column("string", checks=[Check.str_startswith("s")]),
+                "d": Column("double", checks=[Check.ge(0.0), Check.lt(49.0)]),
+            },
+            checks=Check(
+                lambda f: F.col("b") == F.col("a") * 2,
+                df_level=True,
+                error="b_is_2a",
+            ),
+            name="chunky",
+        )
+        return df, schema
+
+    def _results(self, spark, collect_stats):
+        df, schema = self._make(spark)
+        r = schema.validate(df, collect_stats=collect_stats,
+                            collect_failure_cases=False)
+        key = lambda c: (str(c["column"]), c["check"])
+        return sorted(
+            ({**c} for c in r.check_results), key=key
+        ), r.stats
+
+    def test_chunked_matches_single(self, spark, monkeypatch):
+        import importlib
+
+        v = importlib.import_module("pandera_spark.backend.validate")
+        base, base_stats = self._results(spark, collect_stats=True)
+        monkeypatch.setattr(v, "MAX_FUSED_AGG_EXPRS", 4)  # force many chunks
+        chunked, chunked_stats = self._results(spark, collect_stats=True)
+        assert chunked == base
+        assert chunked_stats == base_stats
+        # d has 1 violation (49.0 fails lt(49.0)); df-level passes
+        byname = {(c["column"], c["check"]): c for c in chunked}
+        assert byname[("d", "less_than(49.0)")]["n_violations"] == 1
+        assert byname[(None, "b_is_2a")]["passed"]
+
+
 class TestOneSampleHypothesis:
     def test_routed_via_schema(self, spark):
         df = spark.createDataFrame([(float(v),) for v in [4.9, 5.1, 5.0, 5.2]], "x double")
