@@ -288,19 +288,86 @@ def minhash_dedup(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
+    transitive: bool = False,
     **kw,
 ) -> DataFrame:
-    """Drop near-duplicates: every doc appearing as id_b in a pair with
-    est_jaccard >= threshold is removed (min-id survivor per pair chain —
-    one-pass approximation of connected components; iterate for full
-    transitive closure)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, **kw)
-    losers = (
-        cands.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
+    """Drop near-duplicates above ``threshold``.
+
+    Default (one-pass): every doc appearing as id_b in a qualifying pair
+    is removed — fast, but a chain a~b~c where a̸~c keeps only a (b and c
+    both appear as id_b) even though c is not a near-dup of a.
+
+    ``transitive=True``: resolve full duplicate CLUSTERS with iterative
+    connected components over the candidate-pair graph and keep the min-id
+    survivor per cluster — the correct semantics for chained near-dups.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    if transitive:
+        comp = connected_components(cands, "id_a", "id_b")
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = cands.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, [id_col], "left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: (node, component)
+    where component = the smallest node id reachable from node.
+
+    Each iteration is one join + one aggregate (label = min over self and
+    neighbors' labels); convergence takes O(graph diameter) rounds —
+    near-dup clusters are shallow (pairs share LSH buckets), so typically
+    2-4.  Lineage is truncated per round with localCheckpoint so plans
+    don't grow exponentially; the loop stops early when no label changed
+    (one small count per round — driver-side O(1))."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    return df.join(losers, [id_col], "left_anti")
+    # undirected
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each node pulls the min label among itself and its neighbors
+        nbr = (
+            sym.join(labels, sym["d"] == labels["node"], "inner")
+            .select(F.col("s").alias("node"), F.col("label"))
+        )
+        new_labels = labels.unionByName(nbr).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+        # truncate iterative lineage: reliable checkpoint when the session
+        # has a checkpoint dir (survives executor loss on a real cluster),
+        # executor-local otherwise
+        if edges.sparkSession.sparkContext.getCheckpointDir():
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
 
 
 # ---------------------------------------------------------------------- #

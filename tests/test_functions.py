@@ -189,6 +189,48 @@ class TestBucketCap:
         assert n == 0  # the one giant identical-vector bucket is dropped
 
 
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a bigint, id_b bigint"
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(edges).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == 20
+
+    def test_long_chain_converges(self, spark):
+        # path graph 0-1-2-...-9: diameter 9, needs multiple rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a bigint, id_b bigint"
+        )
+        comp = dedup.connected_components(edges).collect()
+        assert {r["component"] for r in comp} == {0}
+
+    def test_minhash_dedup_transitive_chain(self, spark):
+        # a ~ b ~ c chained near-dups: one-pass keeps a AND may keep
+        # nothing else; transitive resolves the full cluster to min-id
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base),
+            (1, base.replace("dog", "cat")),
+            (2, base.replace("dog", "cat").replace("quick", "slow")),
+            (3, "completely unrelated text about spark shuffle planning"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup.minhash_dedup(
+            df, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16,
+            transitive=True,
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert 0 in ids and 3 in ids
+        assert 1 not in ids  # clustered with 0 transitively
+        assert 2 not in ids
+
+
 class TestSimHash:
     def test_simhash_near_dups(self, docs):
         cands = dedup.simhash_candidates(docs, "text", "doc_id", max_hamming=6)
