@@ -331,6 +331,147 @@ def ks_2samp_binned(
     return KSResult(d, ks_pvalue(d, n1, n2), n1, n2, "binned")
 
 
+def _bucket_shares(df: DataFrame, col: str, edges: Sequence[float]) -> list[float]:
+    """Bucket shares over fixed edges via one conditional-sum aggregate
+    (shared by PSI / JS oracle-able paths)."""
+    bounds = [None] + sorted(float(e) for e in edges) + [None]
+    aggs = [F.count(F.col(col)).alias("__n__")]
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = F.col(col).isNotNull()
+        if lo is not None:
+            c = c & (F.col(col) > F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(col) <= F.lit(hi))
+        aggs.append(F.sum(c.cast("long")).alias(f"__b{i}__"))
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["__n__"], 1)
+    return [(row[f"__b{i}__"] or 0) / n for i in range(len(bounds) - 1)]
+
+
+@dataclass
+class DivergenceResult:
+    value: float
+    n1: int
+    n2: int
+    method: str
+
+
+def js_divergence(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    bins: int = 64,
+    edges: Optional[Sequence[float]] = None,
+    base2: bool = True,
+) -> DivergenceResult:
+    """Jensen-Shannon divergence between two numeric distributions.
+
+    With ``edges``: one conditional-sum aggregate per frame (SQL-parity
+    path).  Without: the binned-histogram plan (tagged union, one min/max
+    agg + one O(bins) shuffle) — same scale profile as the default KS.
+    base2=True → result in bits, bounded [0, 1].
+
+    Default ``bins=64`` is deliberately coarse: JS compares DENSITY
+    estimates, so bins must hold many samples each (finite-sample noise in
+    near-empty buckets inflates JS; two 8k-point samples of the SAME
+    distribution measure ~0.1 bits at 8192 bins but ~0.003 at 64).  The
+    cumulative statistics (KS, W₁) tolerate fine bins — this one doesn't."""
+    col2 = col2 or col1
+    if edges is not None:
+        p = _bucket_shares(df1, col1, edges)
+        q = _bucket_shares(df2, col2, edges)
+        n1 = n2 = -1
+    else:
+        rows, n1, n2 = _binned_hist2(df1, col1, df2, col2, bins)
+        if not n1 or not n2:
+            return DivergenceResult(0.0, n1, n2, "binned")
+        p = [(r["na"] or 0) / n1 for r in rows]
+        q = [(r["nb"] or 0) / n2 for r in rows]
+    log = (lambda x: math.log2(x)) if base2 else math.log
+    js = 0.0
+    for pi, qi in zip(p, q):
+        m = 0.5 * (pi + qi)
+        if pi > 0:
+            js += 0.5 * pi * log(pi / m)
+        if qi > 0:
+            js += 0.5 * qi * log(qi / m)
+    return DivergenceResult(max(js, 0.0), n1, n2, "edges" if edges is not None else "binned")
+
+
+def wasserstein_1d(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    bins: int = 8192,
+) -> DivergenceResult:
+    """1-D Wasserstein (earth mover's) distance from the shared binned
+    histogram: W₁ ≈ Σᵢ |CDF₁ᵢ − CDF₂ᵢ| · bucket_width.  Error ≤ one
+    bucket width of probability transport; same two-job plan as KS."""
+    col2 = col2 or col1
+    rows, n1, n2, lo, hi = _binned_hist2(df1, col1, df2, col2, bins, with_range=True)
+    if not n1 or not n2 or lo is None or hi == lo:
+        return DivergenceResult(0.0, n1 or 0, n2 or 0, "binned")
+    width = (hi - lo) / bins
+    ca = cb = 0
+    w = 0.0
+    prev_b = 0
+    for r in rows:
+        b = min(r["__b__"], bins)  # width_bucket puts v == hi in bins+1
+        # empty buckets between present ones carry the unchanged CDF gap
+        gap = max(b - prev_b - 1, 0)
+        w += gap * width * abs(ca / n1 - cb / n2)
+        ca += r["na"] or 0
+        cb += r["nb"] or 0
+        w += width * abs(ca / n1 - cb / n2)
+        prev_b = b
+    # buckets after the last occupied one contribute |1 - 1| = 0
+    return DivergenceResult(w, n1, n2, "binned")
+
+
+def _binned_hist2(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: str,
+    bins: int,
+    with_range: bool = False,
+):
+    """Shared two-frame histogram: tagged union → min/max agg →
+    groupBy(width_bucket) of ≤bins+2 combined rows, sorted by bucket."""
+    u = df1.select(
+        F.col(col1).cast("double").alias("__v__"), F.lit(True).alias("__g__")
+    ).unionByName(
+        df2.select(F.col(col2).cast("double").alias("__v__"), F.lit(False).alias("__g__"))
+    )
+    mm = u.agg(F.min("__v__").alias("lo"), F.max("__v__").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:
+        return ([], 0, 0, None, None) if with_range else ([], 0, 0)
+    bucket = (
+        F.lit(1)
+        if lo == hi
+        else F.width_bucket(F.col("__v__"), F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+    )
+    rows = (
+        u.filter(F.col("__v__").isNotNull())
+        .groupBy(bucket.alias("__b__"))
+        .agg(
+            F.sum(F.col("__g__").cast("long")).alias("na"),
+            F.sum((~F.col("__g__")).cast("long")).alias("nb"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["__b__"])
+    n1 = sum(r["na"] or 0 for r in rows)
+    n2 = sum(r["nb"] or 0 for r in rows)
+    if with_range:
+        return rows, n1, n2, lo, hi
+    return rows, n1, n2
+
+
 def ks_2samp_exact(
     df1: DataFrame, col1: str, df2: DataFrame, col2: Optional[str] = None
 ) -> KSResult:

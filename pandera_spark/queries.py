@@ -199,6 +199,25 @@ def q_ks_events(spark, sf_dir):
     return spark.createDataFrame([(round(res.statistic, 4),)], "d double")
 
 
+def q_js_events(spark, sf_dir):
+    """Jensen-Shannon divergence (base-2) over fixed edges."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    res = drift.js_divergence(a, "value", b, "value", edges=PSI_EDGES)
+    return spark.createDataFrame([(round(res.value, 4),)], "js double")
+
+
+def q_wasserstein_events(spark, sf_dir):
+    """1-D Wasserstein from the shared binned histogram (rows-only:
+    bucket-approximation of a continuous integral — no SQL twin)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    res = drift.wasserstein_1d(a, "value", b, "value", bins=8192)
+    return spark.createDataFrame([(round(res.value, 2),)], "w1 double")
+
+
 def q_ttest_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     res = drift.two_sample_ttest(ev, "value", "event_type", "click", "purchase")
@@ -551,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_events": q_monotonic_events,
         "psi_events": q_psi_events,
         "ks_events": q_ks_events,
+        "js_events": q_js_events,
         "ttest_events": q_ttest_events,
         "token_stats_documents": q_token_stats_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -575,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_dups": q_embedding_dups,
         "multimodal_features_documents": q_multimodal_features_documents,
+        "wasserstein_events": q_wasserstein_events,
     }
 
 
@@ -600,6 +621,38 @@ def _sql_psi() -> str:
     WITH p AS (SELECT {share_sql} FROM events WHERE event_type = 'click'),
          q AS (SELECT {share_sql} FROM events WHERE event_type = 'purchase')
     SELECT ROUND({terms}, 4) AS psi FROM p, q
+    """
+
+
+def _sql_js() -> str:
+    bounds = [None] + [float(e) for e in PSI_EDGES] + [None]
+    cases = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = "value IS NOT NULL"
+        if lo is not None:
+            cond += f" AND value > {lo}"
+        if hi is not None:
+            cond += f" AND value <= {hi}"
+        cases.append(
+            f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) * 1.0 / COUNT(value) AS b{i}"
+        )
+    share_sql = ", ".join(cases)
+    nb = len(bounds) - 1
+    terms = []
+    for i in range(nb):
+        m = f"(0.5 * (p.b{i} + q.b{i}))"
+        terms.append(
+            f"(CASE WHEN p.b{i} > 0 THEN 0.5 * p.b{i} * log2(p.b{i} / {m}) ELSE 0 END)"
+        )
+        terms.append(
+            f"(CASE WHEN q.b{i} > 0 THEN 0.5 * q.b{i} * log2(q.b{i} / {m}) ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+    WITH p AS (SELECT {share_sql} FROM events WHERE event_type = 'click'),
+         q AS (SELECT {share_sql} FROM events WHERE event_type = 'purchase')
+    SELECT ROUND(GREATEST({expr}, 0.0), 4) AS js FROM p, q
     """
 
 
@@ -908,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_events": _sql_psi(),
         "ks_events": _sql_ks(),
+        "js_events": _sql_js(),
         "ttest_events": """
             WITH s AS (
               SELECT event_type, COUNT(value) AS n, AVG(value) AS m,

@@ -199,6 +199,67 @@ class TestHypothesisIntegration:
         assert schema.validate(df).passed
 
 
+class TestDivergences:
+    def test_js_zero_for_identical(self, drift_frames):
+        base, _, same = drift_frames
+        r = drift.js_divergence(base, "text_len", same, "text_len")
+        assert 0.0 <= r.value < 0.01
+
+    def test_js_positive_for_shifted(self, drift_frames):
+        base, cand, _ = drift_frames
+        r = drift.js_divergence(base, "text_len", cand, "text_len")
+        assert r.value > 0.02  # well above the ~0.003 same-dist noise floor
+        assert r.value <= 1.0  # base-2 JS is bounded by 1
+
+    def test_js_edges_matches_manual(self, spark):
+        import numpy as np
+
+        a = [float(v % 50) for v in range(200)]
+        b = [float(v % 50) + 10.0 for v in range(200)]
+        d1 = spark.createDataFrame([(x,) for x in a], "x double")
+        d2 = spark.createDataFrame([(x,) for x in b], "x double")
+        edges = [10.0, 20.0, 30.0, 40.0]
+        r = drift.js_divergence(d1, "x", d2, "x", edges=edges)
+
+        def shares(vals):
+            # engine convention: (lo, hi] buckets
+            v = np.asarray(vals)
+            bounds = [-np.inf] + edges + [np.inf]
+            return np.array(
+                [
+                    np.mean((v > bounds[i]) & (v <= bounds[i + 1]))
+                    for i in range(len(bounds) - 1)
+                ]
+            )
+
+        p, q = shares(a), shares(b)
+        m = 0.5 * (p + q)
+        js = 0.0
+        for pi, mi in zip(p, m):
+            if pi > 0:
+                js += 0.5 * pi * np.log2(pi / mi)
+        for qi, mi in zip(q, m):
+            if qi > 0:
+                js += 0.5 * qi * np.log2(qi / mi)
+        assert abs(r.value - js) < 1e-9
+
+    def test_wasserstein_matches_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(0, 1, 500)
+        b = rng.normal(0.7, 1.2, 400)
+        d1 = spark.createDataFrame([(float(x),) for x in a], "x double")
+        d2 = spark.createDataFrame([(float(x),) for x in b], "x double")
+        r = drift.wasserstein_1d(d1, "x", d2, "x", bins=8192)
+
+        allv = np.sort(np.concatenate([a, b]))
+        f1 = np.searchsorted(np.sort(a), allv[:-1], side="right") / len(a)
+        f2 = np.searchsorted(np.sort(b), allv[:-1], side="right") / len(b)
+        exact = float(np.sum(np.abs(f1 - f2) * np.diff(allv)))
+        assert abs(r.value - exact) < 0.01  # ≤ ~bucket-width transport error
+
+
 class TestGroupedCollectionGuard:
     def test_huge_group_raises_pointed_error(self, spark, monkeypatch):
         import importlib
