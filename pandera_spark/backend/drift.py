@@ -571,6 +571,98 @@ def psi_categorical(
     return PSIResult(total, per_bucket)
 
 
+@dataclass
+class Chi2Result:
+    statistic: float
+    pvalue: float
+    dof: int
+    n1: int
+    n2: int
+
+    def reject(self, alpha: float = 0.01) -> bool:
+        return self.pvalue < alpha
+
+
+def _gammainc_upper_half(k2: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(k/2, x/2) for chi-square SF,
+    via the series/continued-fraction split (standard public formulas)."""
+    a = k2 / 2.0
+    x = x / 2.0
+    if x <= 0:
+        return 1.0
+    if x < a + 1.0:
+        # P(a,x) by series, Q = 1 - P
+        term = 1.0 / a
+        total = term
+        for n in range(1, 500):
+            term *= x / (a + n)
+            total += term
+            if abs(term) < abs(total) * 1e-14:
+                break
+        ln_p = -x + a * math.log(x) - math.lgamma(a)
+        return max(0.0, min(1.0, 1.0 - total * math.exp(ln_p)))
+    # Q(a,x) by continued fraction (Lentz)
+    FPMIN = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = b + an / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    ln_q = -x + a * math.log(x) - math.lgamma(a)
+    return max(0.0, min(1.0, h * math.exp(ln_q)))
+
+
+def chi2_2samp_categorical(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    col: str,
+) -> Chi2Result:
+    """Two-sample chi-square homogeneity test over category counts: two
+    map-side-combined groupBy-count jobs, closed-form statistic + p-value
+    on the driver (no scipy, no sample collection).
+
+    X² = Σ_cells (observed - expected)² / expected over the 2×k table,
+    dof = k - 1."""
+
+    def counts(df: DataFrame) -> dict:
+        return {
+            r[col]: r["count"]
+            for r in df.filter(F.col(col).isNotNull()).groupBy(col).count().collect()
+        }
+
+    c1, c2 = counts(baseline), counts(candidate)
+    cats = sorted(set(c1) | set(c2), key=repr)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    if not n1 or not n2 or len(cats) < 2:
+        return Chi2Result(0.0, 1.0, max(len(cats) - 1, 0), n1, n2)
+    total = n1 + n2
+    stat = 0.0
+    for cat in cats:
+        o1, o2 = c1.get(cat, 0), c2.get(cat, 0)
+        col_total = o1 + o2
+        e1 = n1 * col_total / total
+        e2 = n2 * col_total / total
+        if e1 > 0:
+            stat += (o1 - e1) ** 2 / e1
+        if e2 > 0:
+            stat += (o2 - e2) ** 2 / e2
+    dof = len(cats) - 1
+    return Chi2Result(stat, _gammainc_upper_half(float(dof), stat), dof, n1, n2)
+
+
 # ---------------------------------------------------------------------- #
 # t-tests (closed-form aggregates — no scipy, no sample collection)
 # ---------------------------------------------------------------------- #

@@ -218,6 +218,19 @@ def q_wasserstein_events(spark, sf_dir):
     return spark.createDataFrame([(round(res.value, 2),)], "w1 double")
 
 
+def q_chi2_events(spark, sf_dir):
+    """Two-sample chi-square homogeneity over event_type between the
+    even- and odd-user halves (p-value is driver-side incomplete gamma —
+    oracle checks the statistic + dof)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    res = drift.chi2_2samp_categorical(a, b, "event_type")
+    return spark.createDataFrame(
+        [(round(res.statistic, 4), res.dof)], "stat double, dof int"
+    )
+
+
 def q_ttest_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     res = drift.two_sample_ttest(ev, "value", "event_type", "click", "purchase")
@@ -571,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_events": q_psi_events,
         "ks_events": q_ks_events,
         "js_events": q_js_events,
+        "chi2_events": q_chi2_events,
         "ttest_events": q_ttest_events,
         "token_stats_documents": q_token_stats_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -962,6 +976,25 @@ def oracle_sql() -> dict[str, str]:
         "psi_events": _sql_psi(),
         "ks_events": _sql_ks(),
         "js_events": _sql_js(),
+        "chi2_events": """
+            WITH c AS (
+              SELECT event_type,
+                     SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) * 1.0 AS o1,
+                     SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) * 1.0 AS o2
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY event_type),
+            t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2, SUM(o1 + o2) AS total FROM c)
+            SELECT ROUND(SUM(
+                     CASE WHEN t.n1 * (c.o1 + c.o2) / t.total > 0
+                          THEN POW(c.o1 - t.n1 * (c.o1 + c.o2) / t.total, 2)
+                               / (t.n1 * (c.o1 + c.o2) / t.total) ELSE 0 END
+                   + CASE WHEN t.n2 * (c.o1 + c.o2) / t.total > 0
+                          THEN POW(c.o2 - t.n2 * (c.o1 + c.o2) / t.total, 2)
+                               / (t.n2 * (c.o1 + c.o2) / t.total) ELSE 0 END
+                   ), 4) AS stat,
+                   CAST(COUNT(*) - 1 AS INT) AS dof
+            FROM c, t
+        """,
         "ttest_events": """
             WITH s AS (
               SELECT event_type, COUNT(value) AS n, AVG(value) AS m,

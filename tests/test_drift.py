@@ -260,6 +260,50 @@ class TestDivergences:
         assert abs(r.value - exact) < 0.01  # ≤ ~bucket-width transport error
 
 
+class TestChi2Categorical:
+    def test_same_distribution_high_p(self, spark):
+        rows = [(c,) for c in ["a", "b", "c"] * 200]
+        d1 = spark.createDataFrame(rows, "cat string")
+        d2 = spark.createDataFrame(rows, "cat string")
+        r = drift.chi2_2samp_categorical(d1, d2, "cat")
+        assert r.statistic < 1e-9 and r.pvalue > 0.99
+
+    def test_shifted_distribution_rejects(self, spark):
+        d1 = spark.createDataFrame(
+            [("a",)] * 300 + [("b",)] * 100, "cat string"
+        )
+        d2 = spark.createDataFrame(
+            [("a",)] * 100 + [("b",)] * 300, "cat string"
+        )
+        r = drift.chi2_2samp_categorical(d1, d2, "cat")
+        assert r.reject(0.01)
+        assert r.dof == 1
+
+    def test_statistic_matches_manual(self, spark):
+        import numpy as np
+
+        obs = np.array([[30, 70, 50], [60, 40, 50]], dtype=float)
+        d1 = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 70 + [("c",)] * 50, "cat string"
+        )
+        d2 = spark.createDataFrame(
+            [("a",)] * 60 + [("b",)] * 40 + [("c",)] * 50, "cat string"
+        )
+        r = drift.chi2_2samp_categorical(d1, d2, "cat")
+        col_tot = obs.sum(0)
+        row_tot = obs.sum(1)
+        expected = np.outer(row_tot, col_tot) / obs.sum()
+        stat = float(((obs - expected) ** 2 / expected).sum())
+        assert abs(r.statistic - stat) < 1e-9
+        assert r.dof == 2
+
+    def test_pvalue_known_point(self, spark):
+        # chi-square SF at dof=1: P(X > 3.841) ≈ 0.05
+        assert abs(drift._gammainc_upper_half(1.0, 3.841459) - 0.05) < 1e-4
+        # dof=5: P(X > 11.0705) ≈ 0.05
+        assert abs(drift._gammainc_upper_half(5.0, 11.0705) - 0.05) < 1e-4
+
+
 class TestGroupedCollectionGuard:
     def test_huge_group_raises_pointed_error(self, spark, monkeypatch):
         import importlib
