@@ -1,0 +1,105 @@
+"""Property-based conformance (hypothesis): engine verdicts must match a
+pure-Python evaluation of the same check semantics on arbitrary data —
+the Spark-side analogue of the reference's strategies-driven tests
+(/root/reference/tests/strategies; data-synthesis declared out of scope,
+property checks cover the same ground on generated inputs)."""
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from pandera_spark import Check, Column, DataFrameSchema
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ints_with_nulls = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _validate_ints(spark, values, check):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id int, x int")
+    schema = DataFrameSchema(
+        {"x": Column("int", checks=check, nullable=True)}, index_cols=["id"]
+    )
+    return schema.validate(df)
+
+
+class TestVerdictProperties:
+    @settings(**_SETTINGS)
+    @given(values=ints_with_nulls, bound=st.integers(-1000, 1000))
+    def test_ge_matches_python(self, spark, values, bound):
+        r = _validate_ints(spark, values, Check.ge(bound))
+        expected = sum(1 for v in values if v is not None and not (v >= bound))
+        got = next(
+            c["n_violations"]
+            for c in r.check_results
+            if c["check"].startswith("greater_than_or_equal_to")
+        )
+        assert got == expected
+        assert r.passed == (expected == 0 and all(True for _ in values))
+
+    @settings(**_SETTINGS)
+    @given(
+        values=ints_with_nulls,
+        lo=st.integers(-1000, 0),
+        span=st.integers(0, 1000),
+    )
+    def test_in_range_matches_python(self, spark, values, lo, span):
+        hi = lo + span
+        r = _validate_ints(spark, values, Check.in_range(lo, hi))
+        expected = sum(
+            1 for v in values if v is not None and not (lo <= v <= hi)
+        )
+        got = next(
+            c["n_violations"]
+            for c in r.check_results
+            if c["check"].startswith("in_range")
+        )
+        assert got == expected
+
+    @settings(**_SETTINGS)
+    @given(
+        values=ints_with_nulls,
+        allowed=st.sets(st.integers(-5, 5), min_size=1, max_size=5),
+    )
+    def test_isin_violation_rows_match_python(self, spark, values, allowed):
+        r = _validate_ints(spark, values, Check.isin(allowed))
+        expected_idx = sorted(
+            str(i)
+            for i, v in enumerate(values)
+            if v is not None and v not in allowed
+        )
+        if r.violations is None:
+            got_idx = []
+        else:
+            got_idx = sorted(
+                row["index"]
+                for row in r.violations.collect()
+                if row["check"].startswith("isin")
+            )
+        assert got_idx == expected_idx
+
+    @settings(**_SETTINGS)
+    @given(values=st.lists(st.integers(0, 3), min_size=2, max_size=30))
+    def test_unique_duplicate_count_matches_python(self, spark, values):
+        from collections import Counter
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id int, x int"
+        )
+        schema = DataFrameSchema(
+            {"x": Column("int", unique=True, nullable=True)}, index_cols=["id"]
+        )
+        r = schema.validate(df)
+        dup_rows = sum(n for n in Counter(values).values() if n > 1)
+        got = 0 if r.violations is None else r.violations.filter(
+            "check = 'field_uniqueness'"
+        ).count()
+        assert got == dup_rows
