@@ -415,16 +415,23 @@ def wasserstein_1d(
     if not n1 or not n2 or lo is None or hi == lo:
         return DivergenceResult(0.0, n1 or 0, n2 or 0, "binned")
     width = (hi - lo) / bins
+    # width_bucket puts v == hi in bins+1: clamp AND merge with bucket
+    # `bins` so the max-value row doesn't contribute an extra width·|ΔCDF|
+    merged: dict = {}
+    for r in rows:
+        b = min(r["__b__"], bins)
+        na, nb = merged.get(b, (0, 0))
+        merged[b] = (na + (r["na"] or 0), nb + (r["nb"] or 0))
     ca = cb = 0
     w = 0.0
     prev_b = 0
-    for r in rows:
-        b = min(r["__b__"], bins)  # width_bucket puts v == hi in bins+1
+    for b in sorted(merged):
+        na, nb = merged[b]
         # empty buckets between present ones carry the unchanged CDF gap
         gap = max(b - prev_b - 1, 0)
         w += gap * width * abs(ca / n1 - cb / n2)
-        ca += r["na"] or 0
-        cb += r["nb"] or 0
+        ca += na
+        cb += nb
         w += width * abs(ca / n1 - cb / n2)
         prev_b = b
     # buckets after the last occupied one contribute |1 - 1| = 0

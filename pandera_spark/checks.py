@@ -482,10 +482,11 @@ def register_check_method(
             stats = dict(zip(params, args))
             stats.update({k: v for k, v in kw.items() if k in params})
             opts = {k: v for k, v in kw.items() if k not in params}
-            # statistic args in declared order, whether given positionally
-            # or by keyword (serialization round-trips pass them by keyword)
-            call_args = [stats[p] for p in params if p in stats]
-            arg_str = ", ".join(repr(a) for a in call_args)
+            # statistic args bound BY KEYWORD so factory(max=5) with params
+            # ('min','max') cannot slide into the wrong positional slot;
+            # arg_str renders them in declared order for the error string
+            call_kw = {p: stats[p] for p in params if p in stats}
+            arg_str = ", ".join(repr(call_kw[p]) for p in params if p in call_kw)
             common = dict(
                 name=opts.pop("name", method_name),
                 error=opts.pop("error", None) or f"{method_name}({arg_str})",
@@ -494,14 +495,14 @@ def register_check_method(
                 **opts,
             )
             if check_type == "expression":
-                return Check(lambda c: func(c, *call_args), **common)
+                return Check(lambda c: func(c, **call_kw), **common)
             if check_type == "vectorized":
-                return Check(lambda s: func(s, *call_args), vectorized=True, **common)
+                return Check(lambda s: func(s, **call_kw), vectorized=True, **common)
             if check_type == "element_wise":
-                return Check(lambda x: func(x, *call_args), element_wise=True, **common)
+                return Check(lambda x: func(x, **call_kw), element_wise=True, **common)
             if check_type == "groupby":
                 gb = common.pop("groupby", None) or opts.get("groupby")
-                return Check(lambda d: func(d, *call_args), groupby=gb, **common)
+                return Check(lambda d: func(d, **call_kw), groupby=gb, **common)
             raise ValueError(f"unknown check_type {check_type}")
 
         _CHECK_REGISTRY[method_name] = factory

@@ -43,6 +43,9 @@ logger = logging.getLogger(__name__)
 DEFAULT_BUCKET_CAP = 2000
 
 
+_CAP_WARNED: set = set()
+
+
 def _cap_bucket_size(df: DataFrame, keys: list[str], cap: Optional[int]) -> DataFrame:
     """Drop rows in buckets larger than ``cap`` via a window count.
 
@@ -51,6 +54,15 @@ def _cap_bucket_size(df: DataFrame, keys: list[str], cap: Optional[int]) -> Data
     shuffle."""
     if cap is None:
         return df
+    key = (tuple(keys), cap)
+    if key not in _CAP_WARNED:  # once per (keys, cap) per process
+        _CAP_WARNED.add(key)
+        logger.warning(
+            "LSH bucket cap %d active on %s — rows in over-cap buckets are "
+            "excluded from the candidate join; run overflow_buckets(df, %s, "
+            "cap=%d) for the dropped-bucket report",
+            cap, keys, keys, cap,
+        )
     w = Window.partitionBy(*keys)
     return (
         df.withColumn("__bucket_n__", F.count(F.lit(1)).over(w))
@@ -230,7 +242,12 @@ def minhash_lsh_candidates(
         sig_expr = minhash_signature(
             text_col, num_hashes, shingle_k, seed, shingle_mode
         )
-    sig = df.repartition(par).select(F.col(id_col), sig_expr.alias("__sig__"))
+    # spread SMALL inputs across the cluster before the signature UDF; a
+    # big scan (100-TB table) already has >= par partitions and must NOT
+    # be funneled through a full shuffle of raw text just to coalesce it
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    sig = df.select(F.col(id_col), sig_expr.alias("__sig__"))
     band_cols = [
         F.xxhash64(
             F.slice("__sig__", i * rows_per_band + 1, rows_per_band).cast("string"),

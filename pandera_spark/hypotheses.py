@@ -103,6 +103,16 @@ class Hypothesis(Check):
                 "ks_2samp": "ks_2samp",
                 "ttest_ind": "two_sample_ttest",
             }.get(getattr(test, "__name__", ""))
+            # only auto-route when every user test_kwarg is one the agg
+            # path reproduces — otherwise (e.g. ks_2samp(alternative=
+            # 'less')) fall back to sample collection so the user's
+            # callable semantics are honored exactly
+            if auto == "ks_2samp" and self.test_kwargs:
+                auto = None
+            if auto == "two_sample_ttest" and not set(
+                self.test_kwargs
+            ) <= {"equal_var"}:
+                auto = None
             if auto:
                 self.agg_impl = auto
                 if auto == "two_sample_ttest":
@@ -197,11 +207,14 @@ class Hypothesis(Check):
         sample2,
         groupby: str,
         alpha: float = DEFAULT_ALPHA,
-        num_grid: int = 201,
+        num_grid: Optional[int] = None,
         raise_warning: bool = False,
     ) -> "Hypothesis":
-        """Sketch-based two-sample KS between two groupby levels
-        (relationship fixed to 'equal': drift → fail)."""
+        """Binned-histogram two-sample KS between two groupby levels
+        (relationship fixed to 'equal': drift → fail).  Default evaluates
+        drift.ks_2samp's binned path (one min/max agg + one O(bins)
+        shuffle); passing ``num_grid`` explicitly selects the legacy
+        quantile-sketch grid path with that many grid points."""
         return cls(
             test=lambda *a, **k: (0.0, 1.0),
             samples=[sample1, sample2],
@@ -212,7 +225,10 @@ class Hypothesis(Check):
             error=f"failed KS two-sample test between '{sample1}' and '{sample2}'",
             raise_warning=raise_warning,
             agg_impl="ks_2samp",
-            agg_kwargs={"num_grid": num_grid},
+            agg_kwargs=(
+                {} if num_grid is None
+                else {"method": "sketch", "num_grid": num_grid}
+            ),
         )
 
     def evaluate_agg(self, df, column: str) -> bool:

@@ -209,8 +209,10 @@ def q_js_events(spark, sf_dir):
 
 
 def q_wasserstein_events(spark, sf_dir):
-    """1-D Wasserstein from the shared binned histogram (rows-only:
-    bucket-approximation of a continuous integral — no SQL twin)."""
+    """1-D Wasserstein from the shared binned histogram.  Oracle: the same
+    width_bucket histogram + cumulative-|ΔCDF| scan in DuckDB SQL
+    (_sql_wasserstein) — bucket formula verified bit-exact vs Spark's
+    width_bucket."""
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "purchase")
@@ -504,7 +506,9 @@ def q_ignore_na_orders(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
-# rows-only (no SQL oracle — approximate / non-SQL-expressible operators)
+# approximate operators: minhash/simhash/ivf stay rows-only (hash
+# permutations / centroid assignment are not SQL-expressible); ngram
+# Jaccard, embedding dups and Wasserstein gained DuckDB oracles in round 3
 
 
 def q_minhash_candidates_documents(spark, sf_dir):
@@ -602,15 +606,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ignore_na_orders": q_ignore_na_orders,
         "violations_topk_orders": q_violations_topk_orders,
         "unique_values_eq_lineitem": q_unique_values_eq_lineitem,
-        # rows-only (approximate / non-SQL-expressible)
+        # oracle-paired since round 3 (deterministic, SQL-expressible)
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "embedding_dups": q_embedding_dups,
+        "wasserstein_events": q_wasserstein_events,
+        "multimodal_features_documents": q_multimodal_features_documents,
+        # rows-only: minhash/simhash permutation hashes and IVF centroid
+        # assignment are not SQL-expressible; invariants covered in pytest
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_signatures_documents": q_simhash_signatures_documents,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features_documents": q_multimodal_features_documents,
-        "wasserstein_events": q_wasserstein_events,
     }
+
+
+def _sql_wasserstein(bins: int = 8192) -> str:
+    """DuckDB twin of drift.wasserstein_1d's binned plan.  The bucket
+    expression TRUNC(bins*(v-lo)/(hi-lo))+1 reproduces Spark's
+    width_bucket bit-exactly (same IEEE op order); v >= hi clamps into the
+    last bucket exactly as the Python scan does after the bins+1 merge.
+    Each occupied bucket's |ΔCDF| holds for (next_b - b) bucket widths."""
+    return f"""
+    WITH u AS (
+      SELECT CAST(value AS DOUBLE) AS v, TRUE AS g FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+      UNION ALL
+      SELECT CAST(value AS DOUBLE) AS v, FALSE AS g FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM u),
+    h AS (
+      SELECT LEAST(CASE WHEN v >= hi THEN {bins} + 1
+                   ELSE CAST(TRUNC({bins} * (v - lo) / (hi - lo)) AS BIGINT) + 1
+                   END, {bins}) AS b,
+             SUM(CASE WHEN g THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nb
+      FROM u, mm GROUP BY 1),
+    t AS (SELECT SUM(na) AS n1, SUM(nb) AS n2 FROM h),
+    c AS (
+      SELECT b,
+             SUM(na) OVER (ORDER BY b) AS ca,
+             SUM(nb) OVER (ORDER BY b) AS cb,
+             LEAD(b, 1, {bins} + 1) OVER (ORDER BY b) AS nxt
+      FROM h)
+    SELECT ROUND(SUM((nxt - b) * ((hi - lo) / {bins})
+                     * ABS(ca * 1.0 / n1 - cb * 1.0 / n2)), 2) AS w1
+    FROM c, mm, t
+    """
+
+
+def _sql_ngram_jaccard(n: int = 3, threshold: float = 0.8) -> str:
+    """DuckDB twin of dedup.ngram_jaccard_pairs over documents ∪ shifted
+    copy.  Token n-grams reproduce the Spark expression exactly:
+    split(lower(trim(text)), '\\s+') then concat_ws over slice(i+1, n)
+    for i in 0..greatest(size-n, 0), distinct.  The inverted-index join is
+    exact set-similarity; the length prefilter only removes below-threshold
+    pairs so it does not change the result.  max_df (stop-gram cap, 2000)
+    never triggers at oracle scale: posting lists are bounded by the
+    1000-doc corpus."""
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents),
+    tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM docs2),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, GREATEST(len(t) - {n}, 0) + 1),
+               i -> array_to_string(t[i + 1 : i + {n}], ' '))) AS grams
+      FROM tk),
+    s AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+    inv AS (SELECT doc_id, sz, unnest(grams) AS gr FROM s),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sz AS sz_a, r.sz AS sz_b, COUNT(*) AS i
+      FROM inv l JOIN inv r
+        ON l.gr = r.gr AND l.doc_id < r.doc_id
+       AND r.sz * {threshold} <= l.sz AND l.sz * {threshold} <= r.sz
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           ROUND(i * 1.0 / (sz_a + sz_b - i), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(i * 1.0 / (sz_a + sz_b - i), 6) >= {threshold}
+    """
+
+
+def _sql_embedding_dups(threshold: float = 0.999) -> str:
+    """DuckDB twin of dedup.embedding_cosine_dups over embeddings ∪ shifted
+    copy: BRUTE-FORCE cosine over all pairs.  The Spark side prunes with
+    hyperplane LSH then exact-reranks; LSH can only MISS pairs, and a
+    cosine ≥ 0.999 pair below is (on this data) an exact duplicate, whose
+    identical sign pattern guarantees bucket collision — so pruned and
+    brute-force outputs coincide.  Validated at sf0.001/sf0.01; a hash
+    mismatch here would mean the LSH dropped a real near-dup."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    """
 
 
 def _sql_psi() -> str:
@@ -1064,4 +1169,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10)
         """,
+        "wasserstein_events": _sql_wasserstein(),
+        "ngram_jaccard_documents": _sql_ngram_jaccard(),
+        "embedding_dups": _sql_embedding_dups(),
     }
