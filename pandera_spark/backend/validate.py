@@ -110,7 +110,18 @@ def validate(
     lazy: bool = True,
     collect_stats: bool = False,
     collect_failure_cases: bool = True,
+    file_stats: Optional[dict] = None,
 ) -> ValidationResult:
+    """``file_stats``: output of io.sources.parquet_footer_stats /
+    iceberg_footer_stats for ``df``'s source.  Checks the footer already
+    proves (not_nullable on a 0-null column; monotone value checks whose
+    bound clears the footer min/max) are short-circuited — no aggregate
+    expression is issued for them.  Proofs stay valid if rows were
+    filtered upstream (null_count==0 and min/max bounds are monotone under
+    subsetting) but NOT if column values were transformed; coerced /
+    parsed / defaulted columns are excluded automatically.  collect_stats
+    additionally substitutes footer null_count/min/max (requires the
+    UNfiltered scan — guarded by a row-count cross-check)."""
     handler = ErrorHandler(lazy=lazy)
 
     if not _config.CONFIG.validation_enabled:
@@ -176,20 +187,44 @@ def validate(
     if not _config.CONFIG.data_checks_active:
         agg_only, grouped = [], []
 
+    # ---------------- file-stat short-circuit (footer proofs) -------------
+    proven: list[CompiledCheck] = []
+    if file_stats:
+        compiled, proven = _file_stats_shortcircuit(
+            schema, df, compiled, file_stats
+        )
+
     stats_wanted = collect_stats
     index_cols = _resolve_index_cols(schema, df)
 
+    # footer substitution for collected stats only on the unfiltered scan
+    fs_for_stats = file_stats if (head is None and sample is None) else None
+
     # ---------------- job 1: fused aggregate pass -------------------------
     agg_row, stats = _fused_aggregate(
-        schema, df, compiled, agg_only, collect_stats=stats_wanted
+        schema, df, compiled, agg_only, collect_stats=stats_wanted,
+        file_stats=fs_for_stats,
     )
     n_rows = agg_row["__n_rows__"] if agg_row is not None else None
+    if n_rows is None and file_stats and head is None and sample is None:
+        n_rows = int(file_stats.get("n_rows") or 0)
 
     check_results: list[dict] = []
     failed_row_checks: list[CompiledCheck] = []
     if agg_row is not None:
         failed_row_checks = _collect_agg_verdicts(
             schema, agg_row, compiled, agg_only, handler, schema_name, check_results
+        )
+    for cc in proven:
+        check_results.append(
+            {
+                "column": cc.column,
+                "check": cc.check_name,
+                "check_number": cc.check_number,
+                "n_violations": 0,
+                "n_rows": int(n_rows or 0),
+                "passed": True,
+            }
         )
 
     # ---------------- grouped (applyInPandas) checks ----------------------
@@ -694,6 +729,89 @@ def _compile_checks(schema, df, coerce_checks):
     return compiled, agg_only, grouped
 
 
+def _prove_value_check(name, stat, lo, hi) -> bool:
+    """True when footer [lo, hi] proves every non-null value passes the
+    named monotone builtin; False (never raising) otherwise."""
+    try:
+        if name == "greater_than":
+            return lo > stat["min_value"]
+        if name == "greater_than_or_equal_to":
+            return lo >= stat["min_value"]
+        if name == "less_than":
+            return hi < stat["max_value"]
+        if name == "less_than_or_equal_to":
+            return hi <= stat["max_value"]
+        if name == "in_range":
+            lo_ok = (
+                lo >= stat["min_value"]
+                if stat.get("include_min", True)
+                else lo > stat["min_value"]
+            )
+            hi_ok = (
+                hi <= stat["max_value"]
+                if stat.get("include_max", True)
+                else hi < stat["max_value"]
+            )
+            return lo_ok and hi_ok
+    except (TypeError, KeyError):  # non-comparable or missing bound
+        return False
+    return False
+
+
+def _file_stats_shortcircuit(schema, df, compiled, file_stats):
+    """Split ``compiled`` into (still-needs-a-scan, proven-by-footer).
+
+    A check is provable from file footer statistics when the column's
+    values are untouched since the scan (not coerced, no parsers; a
+    declared default only matters when the footer shows nulls) and:
+
+      - not_nullable            ⇐ footer null_count == 0
+      - greater_than(v)         ⇐ footer min  >  v
+      - greater_than_or_equal_to⇐ footer min  >= v
+      - less_than(v)            ⇐ footer max  <  v
+      - less_than_or_equal_to   ⇐ footer max  <= v
+      - in_range(lo, hi)        ⇐ footer [min,max] inside the interval
+
+    ignore_na=False additionally requires null_count == 0 (nulls would
+    count as violations).  All proofs are one-sided: the footer can prove
+    a PASS, never a failure, so an unprovable check simply stays in the
+    fused aggregate.  This mirrors Iceberg's null_value_counts/bounds
+    file-skipping, with parquet footers as the in-sandbox stand-in."""
+    fcols = file_stats.get("columns", {})
+    target_col = {
+        t: col
+        for _, col in schema.columns.items()
+        for t in col.matched_columns(df.columns)
+    }
+    remaining, proven = [], []
+    for cc in compiled:
+        fs = fcols.get(cc.column) if cc.column else None
+        col = target_col.get(cc.column) if cc.column else None
+        modified = (
+            cc.column is None
+            or (PRE_COERCE_PREFIX + cc.column) in df.columns
+            or (col is not None and col.parsers)
+        )
+        nulls_clean = fs is not None and fs.get("null_count") == 0
+        # a fill-default only changes values when nulls exist
+        if col is not None and col.default is not None and not nulls_clean:
+            modified = True
+        ok = False
+        if fs is not None and not modified:
+            if cc.check_name == "not_nullable":
+                ok = nulls_clean
+            elif cc.check is not None:
+                lo, hi = fs.get("min"), fs.get("max")
+                if lo is not None and hi is not None:
+                    ok = _prove_value_check(
+                        cc.check.name, cc.check.statistics or {}, lo, hi
+                    )
+                if ok and not cc.check.ignore_na:
+                    ok = nulls_clean
+        (proven if ok else remaining).append(cc)
+    return remaining, proven
+
+
 STAT_COLS = ("count", "null_count", "approx_distinct", "min", "max")
 
 #: whole-stage-codegen expression budget per aggregation job.  Past
@@ -707,9 +825,17 @@ STAT_COLS = ("count", "null_count", "approx_distinct", "min", "max")
 MAX_FUSED_AGG_EXPRS = 80
 
 
-def _fused_aggregate(schema, df, compiled, agg_only, collect_stats: bool):
+def _fused_aggregate(
+    schema, df, compiled, agg_only, collect_stats: bool, file_stats=None
+):
     """Build and run the fused aggregation pass (one job up to
-    MAX_FUSED_AGG_EXPRS expressions; column-pruned chunks beyond)."""
+    MAX_FUSED_AGG_EXPRS expressions; column-pruned chunks beyond).
+
+    ``file_stats`` (footer statistics of df's source, unfiltered-scan
+    contract enforced by a row-count cross-check): columns whose footer
+    entry is complete and whose values are untouched since the scan skip
+    their count/null/min/max stat expressions — only the HLL distinct
+    sketch still scans; the skipped stats are filled from the footer."""
     # (exprs, columns_needed | None for "all") per source group
     groups: list[tuple[list, Optional[set]]] = []
 
@@ -741,8 +867,33 @@ def _fused_aggregate(schema, df, compiled, agg_only, collect_stats: bool):
             )
         )
     data_cols = [c for c in df.columns if not c.startswith(PRE_COERCE_PREFIX)]
+    footer_cols: dict[str, dict] = {}
+    if collect_stats and file_stats:
+        fcols = file_stats.get("columns", {})
+        parsed = {
+            t
+            for _, col in schema.columns.items()
+            for t in col.matched_columns(df.columns)
+            if col.parsers or col.default is not None
+        }
+        for c in data_cols:
+            fs = fcols.get(c)
+            if (
+                fs is not None
+                and fs.get("null_count") is not None
+                and fs.get("min") is not None
+                and fs.get("max") is not None
+                and (PRE_COERCE_PREFIX + c) not in df.columns
+                and c not in parsed
+            ):
+                footer_cols[c] = fs
     if collect_stats:
         for c in data_cols:
+            if c in footer_cols:  # footer supplies count/nulls/min/max
+                groups.append(
+                    ([F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}")], {c})
+                )
+                continue
             groups.append(
                 (
                     [
@@ -799,8 +950,27 @@ def _fused_aggregate(schema, df, compiled, agg_only, collect_stats: bool):
     stats = None
     if collect_stats:
         n = row["__n_rows__"]
+        if footer_cols and n != file_stats.get("n_rows"):
+            raise ValueError(
+                f"file_stats row count {file_stats.get('n_rows')} does not "
+                f"match the DataFrame ({n} rows): collect_stats footer "
+                "substitution requires the unmodified scan of the source — "
+                "pass file_stats=None (or skip collect_stats) for a "
+                "filtered/transformed frame"
+            )
         stats = {}
         for c in data_cols:
+            if c in footer_cols:
+                fs = footer_cols[c]
+                stats[c] = {
+                    "count": n - fs["null_count"],
+                    "null_count": fs["null_count"],
+                    "approx_distinct": row[f"__hll__{c}"],
+                    "min": fs["min"],
+                    "max": fs["max"],
+                    "n_rows": n,
+                }
+                continue
             stats[c] = {
                 "count": row[f"__cnt__{c}"],
                 "null_count": row[f"__nulls__{c}"],

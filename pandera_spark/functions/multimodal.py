@@ -3,11 +3,15 @@
 Media is carried as opaque ``binary`` columns + a typed metadata struct;
 all transforms run as Arrow-batched ``mapInPandas`` over the binary
 payload, so the Spark-side schema / partitioning / batch shape is real and
-tested.  The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in
-this environment — the decode step is STUBBED: ``decoder="fake"``
-produces a deterministic payload-hash-derived feature vector (stable for
-tests), and ``decoder="real"`` raises NotImplementedError with the
-integration point documented.
+tested.  Decoders:
+
+  - ``decoder="wav"`` — REAL audio decoding via the stdlib ``wave`` +
+    ``struct`` modules (PCM WAV: duration, sample rate, channels, RMS,
+    peak, zero-crossing rate...), no external codec needed.
+  - ``decoder="fake"`` — deterministic payload-hash-derived features
+    (stable for tests of the Arrow plumbing at any payload type).
+  - ``decoder="real"`` — the integration point for PIL/ffmpeg/torchaudio
+    (absent from this container); raises NotImplementedError.
 """
 
 from __future__ import annotations
@@ -60,6 +64,47 @@ def _fake_decode_features(payload: bytes, out_dim: int) -> np.ndarray:
     return rng.standard_normal(out_dim).astype(np.float32)
 
 
+def _wav_decode_features(payload: bytes, out_dim: int) -> np.ndarray:
+    """Real acoustic descriptor from a PCM WAV payload (stdlib ``wave``):
+
+      [duration_s, sample_rate_khz, n_channels, rms, peak, zcr,
+       mean_abs, std]
+
+    normalized to [-1, 1] sample scale, zero-padded / truncated to
+    ``out_dim``.  Samples are decoded with one vectorized
+    ``np.frombuffer`` — no per-sample Python."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    duration = nframes / sr if sr else 0.0
+    if x.size:
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+        mean_abs = float(np.mean(np.abs(x)))
+        std = float(np.std(x))
+    else:
+        rms = peak = zcr = mean_abs = std = 0.0
+    feats = np.zeros(out_dim, dtype=np.float32)
+    vals = [duration, sr / 1000.0, float(nch), rms, peak, zcr, mean_abs, std]
+    feats[: min(out_dim, len(vals))] = vals[:out_dim]
+    return feats
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str,
@@ -69,10 +114,11 @@ def extract_features(
 ) -> DataFrame:
     """Append ``features: array<float>`` via Arrow-batched mapInPandas.
 
+    decoder="wav" decodes PCM WAV payloads for real (stdlib codec);
     decoder="real" is the integration point for PIL/torchvision etc. —
     unavailable in this container, so it raises NotImplementedError.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "wav", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -87,16 +133,55 @@ def extract_features(
             if decoder == "real":
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg — not present "
-                    "in this environment; plug the codec in here"
+                    "in this environment; plug the codec in here (the "
+                    "stdlib 'wav' decoder shows the shape)"
                 )
+            decode = (
+                _wav_decode_features if decoder == "wav" else _fake_decode_features
+            )
             pdf = pdf.copy()
             pdf["features"] = [
-                _fake_decode_features(p, out_dim).tolist()
-                for p in pdf[binary_col]
+                decode(p, out_dim).tolist() for p in pdf[binary_col]
             ]
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def wav_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """Fill ``media_meta.duration_ms`` for WAV payloads by reading only
+    the 44-byte RIFF header fields via JVM expressions — no UDF, no full
+    decode: duration = data_bytes / byte_rate.  Header layout: byte_rate
+    is little-endian uint32 at offset 28, total payload length minus the
+    44-byte canonical header approximates the data size."""
+    little32 = lambda off: (  # noqa: E731
+        F.conv(
+            F.concat(
+                F.hex(F.substring(F.col(binary_col), off + 4, 1)),
+                F.hex(F.substring(F.col(binary_col), off + 3, 1)),
+                F.hex(F.substring(F.col(binary_col), off + 2, 1)),
+                F.hex(F.substring(F.col(binary_col), off + 1, 1)),
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    byte_rate = little32(28)
+    data_len = (F.length(F.col(binary_col)) - F.lit(44)).cast("long")
+    duration_ms = F.when(
+        byte_rate > 0, (data_len * 1000 / byte_rate).cast("long")
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.media_type").alias("media_type"),
+            F.col("media_meta.format").alias("format"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            duration_ms.alias("duration_ms"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        ),
+    )
 
 
 def sample_frames(

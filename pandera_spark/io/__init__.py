@@ -1,3 +1,7 @@
+from .frictionless import (  # noqa: F401
+    from_frictionless_schema,
+    to_frictionless_schema,
+)
 from .serialization import (  # noqa: F401
     from_dict,
     from_json,
@@ -7,4 +11,9 @@ from .serialization import (  # noqa: F401
     to_script,
     to_yaml,
 )
-from .sources import read_table, write_table  # noqa: F401
+from .sources import (  # noqa: F401
+    iceberg_footer_stats,
+    parquet_footer_stats,
+    read_table,
+    write_table,
+)

@@ -1,0 +1,245 @@
+"""Frictionless table-schema import/export.
+
+Reference: pandera/io/pandas_io.py:630-867 (FrictionlessFieldParser +
+from_frictionless_schema).  The reference depends on the ``frictionless``
+package; this implementation parses the table-schema spec
+(https://specs.frictionlessdata.io/table-schema/) directly from a dict or
+a json/yaml file so users can migrate specs without extra dependencies.
+Field-constraint mapping mirrors the reference exactly:
+
+  minimum+maximum    → Check.in_range(min, max)
+  minimum alone      → Check.greater_than_or_equal_to
+  maximum alone      → Check.less_than_or_equal_to
+  minLength+maxLength→ Check.str_length(min, max)
+  pattern            → Check.str_matches(rf"^{pattern}$")
+                       (table-schema patterns match the WHOLE value)
+  enum               → Check.isin(values)
+  required           → nullable=False
+  unique / primaryKey→ column unique / schema-level unique list
+
+Types map to Spark dtypes instead of pandas (integer→bigint,
+number→double, datetime→timestamp, duration→timedelta, enum→category).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Union
+
+from ..checks import Check
+from ..schema import Column, DataFrameSchema
+
+#: frictionless field type → Spark-side dtype string
+#: (reference pandas_io.py:655-678, pandas names swapped for Spark DDL)
+_FRICTIONLESS_TYPES = {
+    "string": "string",
+    "number": "double",
+    "integer": "bigint",
+    "boolean": "boolean",
+    "object": "string",
+    "array": "string",
+    # date stays a STRING (reference pandas_io.py:668: date→"string") so
+    # string-typed minimum/maximum constraints compare lexically
+    "date": "string",
+    "time": "string",
+    "datetime": "timestamp",
+    "year": "int",
+    "yearmonth": "string",
+    "duration": "timedelta",
+    "geopoint": "string",
+    "geojson": "string",
+    "any": "string",
+}
+
+
+class FrictionlessFieldParser:
+    """Maps one table-schema field onto a Column spec
+    (reference pandas_io.py:630-790, constraints subset: required,
+    unique, enum, minimum/maximum, minLength/maxLength, pattern)."""
+
+    def __init__(self, field: dict, primary_keys: list[str]):
+        self.constraints = dict(field.get("constraints") or {})
+        self.primary_keys = primary_keys
+        self.name = field["name"]
+        self.type = field.get("type", "string")
+
+    @property
+    def dtype(self) -> str:
+        if self.constraints.get("enum"):
+            return "category"
+        try:
+            return _FRICTIONLESS_TYPES[self.type]
+        except KeyError:
+            raise ValueError(
+                f"unsupported frictionless field type {self.type!r} "
+                f"for field {self.name!r}"
+            ) from None
+
+    @property
+    def checks(self) -> list[Check]:
+        c = dict(self.constraints)
+        out: list[Check] = []
+        if "minimum" in c and "maximum" in c:
+            out.append(Check.in_range(c.pop("minimum"), c.pop("maximum")))
+        if "minLength" in c and "maxLength" in c:
+            out.append(Check.str_length(c.pop("minLength"), c.pop("maxLength")))
+        for key, value in c.items():
+            if key == "minimum":
+                out.append(Check.greater_than_or_equal_to(value))
+            elif key == "maximum":
+                out.append(Check.less_than_or_equal_to(value))
+            elif key == "minLength":
+                out.append(Check.str_length(value, None))
+            elif key == "maxLength":
+                out.append(Check.str_length(None, value))
+            elif key == "pattern":
+                out.append(Check.str_matches(rf"^{value}$"))
+            elif key == "enum":
+                out.append(Check.isin(value))
+        return out
+
+    @property
+    def nullable(self) -> bool:
+        if self.name in self.primary_keys:
+            return False
+        return not self.constraints.get("required", False)
+
+    @property
+    def unique(self) -> bool:
+        # column-level uniqueness only for a SINGLE-field primary key;
+        # composite keys become schema-level unique (joint uniqueness)
+        if len(self.primary_keys) == 1 and self.name in self.primary_keys:
+            return True
+        return bool(self.constraints.get("unique", False))
+
+    def to_column(self) -> Column:
+        return Column(
+            dtype=self.dtype,
+            checks=self.checks,
+            nullable=self.nullable,
+            unique=self.unique,
+            coerce=True,  # frictionless specs describe CSV-ish data
+            required=True,
+            name=self.name,
+        )
+
+
+def from_frictionless_schema(
+    source: Union[str, dict],
+) -> DataFrameSchema:
+    """Build a DataFrameSchema from a frictionless table-schema dict or a
+    path to its json/yaml file (reference pandas_io.py:795-867)."""
+    spec = _load_spec(source)
+    pk = spec.get("primaryKey") or []
+    primary_keys = [pk] if isinstance(pk, str) else list(pk)
+    columns = {
+        f["name"]: FrictionlessFieldParser(f, primary_keys).to_column()
+        for f in spec.get("fields", [])
+    }
+    return DataFrameSchema(
+        columns=columns,
+        coerce=True,
+        strict=True,
+        unique=primary_keys if len(primary_keys) > 1 else None,
+        name=spec.get("name"),
+    )
+
+
+def to_frictionless_schema(schema: DataFrameSchema) -> dict:
+    """Export a DataFrameSchema to a frictionless table-schema dict —
+    the inverse mapping of :func:`from_frictionless_schema` for the
+    constraint subset both sides express.  Unmapped checks raise so a
+    lossy export is never silent."""
+    inv_types = {
+        "string": "string",
+        "double": "number",
+        "float": "number",
+        "bigint": "integer",
+        "long": "integer",
+        "int": "integer",
+        "boolean": "boolean",
+        "date": "date",  # a true date dtype still exports as a date field
+        "timestamp": "datetime",
+        "timedelta": "duration",
+    }
+    fields = []
+    single_pk: Optional[str] = None
+    for name, col in schema.columns.items():
+        constraints: dict[str, Any] = {}
+        if not col.nullable:
+            constraints["required"] = True
+        if col.unique:
+            single_pk = name if single_pk is None else single_pk
+            constraints["unique"] = True
+        ftype = "string"
+        dtype = str(col.dtype) if col.dtype is not None else "string"
+        if dtype == "category":
+            ftype = "string"
+        elif dtype in inv_types:
+            ftype = inv_types[dtype]
+        else:
+            raise ValueError(
+                f"column {name!r}: dtype {dtype!r} has no frictionless "
+                "field-type mapping"
+            )
+        for chk in col.checks:
+            st = chk.statistics or {}
+            if chk.name == "in_range":
+                constraints["minimum"] = st["min_value"]
+                constraints["maximum"] = st["max_value"]
+            elif chk.name == "greater_than_or_equal_to":
+                constraints["minimum"] = st["min_value"]
+            elif chk.name == "less_than_or_equal_to":
+                constraints["maximum"] = st["max_value"]
+            elif chk.name == "str_length":
+                if st.get("min_value") is not None:
+                    constraints["minLength"] = st["min_value"]
+                if st.get("max_value") is not None:
+                    constraints["maxLength"] = st["max_value"]
+            elif chk.name == "str_matches":
+                pat = st["pattern"]
+                if pat.startswith("^") and pat.endswith("$"):
+                    pat = pat[1:-1]
+                constraints["pattern"] = pat
+            elif chk.name == "isin":
+                constraints["enum"] = list(st["allowed_values"])
+            else:
+                raise ValueError(
+                    f"column {name!r}: check {chk.name!r} has no "
+                    "frictionless constraint mapping"
+                )
+        field: dict[str, Any] = {"name": name, "type": ftype}
+        if constraints:
+            field["constraints"] = constraints
+        fields.append(field)
+    spec: dict[str, Any] = {"fields": fields}
+    if schema.unique:
+        spec["primaryKey"] = list(schema.unique)
+    elif single_pk is not None:
+        spec["primaryKey"] = single_pk
+    if schema.name:
+        spec["name"] = schema.name
+    return spec
+
+
+def _load_spec(source: Union[str, dict]) -> dict:
+    if isinstance(source, dict):
+        return source
+    if os.path.exists(source):
+        with open(source, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = source
+    try:
+        return json.loads(text)
+    except (json.JSONDecodeError, ValueError):
+        import yaml
+
+        loaded = yaml.safe_load(text)
+        if not isinstance(loaded, dict):
+            raise ValueError(
+                "frictionless schema source must be a dict or json/yaml "
+                "document with a 'fields' list"
+            )
+        return loaded

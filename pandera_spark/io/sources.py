@@ -11,14 +11,137 @@ down to the scan).
 
 from __future__ import annotations
 
+import glob
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: parquet physical types whose footer min/max are exact (never truncated).
+#: BYTE_ARRAY (strings/binary) min/max may be truncated by the writer and
+#: are therefore never trusted; temporal logical types are skipped to avoid
+#: unit-conversion mismatches between pyarrow and Spark.
+_TRUSTED_MINMAX = (int, float, bool)
+
+
+def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> dict:
+    """Aggregate row-group footer statistics across all parquet files of
+    ``source`` (a file or a directory of part files) WITHOUT reading data.
+
+    Returns ``{"n_rows": int, "columns": {name: {"null_count": int|None,
+    "min": v|None, "max": v|None}}}``.  A statistic is None when any row
+    group lacks it; min/max are kept only for numeric/boolean primitives
+    (string footer min/max may be writer-truncated).  This is the parquet
+    stand-in for Iceberg's ``null_value_counts``/bounds file metadata —
+    the validation backend uses it to prove not_nullable and monotone
+    value checks (greater_than/less_than/in_range...) WITHOUT issuing an
+    aggregate expression (see backend/validate.py file-stats
+    short-circuit).  At 100 TB this replaces a full-column scan per
+    provable check with a driver-side footer read.
+    """
+    import pyarrow.parquet as pq
+
+    paths = (
+        sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(source)
+        else [source]
+    )
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {source}")
+    n_rows = 0
+    agg: dict[str, dict] = {}
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        n_rows += md.num_rows
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for col_i in range(rg.num_columns):
+                cc = rg.column(col_i)
+                name = cc.path_in_schema
+                if "." in name:  # nested leaves: top-level columns only
+                    continue
+                if columns is not None and name not in columns:
+                    continue
+                ent = agg.setdefault(
+                    name, {"null_count": 0, "min": None, "max": None,
+                           "_mm_ok": True, "_nc_ok": True}
+                )
+                st = cc.statistics
+                if st is None or not st.has_null_count:
+                    ent["_nc_ok"] = False
+                elif ent["_nc_ok"]:
+                    ent["null_count"] += st.null_count
+                if (
+                    st is not None
+                    and st.has_null_count
+                    and st.null_count == rg.num_rows
+                ):
+                    continue  # all-null row group: contributes no min/max
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, _TRUSTED_MINMAX)
+                    or not isinstance(st.max, _TRUSTED_MINMAX)
+                ):
+                    ent["_mm_ok"] = False
+                elif ent["_mm_ok"]:
+                    ent["min"] = st.min if ent["min"] is None else min(ent["min"], st.min)
+                    ent["max"] = st.max if ent["max"] is None else max(ent["max"], st.max)
+    cols = {}
+    for name, ent in agg.items():
+        cols[name] = {
+            "null_count": ent["null_count"] if ent["_nc_ok"] else None,
+            "min": ent["min"] if ent["_mm_ok"] else None,
+            "max": ent["max"] if ent["_mm_ok"] else None,
+        }
+    return {"n_rows": n_rows, "columns": cols}
+
+
+def iceberg_footer_stats(
+    spark: SparkSession, table: str, columns: list[str]
+) -> dict:
+    """Same contract as :func:`parquet_footer_stats` but from an Iceberg
+    table's ``<table>.files`` metadata table (``readable_metrics`` struct:
+    per-column null_value_count / lower_bound / upper_bound) — no data
+    files are opened at all.  Requires the Iceberg runtime
+    (iceberg_available); exercised by tests/test_integrations.py when the
+    jar is present."""
+    from pyspark.sql import functions as F
+
+    if not iceberg_available(spark):
+        raise RuntimeError("Iceberg runtime not on the classpath")
+    files = spark.sql(f"SELECT record_count, readable_metrics FROM {table}.files")
+    aggs = [F.sum("record_count").alias("__n__")]
+    for c in columns:
+        m = f"readable_metrics.`{c}`"
+        aggs += [
+            F.sum(f"{m}.null_value_count").alias(f"__nc__{c}"),
+            F.min(f"{m}.lower_bound").alias(f"__lo__{c}"),
+            F.max(f"{m}.upper_bound").alias(f"__hi__{c}"),
+        ]
+    row = files.agg(*aggs).collect()[0].asDict()
+    cols = {}
+    for c in columns:
+        lo, hi = row[f"__lo__{c}"], row[f"__hi__{c}"]
+        trusted = isinstance(lo, _TRUSTED_MINMAX) and isinstance(hi, _TRUSTED_MINMAX)
+        cols[c] = {
+            "null_count": row[f"__nc__{c}"],
+            "min": lo if trusted else None,
+            "max": hi if trusted else None,
+        }
+    return {"n_rows": row["__n__"], "columns": cols}
+
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+
+    Must use Class.forName: plain ``spark._jvm.org.apache...`` attribute
+    access NEVER raises — py4j returns a JavaPackage placeholder for
+    unknown classes, which made the old probe a false positive."""
     try:
-        spark._jvm.org.apache.iceberg.spark.source.SparkTable  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
         return True
     except Exception:
         return False

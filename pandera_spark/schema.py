@@ -180,11 +180,17 @@ class DataFrameSchema:
         inplace: bool = False,  # accepted for API parity; DataFrames immutable
         collect_stats: bool = False,
         collect_failure_cases: bool = True,
+        file_stats: Optional[dict] = None,
     ):
         """Validate ``df``; returns a ValidationResult (never raises for
         data errors when lazy, mirroring the reference pyspark backend's
         non-raising contract, pandera/backends/pyspark/container.py:182-188;
         use ``.raise_on_error()`` or lazy=False for pandas-style raising).
+
+        ``file_stats``: footer statistics of df's parquet/Iceberg source
+        (io.sources.parquet_footer_stats / iceberg_footer_stats) — lets
+        the backend prove not_nullable and monotone value checks from
+        file metadata without scanning those columns.
         """
         from .backend.validate import validate as _validate
 
@@ -197,6 +203,7 @@ class DataFrameSchema:
             lazy=lazy,
             collect_stats=collect_stats,
             collect_failure_cases=collect_failure_cases,
+            file_stats=file_stats,
         )
 
     def __call__(self, df: DataFrame, **kw):

@@ -1,0 +1,219 @@
+"""Footer-statistics short-circuit (the in-sandbox stand-in for Iceberg
+null_value_counts / bounds file-skipping).
+
+Covers: parquet_footer_stats aggregation, proof-based check skipping in
+the fused aggregate (not_nullable + monotone value checks), exclusion of
+transformed (coerced/parsed/defaulted) columns, collect_stats footer
+substitution with its unfiltered-scan guard, and the ready-and-skipping
+Iceberg variant."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import pandera_spark as ps
+from pandera_spark.backend.validate import (
+    _compile_checks,
+    _file_stats_shortcircuit,
+)
+from pandera_spark.io import parquet_footer_stats
+
+
+@pytest.fixture(scope="module")
+def clean_parquet(spark, tmp_path_factory):
+    """10k rows, no nulls, a in [0, 9999], b in [1.5, 13.5], s strings."""
+    path = str(tmp_path_factory.mktemp("fs") / "clean")
+    spark.range(10_000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 13 + 1.5).alias("b"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def dirty_parquet(spark, tmp_path_factory):
+    """1k rows with nulls in a (every 10th) and b values up to 499."""
+    path = str(tmp_path_factory.mktemp("fs") / "dirty")
+    spark.range(1_000).select(
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("a"),
+        (F.col("id") % 500).cast("double").alias("b"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestParquetFooterStats:
+    def test_clean_stats(self, clean_parquet):
+        st = parquet_footer_stats(clean_parquet)
+        assert st["n_rows"] == 10_000
+        a = st["columns"]["a"]
+        assert a["null_count"] == 0 and a["min"] == 0 and a["max"] == 9_999
+        b = st["columns"]["b"]
+        assert b["null_count"] == 0 and b["min"] == 1.5 and b["max"] == 13.5
+        # string min/max never trusted (writer truncation)
+        s = st["columns"]["s"]
+        assert s["min"] is None and s["max"] is None
+        assert s["null_count"] == 0
+
+    def test_dirty_stats(self, dirty_parquet):
+        st = parquet_footer_stats(dirty_parquet)
+        assert st["columns"]["a"]["null_count"] == 100
+        assert st["columns"]["a"]["min"] == 1  # nulls excluded from bounds
+        assert st["columns"]["b"]["max"] == 499.0
+
+    def test_column_filter_and_missing(self, clean_parquet):
+        st = parquet_footer_stats(clean_parquet, columns=["a"])
+        assert set(st["columns"]) == {"a"}
+        with pytest.raises(FileNotFoundError):
+            parquet_footer_stats("/nonexistent-dir-xyz")
+
+
+SCHEMA = ps.DataFrameSchema(
+    {
+        "a": ps.Column(
+            "long",
+            [ps.Check.greater_than_or_equal_to(0), ps.Check.less_than(20_000)],
+            nullable=False,
+        ),
+        "b": ps.Column("double", ps.Check.in_range(1.0, 14.0)),
+        "s": ps.Column("string", ps.Check.str_startswith("s")),
+    }
+)
+
+
+class TestFooterShortCircuit:
+    def test_proven_checks_skip_aggregate_exprs(self, spark, clean_parquet):
+        """not_nullable + monotone value checks on footer-clean columns
+        leave the compiled set; str checks (untrusted footer) stay."""
+        df = spark.read.parquet(clean_parquet)
+        st = parquet_footer_stats(clean_parquet)
+        compiled, _, _ = _compile_checks(SCHEMA, df, [])
+        remaining, proven = _file_stats_shortcircuit(SCHEMA, df, compiled, st)
+        proven_names = {(c.column, c.check_name) for c in proven}
+        assert ("a", "not_nullable") in proven_names
+        assert ("a", "greater_than_or_equal_to(0)") in proven_names
+        assert ("a", "less_than(20000)") in proven_names
+        assert ("b", "in_range(1.0, 14.0)") in proven_names
+        # string VALUE check is not provable (untrusted min/max) — but the
+        # not_nullable proof on s IS valid (null_count is always exact)
+        assert ("s", "not_nullable") in proven_names
+        assert all(
+            c.check_name == "not_nullable" for c in proven if c.column == "s"
+        )
+        assert any(c.column == "s" for c in remaining)
+
+    def test_validate_with_file_stats_passes(self, spark, clean_parquet):
+        df = spark.read.parquet(clean_parquet)
+        st = parquet_footer_stats(clean_parquet)
+        res = SCHEMA.validate(df, file_stats=st)
+        assert res.passed
+        by_check = {(c["column"], c["check"]): c for c in res.check_results}
+        rec = by_check[("a", "not_nullable")]
+        assert rec["passed"] and rec["n_violations"] == 0
+        assert rec["n_rows"] == 10_000
+
+    def test_all_proven_runs_zero_jobs(self, spark, clean_parquet):
+        """When every check is footer-proven there is NO aggregate job at
+        all: result comes entirely from file metadata."""
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("long", ps.Check.in_range(0, 9_999), nullable=False)}
+        )
+        df = spark.read.parquet(clean_parquet).select("a")
+        st = parquet_footer_stats(clean_parquet)
+        # max job id, not len(): the tracker evicts old entries in long
+        # sessions, making len() deltas unreliable
+        tracker = spark.sparkContext.statusTracker()
+        before = max(tracker.getJobIdsForGroup(None) or [0])
+        res = schema.validate(df, file_stats=st)
+        after = max(tracker.getJobIdsForGroup(None) or [0])
+        assert res.passed
+        assert after == before, "footer-proven validation must not launch jobs"
+        assert res.n_rows == 10_000  # row count from the footer
+
+    def test_dirty_column_not_proven(self, spark, dirty_parquet):
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("long", nullable=False)}
+        )
+        df = spark.read.parquet(dirty_parquet)
+        st = parquet_footer_stats(dirty_parquet)
+        res = schema.validate(df, file_stats=st)
+        assert not res.passed  # nulls still detected by the real scan
+        rec = [c for c in res.check_results if c["check"] == "not_nullable"][0]
+        assert rec["n_violations"] == 100
+
+    def test_bound_outside_footer_not_proven(self, spark, dirty_parquet):
+        """Footer max 499 cannot prove less_than(400) — must scan, fail."""
+        schema = ps.DataFrameSchema({"b": ps.Column("double", ps.Check.less_than(400.0))})
+        df = spark.read.parquet(dirty_parquet)
+        st = parquet_footer_stats(dirty_parquet)
+        res = schema.validate(df, file_stats=st)
+        assert not res.passed
+
+    def test_coerced_column_excluded(self, spark, clean_parquet):
+        """A coerced column's values are post-cast — footer proof is off."""
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("string", coerce=True, nullable=False)}
+        )
+        df = spark.read.parquet(clean_parquet)
+        st = parquet_footer_stats(clean_parquet)
+        df2, coerce_checks = _coerce_frame(schema, df)
+        compiled, _, _ = _compile_checks(schema, df2, coerce_checks)
+        remaining, proven = _file_stats_shortcircuit(schema, df2, compiled, st)
+        # nothing proven for the coerced column
+        assert not proven
+
+    def test_ignore_na_false_needs_clean_nulls(self, spark, dirty_parquet):
+        """gt(-1) with ignore_na=False on a column WITH nulls: footer max/min
+        would prove the bound but nulls count as violations — not proven."""
+        df = spark.read.parquet(dirty_parquet)
+        st = parquet_footer_stats(dirty_parquet)
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("long", ps.Check.greater_than(-1, ignore_na=False))}
+        )
+        compiled, _, _ = _compile_checks(schema, df, [])
+        _, proven = _file_stats_shortcircuit(schema, df, compiled, st)
+        assert not proven
+
+
+def _coerce_frame(schema, df):
+    from pandera_spark.backend.validate import _parse_coerce
+    from pandera_spark.errors import ErrorHandler
+
+    h = ErrorHandler(lazy=True)
+    df2, coerce_checks = _parse_coerce(schema, df, h, "s")
+    return df2, coerce_checks
+
+
+class TestFooterStatsSubstitution:
+    def test_stats_match_scan(self, spark, clean_parquet):
+        df = spark.read.parquet(clean_parquet)
+        st = parquet_footer_stats(clean_parquet)
+        scanned = SCHEMA.validate(df, collect_stats=True).stats
+        footer = SCHEMA.validate(df, collect_stats=True, file_stats=st).stats
+        for c in ("a", "b"):
+            for k in ("count", "null_count", "min", "max", "n_rows"):
+                assert scanned[c][k] == footer[c][k], (c, k)
+
+    def test_filtered_frame_guard(self, spark, clean_parquet):
+        df = spark.read.parquet(clean_parquet).filter("a < 100")
+        st = parquet_footer_stats(clean_parquet)
+        with pytest.raises(ValueError, match="unmodified scan"):
+            SCHEMA.validate(df, collect_stats=True, file_stats=st)
+
+    def test_proofs_survive_filtering(self, spark, clean_parquet):
+        """Proofs are monotone under row subsetting — valid on a filtered
+        frame as long as collect_stats substitution is off."""
+        df = spark.read.parquet(clean_parquet).filter("a < 100")
+        st = parquet_footer_stats(clean_parquet)
+        res = SCHEMA.validate(df, file_stats=st)
+        assert res.passed
+
+
+class TestIcebergVariant:
+    def test_raises_without_runtime(self, spark):
+        from pandera_spark.io import iceberg_footer_stats
+        from pandera_spark.io.sources import iceberg_available
+
+        if iceberg_available(spark):
+            pytest.skip("Iceberg runtime present — covered by integrations")
+        with pytest.raises(RuntimeError, match="Iceberg runtime"):
+            iceberg_footer_stats(spark, "db.tbl", ["a"])

@@ -1,0 +1,237 @@
+"""Frictionless table-schema import/export.
+
+Mirrors the reference's fixtures and assertions
+(/root/reference/tests/io/test_io.py:1142-1530: FRICTIONLESS_JSON /
+FRICTIONLESS_YAML, dtype mapping, constraint→check mapping, primary-key
+handling), Spark-adapted: dtypes land on Spark DDL types and validation
+drives the fused-aggregate backend instead of pandas."""
+
+import pytest
+
+from pandera_spark.io import from_frictionless_schema, to_frictionless_schema
+
+FRICTIONLESS_JSON = {
+    "fields": [
+        {
+            "name": "integer_col",
+            "type": "integer",
+            "constraints": {"minimum": 10, "maximum": 99},
+        },
+        {
+            "name": "integer_col_2",
+            "type": "integer",
+            "constraints": {"maximum": 30},
+        },
+        {
+            "name": "string_col",
+            "constraints": {"maxLength": 80, "minLength": 3},
+        },
+        {
+            "name": "string_col_2",
+            "constraints": {"pattern": r"\d{3}[A-Z]"},
+        },
+        {
+            "name": "string_col_3",
+            "constraints": {"minLength": 3},
+        },
+        {
+            "name": "string_col_4",
+            "constraints": {"maxLength": 3},
+        },
+        {
+            "name": "enum_col",
+            "constraints": {"enum": ["a", "b", "c"], "required": True},
+        },
+        {
+            "name": "float_col_2",
+            "type": "number",
+        },
+        {
+            "name": "date_col",
+            "type": "date",
+            "constraints": {"minimum": "20201231"},
+        },
+    ],
+    "primaryKey": "integer_col",
+}
+
+FRICTIONLESS_YAML = """
+fields:
+  - name: integer_col
+    type: integer
+    constraints:
+      minimum: 10
+      maximum: 99
+  - name: integer_col_2
+    type: integer
+    constraints:
+      maximum: 30
+  - name: string_col
+    constraints:
+      maxLength: 80
+      minLength: 3
+  - name: string_col_2
+    constraints:
+      pattern: \\d{3}[A-Z]
+  - name: string_col_3
+    constraints:
+      minLength: 3
+  - name: string_col_4
+    constraints:
+      maxLength: 3
+  - name: enum_col
+    constraints:
+      enum: [a, b, c]
+      required: true
+  - name: float_col_2
+    type: number
+  - name: date_col
+    type: date
+    constraints:
+      minimum: '20201231'
+primaryKey: integer_col
+"""
+
+
+@pytest.mark.parametrize("spec", [FRICTIONLESS_JSON, FRICTIONLESS_YAML])
+def test_parses_correctly(spec):
+    schema = from_frictionless_schema(spec)
+    cols = schema.columns
+    assert str(cols["integer_col"].dtype) == "bigint"
+    assert str(cols["float_col_2"].dtype) == "double"
+    assert str(cols["string_col"].dtype) == "string"
+    assert str(cols["date_col"].dtype) == "string"  # ref: date → string
+    assert str(cols["enum_col"].dtype) == "category"  # enum → category
+
+    def names(col):
+        return [c.error or c.name for c in col.checks]
+
+    assert names(cols["integer_col"]) == ["in_range(10, 99)"]
+    assert names(cols["integer_col_2"]) == ["less_than_or_equal_to(30)"]
+    assert names(cols["string_col"]) == ["str_length(3, 80)"]
+    assert names(cols["string_col_2"]) == ["str_matches('^\\d{3}[A-Z]$')"]
+    assert names(cols["string_col_3"]) == ["str_length(3, None)"]
+    assert names(cols["string_col_4"]) == ["str_length(None, 3)"]
+    assert names(cols["date_col"]) == ["greater_than_or_equal_to(20201231)"]
+    assert any(n.startswith("isin(") for n in names(cols["enum_col"]))
+
+    # primary key: single field → column-level unique + not nullable
+    assert cols["integer_col"].unique and not cols["integer_col"].nullable
+    assert schema.unique is None
+    # required constraint → not nullable; others nullable
+    assert not cols["enum_col"].nullable
+    assert cols["string_col"].nullable
+    # frictionless specs imply coercion + strict columns
+    assert schema.coerce and schema.strict is True
+    assert all(c.coerce for c in cols.values())
+
+
+@pytest.mark.parametrize(
+    "pk", [["key1"], ["key1", "key2", "key3"]]
+)
+def test_primary_key_levels(pk):
+    """Single-field pk → column unique; composite → schema-level unique
+    (reference test_frictionless_schema_primary_key)."""
+    spec = {
+        "fields": [{"name": f"key{i}", "type": "integer"} for i in (1, 2, 3)],
+        "primaryKey": pk,
+    }
+    schema = from_frictionless_schema(spec)
+    if len(pk) == 1:
+        assert schema.columns["key1"].unique
+        assert schema.unique is None
+    else:
+        assert schema.unique == pk
+        for k in pk:
+            assert not schema.columns[k].unique
+        for k in pk:
+            assert not schema.columns[k].nullable
+
+
+def test_validate_valid_and_invalid(spark):
+    schema = from_frictionless_schema(FRICTIONLESS_JSON)
+    valid = spark.createDataFrame(
+        [
+            (10, 1, "aaa", "123A", "abc", "ab", "a", 1.0, "20210101"),
+            (11, 2, "bbbb", "456B", "defg", "xyz", "b", 2.0, "20210102"),
+        ],
+        "integer_col long, integer_col_2 long, string_col string, "
+        "string_col_2 string, string_col_3 string, string_col_4 string, "
+        "enum_col string, float_col_2 double, date_col string",
+    )
+    res = schema.validate(valid)
+    assert res.passed, res.report
+
+    invalid = spark.createDataFrame(
+        [
+            (1, 113, "a", "789c", "x", "toolong", "z", 1.0, "20191231"),
+            (1, 2, "ok long enough", "123A", "abc", "ab", "a", 2.0, "20210101"),
+        ],
+        "integer_col long, integer_col_2 long, string_col string, "
+        "string_col_2 string, string_col_3 string, string_col_4 string, "
+        "enum_col string, float_col_2 double, date_col string",
+    )
+    res = schema.validate(invalid)
+    assert not res.passed
+    failed = {
+        c["check"] for c in res.check_results if not c["passed"]
+    }
+    assert "in_range(10, 99)" in failed
+    assert "less_than_or_equal_to(30)" in failed
+    assert "str_length(3, 80)" in failed
+    assert "str_matches('^\\d{3}[A-Z]$')" in failed
+    assert "str_length(3, None)" in failed
+    assert "str_length(None, 3)" in failed
+    assert "greater_than_or_equal_to(20201231)" in failed
+    assert any(c.startswith("isin(") for c in failed)
+    # duplicate primary key 1,1 → uniqueness failure recorded
+    assert any(
+        r.check == "field_uniqueness" for r in res.records
+    ), [r.check for r in res.records]
+
+
+def test_strict_rejects_unexpected_column(spark):
+    schema = from_frictionless_schema(
+        {"fields": [{"name": "a", "type": "integer"}]}
+    )
+    df = spark.createDataFrame([(1, 2)], "a long, surprise long")
+    res = schema.validate(df)
+    assert not res.passed
+    assert any("surprise" in (r.message or "") for r in res.records)
+
+
+def test_round_trip_export():
+    schema = from_frictionless_schema(FRICTIONLESS_JSON)
+    spec = to_frictionless_schema(schema)
+    by_name = {f["name"]: f for f in spec["fields"]}
+    assert by_name["integer_col"]["type"] == "integer"
+    assert by_name["integer_col"]["constraints"]["minimum"] == 10
+    assert by_name["integer_col"]["constraints"]["maximum"] == 99
+    assert by_name["string_col"]["constraints"]["minLength"] == 3
+    assert by_name["string_col"]["constraints"]["maxLength"] == 80
+    assert by_name["string_col_2"]["constraints"]["pattern"] == r"\d{3}[A-Z]"
+    assert by_name["enum_col"]["constraints"]["enum"] == ["a", "b", "c"]
+    assert spec["primaryKey"] == "integer_col"
+    # re-import is stable
+    again = from_frictionless_schema(spec)
+    assert set(again.columns) == set(schema.columns)
+    assert to_frictionless_schema(again) == spec
+
+
+def test_unsupported_type_raises():
+    with pytest.raises(ValueError, match="unsupported frictionless"):
+        from_frictionless_schema(
+            {"fields": [{"name": "x", "type": "wavelet"}]}
+        )
+
+
+def test_file_sources(tmp_path):
+    import json
+
+    p_json = tmp_path / "spec.json"
+    p_json.write_text(json.dumps(FRICTIONLESS_JSON))
+    p_yaml = tmp_path / "spec.yaml"
+    p_yaml.write_text(FRICTIONLESS_YAML)
+    for p in (p_json, p_yaml):
+        schema = from_frictionless_schema(str(p))
+        assert "integer_col" in schema.columns

@@ -305,3 +305,67 @@ class TestMultimodal:
         frames = multimodal.sample_frames(df, "payload", max_frames=4).collect()
         assert len(frames) == 4
         assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+
+
+def _make_wav(freq_hz=440.0, seconds=0.5, sr=8000, amp=0.5) -> bytes:
+    """Synthesize a 16-bit mono PCM sine WAV fully in-memory (stdlib)."""
+    import io
+    import math
+    import wave
+
+    n = int(seconds * sr)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        samples = bytearray()
+        for i in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / sr))
+            samples += v.to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+class TestWavDecoder:
+    """decoder='wav' decodes a REAL (stdlib-synthesized) PCM payload
+    through the same Arrow mapInPandas path as the fake decoder."""
+
+    def test_wav_features(self, spark):
+        payloads = [
+            (1, _make_wav(freq_hz=440.0, amp=0.5)),
+            (2, _make_wav(freq_hz=880.0, amp=0.25)),
+            (3, _make_wav(seconds=1.0)),
+        ]
+        df = spark.createDataFrame(payloads, "id int, payload binary")
+        out = {
+            r["id"]: r["features"]
+            for r in multimodal.extract_features(
+                df, "payload", out_dim=8, decoder="wav"
+            ).collect()
+        }
+        dur, sr_khz, nch, rms, peak, zcr, mean_abs, std = out[1]
+        assert abs(dur - 0.5) < 1e-6
+        assert abs(sr_khz - 8.0) < 1e-6
+        assert nch == 1.0
+        # sine at amplitude 0.5 → rms ≈ 0.5/√2, peak ≈ 0.5
+        assert abs(rms - 0.5 / 2**0.5) < 0.01
+        assert abs(peak - 0.5) < 0.01
+        # 440 Hz → 880 zero crossings/sec → zcr ≈ 880/8000
+        assert abs(zcr - 880 / 8000) < 0.01
+        # amplitude halves → rms halves; duration doubles on id 3
+        assert abs(out[2][3] - rms / 2) < 0.01
+        assert abs(out[3][0] - 1.0) < 1e-6
+
+    def test_wav_metadata_header_only(self, spark):
+        df = spark.createDataFrame(
+            [(1, _make_wav(seconds=0.5)), (2, _make_wav(seconds=2.0))],
+            "id int, payload binary",
+        )
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = {
+            r["id"]: r["media_meta"]["duration_ms"]
+            for r in multimodal.wav_metadata(df, "payload").collect()
+        }
+        assert abs(out[1] - 500) <= 2
+        assert abs(out[2] - 2000) <= 2

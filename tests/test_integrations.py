@@ -97,6 +97,26 @@ class TestIcebergIntegration:
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "Iceberg" in plan or "local.db.transcripts" in plan
 
+    def test_iceberg_footer_stats_short_circuit(self, iceberg_spark):
+        """null_value_counts from the .files metadata table prove
+        not_nullable without scanning data files (the production twin of
+        the parquet footer short-circuit)."""
+        from pandera_spark import Column, DataFrameSchema
+        from pandera_spark.io import iceberg_footer_stats
+
+        iceberg_spark.range(1_000).selectExpr(
+            "id AS a", "CAST(id % 7 AS DOUBLE) AS b"
+        ).writeTo("local.db.fs_clean").createOrReplace()
+        st = iceberg_footer_stats(iceberg_spark, "local.db.fs_clean", ["a", "b"])
+        assert st["n_rows"] == 1_000
+        assert st["columns"]["a"]["null_count"] == 0
+        schema = DataFrameSchema({"a": Column("long", nullable=False)})
+        df = iceberg_spark.table("local.db.fs_clean")
+        res = schema.validate(df, file_stats=st)
+        assert res.passed
+        rec = [c for c in res.check_results if c["check"] == "not_nullable"][0]
+        assert rec["passed"] and rec["n_rows"] == 1_000
+
 
 @pytest.mark.skipif(
     not _grpc_present(), reason="grpcio not installed (Spark Connect client)"

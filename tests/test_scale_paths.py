@@ -66,11 +66,14 @@ class TestPlanShape:
         )
 
         def jobs_for(schema):
+            # count by MAX job id, not list length: the status tracker
+            # evicts old entries past its retention cap, so len() deltas
+            # go negative in long sessions
             tracker = spark.sparkContext.statusTracker()
-            before = len(tracker.getJobIdsForGroup(None) or [])
+            before = max(tracker.getJobIdsForGroup(None) or [0])
             r = schema.validate(df, collect_failure_cases=False)
             assert r.passed
-            return len(tracker.getJobIdsForGroup(None) or []) - before
+            return max(tracker.getJobIdsForGroup(None) or [0]) - before
 
         assert jobs_for(many_checks) == jobs_for(one_check)
 
