@@ -204,6 +204,26 @@ def bench_manifest_loop(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_connected_components(spark):
+    """Near-dup clustering end-to-end: minhash LSH candidate pairs over
+    documents ∪ shifted copy → min-label connected components (the
+    O(diameter) join+agg loop with checkpointed lineage)."""
+    from pandera_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, "documents")
+    u = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    edges = minhash_lsh_candidates(
+        u, "text", "doc_id", num_hashes=32, bands=8
+    ).filter(F.col("est_jaccard") >= 0.8)
+    comps = connected_components(edges)
+    return comps.select("component").distinct().count()
+
+
 def bench_text_quality(spark):
     from pandera_spark.functions.text import quality_score
 
@@ -264,6 +284,7 @@ WORKLOADS = {
     "unique_contiguity": bench_unique_contiguity,
     "dedup_exact": bench_dedup_exact,
     "minhash_candidates": bench_minhash,
+    "connected_components": bench_connected_components,
     "ann_topk": bench_ann,
     "drift_ks_psi": bench_drift,
     "text_quality": bench_text_quality,

@@ -209,6 +209,15 @@ class DataFrameSchema:
     def __call__(self, df: DataFrame, **kw):
         return self.validate(df, **kw)
 
+    def example(self, size: int = 100, seed: int = 42, spark=None) -> DataFrame:
+        """A conforming DataFrame of ``size`` rows (counterpart of the
+        reference's data-synthesis strategies,
+        pandera/strategies/pandas_strategies.py) — expression-based over
+        spark.range, deterministic for a given seed; see synthesis.py."""
+        from .synthesis import example as _example
+
+        return _example(self, size=size, seed=seed, spark=spark)
+
     # ------------------------------------------------------------------ #
     # schema transforms (pandera/api/dataframe/container.py:437-999)
     # ------------------------------------------------------------------ #

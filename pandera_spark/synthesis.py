@@ -1,0 +1,356 @@
+"""Schema → example DataFrame synthesis (``schema.example(size)``).
+
+Counterpart of the reference's hypothesis strategies
+(pandera/strategies/pandas_strategies.py: schemas generate data that
+satisfies their own constraints) re-expressed Spark-first: every column is
+an EXPRESSION over ``spark.range(size)`` — fully distributed, no
+driver-side materialization, so generating 10^9 conforming rows is one
+codegen'd projection.  The only Python in the plan is a vectorized
+pandas_udf for regex-constrained strings (str_matches), whose values are
+produced by a deterministic sre-parse-tree walker.
+
+Satisfiability errors raise ``ValueError`` up front (e.g. unique over an
+isin set smaller than ``size``), mirroring the reference's unsatisfiable
+strategy errors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dtypes import resolve_dtype
+
+_ID = "__example_id__"
+
+
+# ---------------------------------------------------------------------- #
+# deterministic regex example strings (sre parse tree walk)
+# ---------------------------------------------------------------------- #
+
+_CATEGORY_SAMPLES = {
+    "category_digit": "0123456789",
+    "category_word": "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_",
+    "category_space": " ",
+    "category_not_space": "a",
+    "category_not_digit": "x",
+    "category_not_word": "-",
+}
+
+
+def regex_example(pattern: str, rng: np.random.Generator) -> str:
+    """One string matching ``pattern``, drawn deterministically from the
+    seeded ``rng`` by walking Python's own regex parse tree (stdlib
+    re._parser) — no third-party regex-inversion dependency."""
+    try:
+        parsed = re._parser.parse(pattern)  # noqa: SLF001
+    except AttributeError:  # pragma: no cover - py<3.11 fallback
+        import sre_parse
+
+        parsed = sre_parse.parse(pattern)
+    return "".join(_walk(node, rng) for node in parsed)
+
+
+def _walk(node, rng: np.random.Generator) -> str:
+    op, arg = node
+    name = str(op).lower().split(".")[-1]
+    if name == "literal":
+        return chr(arg)
+    if name == "not_literal":
+        ch = chr(arg)
+        return "x" if ch != "x" else "y"
+    if name == "any":
+        return chr(97 + int(rng.integers(0, 26)))
+    if name == "at":  # anchors contribute nothing
+        return ""
+    if name == "in":
+        choices: list[str] = []
+        negated = False
+        for sub_op, sub_arg in arg:
+            sub = str(sub_op).lower().split(".")[-1]
+            if sub == "negate":
+                negated = True
+            elif sub == "literal":
+                choices.append(chr(sub_arg))
+            elif sub == "range":
+                lo, hi = sub_arg
+                choices.extend(chr(c) for c in range(lo, min(hi, lo + 16) + 1))
+            elif sub == "category":
+                cat = str(sub_arg).lower().split(".")[-1]
+                choices.extend(_CATEGORY_SAMPLES.get(cat, "a"))
+        if negated:
+            for cand in "abcxyz019 -_":
+                if cand not in choices:
+                    return cand
+            return "¿"
+        return choices[int(rng.integers(0, len(choices)))] if choices else "a"
+    if name == "category":
+        cat = str(arg).lower().split(".")[-1]
+        s = _CATEGORY_SAMPLES.get(cat, "a")
+        return s[int(rng.integers(0, len(s)))]
+    if name in ("max_repeat", "min_repeat"):
+        lo, hi, item = arg
+        hi_eff = lo + 2 if hi >= lo + 2 else hi
+        n = int(rng.integers(lo, hi_eff + 1)) if hi_eff > lo else lo
+        return "".join(
+            "".join(_walk(sub, rng) for sub in item) for _ in range(n)
+        )
+    if name == "subpattern":
+        return "".join(_walk(sub, rng) for sub in arg[3])
+    if name == "branch":
+        options = arg[1]
+        picked = options[int(rng.integers(0, len(options)))]
+        return "".join(_walk(sub, rng) for sub in picked)
+    if name in ("assert", "assert_not"):
+        return ""  # lookarounds: emit nothing, let the body satisfy
+    if name == "groupref":
+        return ""  # backrefs unsupported — empty keeps simple patterns OK
+    raise ValueError(f"regex construct {name!r} not supported by example()")
+
+
+# ---------------------------------------------------------------------- #
+# per-column expression synthesis
+# ---------------------------------------------------------------------- #
+
+
+def _gather(col) -> dict:
+    """Extract generation constraints from a Column's builtin checks."""
+    g: dict[str, Any] = {
+        "lo": None, "hi": None, "lo_open": False, "hi_open": False,
+        "isin": None, "eq": None, "ne": set(), "pattern": None,
+        "len_lo": None, "len_hi": None, "startswith": "", "endswith": "",
+        "contains": "",
+    }
+    for chk in col.checks:
+        st = chk.statistics or {}
+        n = chk.name
+        if n == "greater_than":
+            g["lo"], g["lo_open"] = st["min_value"], True
+        elif n == "greater_than_or_equal_to":
+            g["lo"] = st["min_value"]
+        elif n == "less_than":
+            g["hi"], g["hi_open"] = st["max_value"], True
+        elif n == "less_than_or_equal_to":
+            g["hi"] = st["max_value"]
+        elif n == "in_range":
+            g["lo"], g["hi"] = st["min_value"], st["max_value"]
+            g["lo_open"] = not st.get("include_min", True)
+            g["hi_open"] = not st.get("include_max", True)
+        elif n == "isin":
+            g["isin"] = list(st["allowed_values"])
+        elif n == "equal_to":
+            g["eq"] = st["value"]
+        elif n == "not_equal_to":
+            g["ne"].add(st["value"])
+        elif n == "notin":
+            g["ne"].update(st["forbidden_values"])
+        elif n == "str_matches":
+            g["pattern"] = st["pattern"]
+        elif n == "str_length":
+            g["len_lo"], g["len_hi"] = st.get("min_value"), st.get("max_value")
+        elif n == "str_startswith":
+            g["startswith"] = st.get("string", st.get("value", ""))
+        elif n == "str_endswith":
+            g["endswith"] = st.get("string", st.get("value", ""))
+        elif n == "str_contains":
+            g["contains"] = st.get("pattern", "")
+        elif n == "unique_values_eq":
+            g["isin"] = list(st["values"])
+        # other checks (custom/groupby/hypothesis) are not generation
+        # constraints — example() output is validated in tests, so an
+        # unsatisfied custom check surfaces there
+    return g
+
+
+def _numeric_expr(g, size: int, unique: bool, integral: bool) -> SparkCol:
+    id_ = F.col(_ID)
+    lo, hi = g["lo"], g["hi"]
+    if integral:
+        lo_i = None if lo is None else int(lo) + (1 if g["lo_open"] else 0)
+        hi_i = None if hi is None else int(hi) - (1 if g["hi_open"] else 0)
+        if lo_i is None:
+            lo_i = 0 if hi_i is None or hi_i >= size else hi_i - size + 1
+        span = None if hi_i is None else hi_i - lo_i + 1
+        if span is not None and span <= 0:
+            raise ValueError(f"empty integer interval [{lo_i}, {hi_i}]")
+        if unique:
+            if span is not None and span < size:
+                raise ValueError(
+                    f"cannot generate {size} unique integers in a span of {span}"
+                )
+            return F.lit(lo_i) + id_
+        if span is None:
+            return F.lit(lo_i) + id_
+        return F.lit(lo_i) + F.pmod(id_, F.lit(span))
+    # floating point
+    lo_f = 0.0 if lo is None else float(lo)
+    hi_f = lo_f + float(size) if hi is None else float(hi)
+    if unique:
+        step = (hi_f - lo_f) / (size + 1) if hi_f > lo_f else 1.0
+        return F.lit(lo_f + (step if g["lo_open"] else 0.0)) + id_ * F.lit(
+            step if hi_f > lo_f else 1.0
+        )
+    grid = 997.0
+    frac = F.pmod(id_, F.lit(grid)) / F.lit(grid)  # in [0, 1)
+    eps = (hi_f - lo_f) / 1e6 if hi_f > lo_f else 0.0
+    start = lo_f + (eps if g["lo_open"] else 0.0)
+    return F.lit(start) + frac * F.lit(max(hi_f - start - (eps if g["hi_open"] else 0.0), 0.0))
+
+
+def _string_expr(g, size: int, unique: bool, seed: int, name: str) -> SparkCol:
+    id_ = F.col(_ID)
+    if g["pattern"] is not None:
+        if unique:
+            raise ValueError(
+                f"column {name!r}: unique + str_matches is not synthesizable "
+                "(regex examples cannot be guaranteed distinct)"
+            )
+        pat = g["pattern"]
+
+        @F.pandas_udf("string")
+        def gen(ids: pd.Series) -> pd.Series:
+            out = []
+            for i in ids:
+                rng = np.random.default_rng((seed * 1_000_003 + int(i)) & 0x7FFFFFFF)
+                out.append(regex_example(pat, rng))
+            return pd.Series(out)
+
+        return gen(id_)
+    prefix, suffix, mid = g["startswith"], g["endswith"], g["contains"]
+    if mid and re.escape(mid) != mid:
+        mid = ""  # str_contains takes a regex; only literal fragments embed
+    lo, hi = g["len_lo"], g["len_hi"]
+    fixed = len(prefix) + len(mid) + len(suffix)
+    digits = len(str(size - 1))  # widest id rendered in the value
+    counter = id_.cast("string")
+    if hi is not None:
+        avail = int(hi) - fixed
+        if digits > avail:
+            if unique:
+                raise ValueError(
+                    f"column {name!r}: cannot fit {size} unique values "
+                    f"within str_length max {hi}"
+                )
+            if avail < 1:
+                raise ValueError(
+                    f"column {name!r}: fixed fragments ({fixed} chars) leave "
+                    f"no room under str_length max {hi}"
+                )
+            # wrap the counter into the available digit budget (avail is
+            # small here by construction, so 10**avail stays in int64)
+            counter = F.pmod(id_, F.lit(10 ** min(avail, 18))).cast("string")
+    if lo is not None and int(lo) > fixed:
+        # pad the counter (not the suffix) so startswith/endswith survive
+        counter = F.lpad(counter, int(lo) - fixed, "0")
+    return F.concat(F.lit(prefix + mid), counter, F.lit(suffix))
+
+
+def _column_expr(name, col, size: int, seed: int, force_unique: bool = False) -> SparkCol:
+    g = _gather(col)
+    unique = bool(col.unique) or force_unique
+    id_ = F.col(_ID)
+    if g["eq"] is not None:
+        if unique and size > 1:
+            raise ValueError(f"column {name!r}: unique + equal_to is unsatisfiable")
+        expr = F.lit(g["eq"])
+    elif g["isin"] is not None:
+        vals = [v for v in g["isin"] if v not in g["ne"]]
+        if not vals:
+            raise ValueError(f"column {name!r}: isin minus notin is empty")
+        if unique and len(vals) < size:
+            raise ValueError(
+                f"column {name!r}: {size} unique rows from an isin set of {len(vals)}"
+            )
+        expr = F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (F.pmod(id_, F.lit(len(vals))) + 1).cast("int")
+        )
+    else:
+        spark_t = col.spark_dtype
+        tname = spark_t.simpleString() if spark_t is not None else "string"
+        if tname in ("tinyint", "smallint", "int", "bigint", "long"):
+            expr = _numeric_expr(g, size, unique, integral=True)
+        elif tname in ("float", "double") or tname.startswith("decimal"):
+            expr = _numeric_expr(g, size, unique, integral=False)
+        elif tname == "boolean":
+            if unique and size > 2:
+                raise ValueError(f"column {name!r}: >2 unique booleans")
+            expr = F.pmod(id_, F.lit(2)) == 0
+        elif tname == "date":
+            expr = F.date_add(F.lit("2024-01-01").cast("date"), F.pmod(id_, F.lit(3650)).cast("int"))
+        elif tname.startswith("timestamp"):
+            expr = F.timestamp_seconds(F.lit(1_700_000_000) + (id_ if unique else F.pmod(id_, F.lit(86_400))))
+        else:
+            expr = _string_expr(g, size, unique, seed, name)
+    if g["ne"] and g["isin"] is None and g["eq"] is None:
+        # bump colliding values by re-deriving from a shifted id — cheap and
+        # good enough for the small forbidden sets checks declare
+        for bad in sorted(g["ne"], key=repr):
+            expr = F.when(expr == F.lit(bad), F.lit(_nudge(bad, g))).otherwise(expr)
+    spark_t = col.spark_dtype
+    if spark_t is not None:
+        expr = expr.cast(spark_t)
+    if col.nullable and not unique:
+        expr = F.when(F.pmod(id_, F.lit(37)) == 17, F.lit(None)).otherwise(expr)
+    return expr.alias(name)
+
+
+def _nudge(bad, g):
+    """A replacement value distinct from ``bad`` that stays in bounds."""
+    if isinstance(bad, bool):
+        return not bad
+    if isinstance(bad, (int, float)):
+        lo, hi = g["lo"], g["hi"]
+        for cand in (bad + 1, bad - 1, (lo if lo is not None else bad) + 2):
+            if cand in g["ne"]:
+                continue
+            if lo is not None and (cand < lo or (g["lo_open"] and cand == lo)):
+                continue
+            if hi is not None and (cand > hi or (g["hi_open"] and cand == hi)):
+                continue
+            return cand
+        raise ValueError(f"no in-bounds replacement for forbidden value {bad!r}")
+    return str(bad) + "_alt"
+
+
+def example(
+    schema,
+    size: int = 100,
+    seed: int = 42,
+    spark: Optional[SparkSession] = None,
+) -> DataFrame:
+    """A DataFrame of ``size`` rows conforming to ``schema``: dtypes,
+    nullable, unique (column + schema-level joint), and the builtin value
+    checks (in_range/isin/str_matches/str_length/...).  Deterministic for
+    a given (size, seed); fully expression-based over spark.range."""
+    spark = spark or SparkSession.active()
+    base = spark.range(size).select(F.col("id").alias(_ID))
+    # schema-level joint uniqueness: make ONE member column injective in
+    # the row id (tuples are then distinct without constraining the rest)
+    force_unique: Optional[str] = None
+    if schema.unique:
+        members = [schema.unique] if isinstance(schema.unique, str) else schema.unique
+        missing = [c for c in members if c not in schema.columns]
+        if missing:
+            raise ValueError(f"schema.unique references unknown columns {missing}")
+        if not any(schema.columns[c].unique for c in members):
+            for c in members:
+                g = _gather(schema.columns[c])
+                if g["isin"] is None and g["eq"] is None and g["pattern"] is None:
+                    force_unique = c
+                    break
+            else:
+                raise ValueError(
+                    f"cannot synthesize joint uniqueness over {members}: every "
+                    "member is value-pinned (isin/equal_to/str_matches)"
+                )
+    exprs = [
+        _column_expr(name, col, size, seed, force_unique=(name == force_unique))
+        for name, col in schema.columns.items()
+    ]
+    return base.select(*exprs)

@@ -129,6 +129,70 @@ class TestManifestRun:
         assert s["errors"] == 2
 
 
+class TestTornWrite:
+    """Crash BETWEEN the violations write and the manifest append: the
+    partition has violation files on disk but no 'ok' manifest row.  On
+    resume it must re-run, overwrite the violations in place, and end with
+    exactly one ok row — no double-counting anywhere."""
+
+    def test_crash_mid_write_recovers_idempotently(
+        self, spark, partitioned_df, tmp_path
+    ):
+        out = str(tmp_path / "out")
+
+        # clean single-pass ground truth in a separate directory
+        truth_run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "truth")
+        )
+        truth = {r.partition_id: r for r in truth_run.run()}
+        truth_summary = truth_run.summary()
+
+        # attempt 1: die AFTER the violations write, BEFORE the manifest
+        # row lands (simulated process kill — BaseException, so the
+        # run_partition error handler must NOT swallow it into an
+        # 'error' manifest row)
+        run1 = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out, run_id="torn"
+        )
+        victim = sorted(truth)[-1]  # last in run order: earlier partitions
+        # complete normally before the simulated kill
+        real_write = run1._write_manifest_row
+
+        def dying_write(row):
+            if row["partition_id"] == victim and row["status"] == "ok":
+                raise KeyboardInterrupt("simulated kill between sink and manifest")
+            real_write(row)
+
+        run1._write_manifest_row = dying_write
+        with pytest.raises(KeyboardInterrupt):
+            run1.run()
+        # torn state on disk: violations exist, manifest row does not
+        viol_dir = os.path.join(out, "violations", f"partition_id={victim}")
+        assert os.path.isdir(viol_dir)
+        assert victim not in run1.completed_partitions()
+        torn_count = spark.read.parquet(viol_dir).count()
+
+        # attempt 2 (fresh process): resume re-runs ONLY the victim
+        run2 = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out, run_id="resume"
+        )
+        results = {r.partition_id: r for r in run2.run(resume=True)}
+        assert set(results) == {victim}
+        assert results[victim].status == "ok"
+
+        # violations were overwritten, not appended
+        final_count = spark.read.parquet(viol_dir).count()
+        assert final_count == torn_count == truth[victim].n_violations
+
+        # manifest: exactly one ok row for the victim; totals match truth
+        m = run2.read_manifest().filter(F.col("partition_id") == victim)
+        assert m.filter("status = 'ok'").count() == 1
+        s = run2.summary()
+        assert s["n_violations"] == truth_summary["n_violations"]
+        assert s["n_rows"] == truth_summary["n_rows"]
+        assert s["ok"] == truth_summary["ok"]
+
+
 class TestSerialization:
     def test_round_trip(self, spark, tmp_path):
         schema = make_schema()

@@ -1,0 +1,124 @@
+"""schema.example(size) — synthesized data must satisfy its own schema
+(the reference's strategies contract: generated data always validates,
+pandera/strategies/pandas_strategies.py)."""
+
+import pytest
+
+import pandera_spark as ps
+from pandera_spark.synthesis import regex_example
+
+import numpy as np
+
+
+class TestRegexExample:
+    @pytest.mark.parametrize(
+        "pattern",
+        [
+            r"^\d{3}[A-Z]$",
+            r"[a-z]+@[a-z]+\.(com|org)",
+            r"^conv-\d{8}$",
+            r"(ab|cd)+x?",
+            r"^[A-Fa-f0-9]{2,6}-\w+$",
+            r"a.c",
+            r"[^0-9]{4}",
+        ],
+    )
+    def test_generated_matches(self, pattern):
+        import re
+
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            s = regex_example(pattern, rng)
+            assert re.search(pattern, s), (pattern, s)
+
+
+BUILTIN_MATRIX = ps.DataFrameSchema(
+    {
+        "pk": ps.Column("long", unique=True, nullable=False),
+        "bounded_int": ps.Column("int", ps.Check.in_range(10, 99)),
+        "open_int": ps.Column("long", [ps.Check.greater_than(0), ps.Check.less_than(1000)]),
+        "bounded_double": ps.Column(
+            "double", ps.Check.in_range(0.0, 1.0, include_max=False), nullable=True
+        ),
+        "cat": ps.Column("string", ps.Check.isin(["a", "b", "c"])),
+        "not_seven": ps.Column("int", [ps.Check.ge(0), ps.Check.not_equal_to(7)]),
+        "avoid": ps.Column("long", ps.Check.notin([3, 4])),
+        "code": ps.Column("string", ps.Check.str_matches(r"^\d{3}[A-Z]$"), nullable=True),
+        "name": ps.Column("string", [ps.Check.str_startswith("u-"), ps.Check.str_length(4, 30)]),
+        "flag": ps.Column("boolean", nullable=True),
+        "when": ps.Column("timestamp"),
+        "day": ps.Column("date", nullable=True),
+        "const": ps.Column("string", ps.Check.equal_to("fixed")),
+    },
+    name="builtin_matrix",
+)
+
+
+class TestSchemaExample:
+    def test_matrix_validates(self, spark):
+        df = BUILTIN_MATRIX.example(size=1000, spark=spark)
+        res = BUILTIN_MATRIX.validate(df)
+        assert res.passed, res.report
+
+    def test_deterministic(self, spark):
+        a = BUILTIN_MATRIX.example(size=50, spark=spark).collect()
+        b = BUILTIN_MATRIX.example(size=50, spark=spark).collect()
+        assert a == b
+
+    def test_nullable_columns_get_nulls(self, spark):
+        df = BUILTIN_MATRIX.example(size=200, spark=spark)
+        n_null = df.filter("bounded_double IS NULL").count()
+        assert n_null > 0
+        assert df.filter("pk IS NULL").count() == 0
+
+    def test_joint_unique(self, spark):
+        schema = ps.DataFrameSchema(
+            {
+                "conv_id": ps.Column("string"),
+                "turn_idx": ps.Column("int", ps.Check.ge(0)),
+            },
+            unique=["conv_id", "turn_idx"],
+        )
+        df = schema.example(size=500, spark=spark)
+        res = schema.validate(df)
+        assert res.passed, res.report
+        assert df.select("conv_id", "turn_idx").distinct().count() == 500
+
+    def test_plan_is_expression_based(self, spark):
+        """No shuffle, no scan: one projection over range — the shape that
+        survives size=10^9."""
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("long", ps.Check.in_range(0, 10**12), unique=True)}
+        )
+        df = schema.example(size=1_000_000, spark=spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Range" in plan
+
+    def test_unsatisfiable_raises(self, spark):
+        with pytest.raises(ValueError, match="unique"):
+            ps.DataFrameSchema(
+                {"x": ps.Column("string", ps.Check.isin(["a", "b"]), unique=True)}
+            ).example(size=10, spark=spark)
+        with pytest.raises(ValueError, match="unique integers"):
+            ps.DataFrameSchema(
+                {"x": ps.Column("int", ps.Check.in_range(0, 3), unique=True)}
+            ).example(size=10, spark=spark)
+
+    def test_frictionless_schema_examples(self, spark):
+        """Round-trip with the frictionless importer: spec → schema →
+        example → validate."""
+        from pandera_spark.io import from_frictionless_schema
+
+        spec = {
+            "fields": [
+                {"name": "id", "type": "integer", "constraints": {"minimum": 1}},
+                {"name": "status", "constraints": {"enum": ["new", "done"]}},
+                {"name": "score", "type": "number",
+                 "constraints": {"minimum": 0, "maximum": 10}},
+            ],
+            "primaryKey": "id",
+        }
+        schema = from_frictionless_schema(spec)
+        df = schema.example(size=300, spark=spark)
+        assert schema.validate(df).passed
