@@ -24,6 +24,7 @@ from .decorators import check_input, check_io, check_output, check_types  # noqa
 from .hypotheses import Hypothesis  # noqa: F401
 from .model import DataFrameModel, Field, check, dataframe_check  # noqa: F401
 from .stats import infer_schema, profile  # noqa: F401
+from . import io  # noqa: F401  (ps.io.from_frictionless_schema etc.)
 
 __version__ = "0.1.0"
 

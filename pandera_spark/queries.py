@@ -72,6 +72,39 @@ def q_check_verdicts_orders(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
+def q_footer_verdicts_lineitem(spark, sf_dir):
+    """Footer-stat short-circuit conformance: three checks PROVEN from
+    parquet row-group statistics (no aggregate expression issued) must
+    report the same verdicts the oracle computes by scanning — plus one
+    genuinely-failing check that still goes through the fused aggregate.
+    Stand-in for Iceberg null_value_counts/bounds file skipping."""
+    from .io.sources import parquet_footer_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = parquet_footer_stats(f"{sf_dir}/lineitem.parquet")
+    schema = DataFrameSchema(
+        {
+            "l_orderkey": Column("bigint", nullable=False),  # proven: 0 nulls
+            "l_quantity": Column(
+                "double", checks=Check.in_range(0, 100), nullable=True
+            ),  # proven: footer [1, 50]
+            "l_extendedprice": Column(
+                "double", checks=Check.gt(0.0), nullable=True
+            ),  # proven: footer min > 0
+            "l_discount": Column(
+                "double", checks=Check.le(0.05), nullable=True
+            ),  # NOT provable (violations exist) — scans and fails
+        },
+        name="lineitem",
+    )
+    r = schema.validate(li, collect_failure_cases=False, file_stats=st)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
 def q_violation_rows_lineitem(spark, sf_dir):
     """Canonical failure-case rows (value checks) on lineitem."""
     li = _t(spark, sf_dir, "lineitem")
@@ -576,6 +609,7 @@ def q_embedding_dups(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_verdicts_orders": q_check_verdicts_orders,
+        "footer_verdicts_lineitem": q_footer_verdicts_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
         "joint_unique_lineitem": q_joint_unique_lineitem,
@@ -858,6 +892,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END) AS BIGINT),
                    SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\\d-') THEN 1 ELSE 0 END) = 0
             FROM orders
+        """,
+        "footer_verdicts_lineitem": """
+            SELECT 'l_orderkey' AS col_name, 'not_nullable' AS check_name,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'in_range(0, 100)',
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 0 AND l_quantity <= 100) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 0 AND l_quantity <= 100) THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'greater_than(0.0)',
+                   CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'less_than_or_equal_to(0.05)',
+                   CAST(SUM(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT),
+                   SUM(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) = 0
+            FROM lineitem
         """,
         "violation_rows_lineitem": """
             SELECT 'Column' AS schema_context, 'l_quantity' AS "column",
