@@ -88,6 +88,38 @@ def bench_validate_lineitem(spark):
     return r.n_rows
 
 
+def bench_validate_footer_stats(spark):
+    """The SAME 9-check lineitem pass as validate_lineitem, but with
+    parquet footer statistics supplied: provable checks (null counts +
+    numeric bounds) skip their aggregate expressions and collect_stats
+    fills count/null/min/max from footers — only the HLL sketches and the
+    unprovable checks still scan.  The delta vs validate_lineitem is the
+    measured value of Iceberg-style file-stat skipping."""
+    from pandera_spark import Check, Column, DataFrameSchema
+    from pandera_spark.io import parquet_footer_stats
+
+    li = _t(spark, "lineitem")
+    st = parquet_footer_stats(os.path.join(SF_DIR, "lineitem.parquet"))
+    schema = DataFrameSchema(
+        {
+            "l_orderkey": Column("bigint", nullable=False),
+            "l_partkey": Column("bigint", checks=Check.gt(0)),
+            "l_linenumber": Column("int", checks=Check.ge(1)),
+            "l_quantity": Column("double", checks=Check.in_range(1, 50)),
+            "l_extendedprice": Column("double", checks=Check.gt(0.0)),
+            "l_discount": Column("double", checks=Check.in_range(0.0, 0.1)),
+            "l_tax": Column("double", checks=Check.ge(0.0)),
+            "l_returnflag": Column("string", checks=Check.isin({"A", "N", "R"})),
+            "l_linestatus": Column("string", checks=Check.isin({"O", "F"})),
+        },
+        name="lineitem",
+    )
+    r = schema.validate(
+        li, collect_stats=True, collect_failure_cases=False, file_stats=st
+    )
+    return r.n_rows
+
+
 def bench_violations_lineitem(spark):
     from pandera_spark import Check, Column, DataFrameSchema
 
@@ -278,6 +310,7 @@ def bench_transcripts_validate(spark, path: str) -> tuple[int, float]:
 
 WORKLOADS = {
     "validate_lineitem": bench_validate_lineitem,
+    "validate_footer_stats": bench_validate_footer_stats,
     "violations_lineitem": bench_violations_lineitem,
     "violations_highcount": bench_violations_highcount,
     "manifest_loop": bench_manifest_loop,

@@ -919,13 +919,22 @@ def _fused_aggregate(
         row = df.agg(*aggs).collect()[0].asDict()
     else:
         # full-frame chunk: df-level predicates (unknown column set);
-        # everything else bin-packs greedily into column-pruned chunks
+        # everything else bin-packs greedily into column-pruned chunks.
+        # Groups are packed in COLUMN order (not declaration order) so all
+        # expressions over one column land in the same chunk — a
+        # pathological check declaration order can no longer spread a
+        # column across chunks and widen every chunk's ReadSchema.
         full_exprs: list = []
         col_chunks: list[tuple[list, set]] = []
+        keyed = sorted(
+            (g for g in groups if g[1] is not None),
+            key=lambda g: sorted(g[1]),
+        )
         for exprs, cols in groups:
             if cols is None:
                 full_exprs.extend(exprs)
-            elif (
+        for exprs, cols in keyed:
+            if (
                 col_chunks
                 and len(col_chunks[-1][0]) + len(exprs) <= MAX_FUSED_AGG_EXPRS
             ):

@@ -358,6 +358,16 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # convergence probe: min-propagation labels are MONOTONE NON-INCREASING,
+    # so Σlabel strictly decreases on any change and is equal iff converged
+    # — one tiny aggregate per round instead of a labels⋈labels join.
+    # decimal(38,0) keeps the sum exact for any int64 labels under ANSI.
+    def label_sum(l):
+        return l.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # each node pulls the min label among itself and its neighbors
         nbr = (
@@ -374,16 +384,11 @@ def connected_components(
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -1,6 +1,7 @@
 from .frictionless import (  # noqa: F401
     from_frictionless_schema,
     to_frictionless_schema,
+    to_json_schema,
 )
 from .serialization import (  # noqa: F401
     from_dict,

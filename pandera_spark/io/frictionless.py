@@ -223,6 +223,93 @@ def to_frictionless_schema(schema: DataFrameSchema) -> dict:
     return spec
 
 
+#: Spark dtype → JSON Schema type keyword
+_JSON_SCHEMA_TYPES = {
+    "string": "string",
+    "double": "number",
+    "float": "number",
+    "bigint": "integer",
+    "long": "integer",
+    "int": "integer",
+    "smallint": "integer",
+    "tinyint": "integer",
+    "boolean": "boolean",
+    "date": "string",
+    "timestamp": "string",
+    "category": "string",
+}
+
+
+def to_json_schema(schema: DataFrameSchema) -> dict:
+    """Export a DataFrameSchema as a JSON Schema (draft 2020-12) object
+    describing one ROW: columns → ``properties`` with
+    type/minimum/maximum/enum/pattern/minLength/maxLength keywords,
+    non-nullable columns → ``required``.  Checks without a JSON Schema
+    keyword (custom callables, statistical tests) are skipped — JSON
+    Schema is a value-level contract, so this export is intentionally
+    lossy where pandera is row-set-level (uniqueness, hypotheses)."""
+    props: dict[str, Any] = {}
+    required: list[str] = []
+    for name, col in schema.columns.items():
+        dtype = str(col.dtype) if col.dtype is not None else "string"
+        p: dict[str, Any] = {}
+        jstype = _JSON_SCHEMA_TYPES.get(dtype)
+        if jstype:
+            p["type"] = [jstype, "null"] if col.nullable else jstype
+        if dtype == "date":
+            p["format"] = "date"
+        elif dtype == "timestamp":
+            p["format"] = "date-time"
+        for chk in col.checks:
+            st = chk.statistics or {}
+            n = chk.name
+            if n == "greater_than":
+                p["exclusiveMinimum"] = st["min_value"]
+            elif n == "greater_than_or_equal_to":
+                p["minimum"] = st["min_value"]
+            elif n == "less_than":
+                p["exclusiveMaximum"] = st["max_value"]
+            elif n == "less_than_or_equal_to":
+                p["maximum"] = st["max_value"]
+            elif n == "in_range":
+                if st.get("include_min", True):
+                    p["minimum"] = st["min_value"]
+                else:
+                    p["exclusiveMinimum"] = st["min_value"]
+                if st.get("include_max", True):
+                    p["maximum"] = st["max_value"]
+                else:
+                    p["exclusiveMaximum"] = st["max_value"]
+            elif n == "isin":
+                p["enum"] = list(st["allowed_values"])
+            elif n == "equal_to":
+                p["const"] = st["value"]
+            elif n == "str_matches":
+                p["pattern"] = st["pattern"]
+            elif n == "str_length":
+                if st.get("min_value") is not None:
+                    p["minLength"] = st["min_value"]
+                if st.get("max_value") is not None:
+                    p["maxLength"] = st["max_value"]
+            elif n == "str_startswith":
+                p.setdefault("pattern", "^" + re.escape(st.get("string", st.get("value", ""))))
+        props[name] = p
+        if not col.nullable:
+            required.append(name)
+    out: dict[str, Any] = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "properties": props,
+    }
+    if schema.name:
+        out["title"] = schema.name
+    if required:
+        out["required"] = required
+    if schema.strict is True:
+        out["additionalProperties"] = False
+    return out
+
+
 def _load_spec(source: Union[str, dict]) -> dict:
     if isinstance(source, dict):
         return source

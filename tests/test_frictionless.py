@@ -218,6 +218,43 @@ def test_round_trip_export():
     assert to_frictionless_schema(again) == spec
 
 
+def test_json_schema_export():
+    """to_json_schema emits validatable draft-2020-12 keywords."""
+    import pandera_spark as ps
+    from pandera_spark.io import to_json_schema
+
+    schema = ps.DataFrameSchema(
+        {
+            "id": ps.Column("long", ps.Check.in_range(1, 100), nullable=False),
+            "rate": ps.Column("double", ps.Check.greater_than(0.0), nullable=True),
+            "status": ps.Column("string", ps.Check.isin(["a", "b"])),
+            "code": ps.Column("string", ps.Check.str_matches(r"^\d{3}$")),
+            "note": ps.Column("string", ps.Check.str_length(1, 10), nullable=True),
+        },
+        strict=True,
+        name="row_contract",
+    )
+    js = to_json_schema(schema)
+    assert js["$schema"].endswith("2020-12/schema")
+    assert js["title"] == "row_contract"
+    assert js["additionalProperties"] is False
+    p = js["properties"]
+    assert p["id"] == {"type": "integer", "minimum": 1, "maximum": 100}
+    assert p["rate"] == {"type": ["number", "null"], "exclusiveMinimum": 0.0}
+    assert p["status"]["enum"] == ["a", "b"]
+    assert p["code"]["pattern"] == r"^\d{3}$"
+    assert p["note"] == {"type": ["string", "null"], "minLength": 1, "maxLength": 10}
+    assert set(js["required"]) == {"id", "status", "code"}
+    # validate against the real jsonschema lib when available
+    try:
+        import jsonschema
+    except ImportError:
+        return
+    jsonschema.validate({"id": 5, "status": "a", "code": "123"}, js)
+    with pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate({"id": 500, "status": "a", "code": "123"}, js)
+
+
 def test_unsupported_type_raises():
     with pytest.raises(ValueError, match="unsupported frictionless"):
         from_frictionless_schema(
