@@ -103,3 +103,67 @@ class TestVerdictProperties:
             "check = 'field_uniqueness'"
         ).count()
         assert got == dup_rows
+
+
+# -------------------- schema → example → validate ---------------------- #
+
+_col_strategy = st.sampled_from(
+    [
+        ("long", None),
+        ("long", "bounds"),
+        ("int", "bounds"),
+        ("double", "bounds"),
+        ("string", "isin"),
+        ("string", "length"),
+        ("boolean", None),
+    ]
+)
+
+
+def _build_column(dtype, kind, lo, span, nullable, unique):
+    checks = []
+    if kind == "bounds":
+        if dtype == "double":
+            checks.append(Check.in_range(float(lo), float(lo + span + 1)))
+        else:
+            checks.append(Check.in_range(lo, lo + span + 10_000))
+    elif kind == "isin":
+        checks.append(Check.isin([f"v{i}" for i in range(6)]))
+        unique = False  # 6 values can't be unique over larger sizes
+    elif kind == "length":
+        checks.append(Check.str_length(2, 24))
+    if dtype == "boolean":
+        unique = False
+    return Column(dtype, checks=checks, nullable=nullable, unique=unique)
+
+
+class TestExampleProperties:
+    """The strategies contract (reference pandas_strategies.py): for any
+    schema the engine can synthesize, schema.validate(schema.example(n))
+    passes."""
+
+    @settings(**_SETTINGS)
+    @given(
+        spec=st.lists(
+            st.tuples(
+                _col_strategy,
+                st.integers(-50, 50),
+                st.integers(0, 40),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        size=st.integers(1, 300),
+        seed=st.integers(0, 2**16),
+    )
+    def test_example_always_validates(self, spark, spec, size, seed):
+        cols = {}
+        for i, ((dtype, kind), lo, span, nullable) in enumerate(spec):
+            unique = i == 0 and dtype in ("long", "int")
+            cols[f"c{i}"] = _build_column(dtype, kind, lo, span, nullable, unique)
+        schema = DataFrameSchema(cols, name="prop")
+        df = schema.example(size=size, seed=seed, spark=spark)
+        r = schema.validate(df)
+        assert r.passed, r.report
+        assert df.count() == size
