@@ -71,6 +71,38 @@ def validate_stream(
     return writer.start()
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    keys: Optional[list[str]] = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    content fingerprint; drop later duplicates arriving within the
+    watermark horizon.
+
+    Built on ``dropDuplicatesWithinWatermark`` — state for a fingerprint
+    is dropped once the watermark passes its first-seen event time, so
+    state size is bounded by the dedup horizon (unbounded-state dedup at
+    10^12-turn scale is not survivable; a bounded horizon matches how
+    ingest dedup actually runs).  ``keys`` overrides the default
+    [md5-of-normalized-text] dedup key (e.g. ["conv_id", "turn_idx"] for
+    idempotent re-ingestion of transcript turns)."""
+    if keys is None:
+        from .functions.text import fingerprint
+
+        df = stream_df.withColumn("__fp__", fingerprint(text_col))
+        key_cols = ["__fp__"]
+    else:
+        df = stream_df
+        key_cols = list(keys)
+    out = df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    return out.drop("__fp__") if keys is None else out
+
+
 def baseline_bucket_shares(
     df: DataFrame, col: str, edges: list[float], eps: float = 1e-4
 ) -> list[float]:

@@ -189,3 +189,84 @@ class TestContiguityMonitor:
         assert out[0]["conv_id"] == "c1"
         assert out[0]["turn_idx"] == 3
         assert out[0]["kind"] == "gap"
+
+
+class TestDedupStream:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: first
+    arrival of each content fingerprint survives; duplicates within the
+    watermark horizon are dropped; state is watermark-bounded."""
+
+    def test_content_dedup(self, spark, tmp_path):
+        import datetime
+
+        import pandas as pd
+
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "hello  world", base),
+            (2, "unique doc", base + datetime.timedelta(seconds=1)),
+            # same normalized content as row 1 (whitespace/case fold)
+            (3, "Hello World", base + datetime.timedelta(seconds=2)),
+            (4, "another doc", base + datetime.timedelta(seconds=3)),
+            (5, "unique doc", base + datetime.timedelta(seconds=4)),
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        deduped = st.dedup_stream(stream, "text", "ts", watermark_delay="1 hour")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from dedup_stream_test").collect()
+        texts = sorted(r["text"].lower().replace("  ", " ") for r in out)
+        assert len(out) == 3, out  # one per distinct normalized content
+        assert texts == ["another doc", "hello world", "unique doc"]
+        assert "__fp__" not in deduped.columns
+
+    def test_key_dedup_idempotent_reingest(self, spark, tmp_path):
+        import datetime
+
+        import pandas as pd
+
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            ("c1", 0, "a", base),
+            ("c1", 1, "b", base),
+            ("c1", 0, "a-replayed", base + datetime.timedelta(seconds=5)),
+            ("c2", 0, "c", base),
+        ]
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx long, text string, ts timestamp"
+        ).parquet(src)
+        deduped = st.dedup_stream(
+            stream, ts_col="ts", keys=["conv_id", "turn_idx"],
+            watermark_delay="1 hour",
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_key_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from dedup_key_test").collect()
+        assert len(out) == 3
+        keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+        assert keys == [("c1", 0), ("c1", 1), ("c2", 0)]
