@@ -70,6 +70,7 @@ class PartitionedValidationRun:
         spark: Optional[SparkSession] = None,
         collect_stats: bool = True,
         run_id: Optional[str] = None,
+        use_file_stats: bool = True,
     ):
         self.schema = schema
         self.partition_col = partition_col
@@ -78,6 +79,7 @@ class PartitionedValidationRun:
         self.violations_dir = os.path.join(output_dir, "violations")
         self.collect_stats = collect_stats
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.use_file_stats = use_file_stats
         if isinstance(df_or_source, str):
             from ..io.sources import read_table
 
@@ -154,13 +156,34 @@ class PartitionedValidationRun:
         # (Iceberg partition pruning / parquet row-group skipping)
         return self.df.where(F.col(self.partition_col).cast("string") == p)
 
+    def _partition_file_stats(self, p: str) -> Optional[dict]:
+        """Footer statistics for ONE hive-layout partition directory of a
+        parquet-path source — lets the per-partition validation prove
+        not_nullable / monotone value checks without scanning those
+        columns (Iceberg: the same comes from per-file null_value_counts
+        in the manifest, already partition-scoped).  None (→ full scan)
+        when the source is a DataFrame, a catalog table, or the
+        partition-dir layout doesn't match."""
+        if not self.use_file_stats or self.source_desc == "dataframe":
+            return None
+        cand = os.path.join(self.source_desc, f"{self.partition_col}={p}")
+        if not os.path.isdir(cand):
+            return None
+        try:
+            from ..io.sources import parquet_footer_stats
+
+            return parquet_footer_stats(cand)
+        except Exception:  # noqa: BLE001 — stats are an optimization only
+            return None
+
     def run_partition(self, p: str) -> PartitionResult:
         t0 = time.time()
         started = datetime.datetime.now()
         try:
             pdf = self._partition_df(p)
             res = self.schema.validate(
-                pdf, collect_stats=self.collect_stats, collect_failure_cases=True
+                pdf, collect_stats=self.collect_stats, collect_failure_cases=True,
+                file_stats=self._partition_file_stats(p),
             )
             n_viol = 0
             viol_path = os.path.join(self.violations_dir, f"partition_id={p}")

@@ -289,3 +289,58 @@ class TestSerialization:
         loaded = ns["schema"]
         assert set(loaded.columns) == set(schema.columns)
         assert schema_to_dict(loaded) == schema_to_dict(schema)
+
+
+class TestRunnerFileStats:
+    """Per-partition footer-stat short-circuit inside the manifest loop:
+    hive-layout parquet sources prove clean checks from row-group stats;
+    results are identical to the full-scan run."""
+
+    def test_partitioned_source_uses_footer_stats(self, spark, tmp_path):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "part_id": [i % 3 for i in range(300)],
+                "x": list(range(300)),          # clean: in_range provable
+                "y": [i % 7 for i in range(300)],
+            }
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).write.partitionBy("part_id").parquet(src)
+
+        schema = DataFrameSchema(
+            {
+                "x": Column("long", checks=Check.in_range(0, 1000), nullable=False),
+                "y": Column("long", checks=Check.le(3)),  # fails, must scan
+            },
+            index_cols=["x"],
+            name="p",
+        )
+        run_fs = PartitionedValidationRun(
+            schema, src, "part_id", str(tmp_path / "o1"), spark=spark
+        )
+        assert run_fs.use_file_stats
+        st = run_fs._partition_file_stats("1")
+        assert st is not None and st["columns"]["x"]["null_count"] == 0
+        res_fs = {r.partition_id: r for r in run_fs.run()}
+
+        run_scan = PartitionedValidationRun(
+            schema, src, "part_id", str(tmp_path / "o2"), spark=spark,
+            use_file_stats=False,
+        )
+        assert run_scan._partition_file_stats("1") is None
+        res_scan = {r.partition_id: r for r in run_scan.run()}
+
+        assert set(res_fs) == set(res_scan) == {"0", "1", "2"}
+        for p in res_fs:
+            assert res_fs[p].n_rows == res_scan[p].n_rows == 100
+            assert res_fs[p].n_violations == res_scan[p].n_violations
+            assert res_fs[p].passed == res_scan[p].passed is False  # y>3 rows
+        assert run_fs.summary()["n_violations"] == run_scan.summary()["n_violations"]
+
+    def test_dataframe_source_skips_file_stats(self, spark, partitioned_df, tmp_path):
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "o")
+        )
+        assert run._partition_file_stats("0") is None
