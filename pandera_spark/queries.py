@@ -645,10 +645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "wasserstein_events": q_wasserstein_events,
         "multimodal_features_documents": q_multimodal_features_documents,
-        # rows-only: minhash/simhash permutation hashes and IVF centroid
-        # assignment are not SQL-expressible; invariants covered in pytest
-        "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_signatures_documents": q_simhash_signatures_documents,
+        # rows-only: minhash banding hashes Spark's seeded xxhash64 and
+        # IVF centroids come from iterative k-means — neither is
+        # SQL-reproducible; invariants covered in pytest
+        "minhash_candidates_documents": q_minhash_candidates_documents,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
@@ -749,6 +750,52 @@ def _sql_embedding_dups(threshold: float = 0.999) -> str:
     WHERE list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v))
            * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    """
+
+
+def _sql_simhash() -> str:
+    """DuckDB twin of dedup.simhash_signatures: the per-token 64-bit
+    FNV-1a (dedup.hash_token) folds via list_reduce in HUGEINT (the
+    128-bit product then mod 2^64 reproduces the wrapping multiply
+    bit-exactly); per-document bit votes are 64 aggregate sums and the
+    majority rule 2·ones > n matches votes = 2·Σbits − n > 0.  ascii()
+    equals the utf-8 byte for this corpus (verified pure-ASCII); the
+    signed cast mirrors numpy's int64 two's complement."""
+    m = "18446744073709551616::HUGEINT"
+    bit_sums = ", ".join(
+        f"SUM(((hv >> {b}) & 1)::INT) AS b{b}" for b in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tk
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        (list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(string_split(tk, ''), c -> ascii(c)::HUGEINT)),
+          (h, c) -> (xor((h % {m})::UBIGINT, c::UBIGINT)::HUGEINT
+                     * 1099511628211::HUGEINT) % {m}
+        ))::UBIGINT AS hv
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {bit_sums}, COUNT(*) AS n FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig_terms}) AS usig FROM votes)
+    SELECT d.doc_id,
+      CASE WHEN s.usig IS NULL THEN 0
+           WHEN s.usig >= 9223372036854775808::HUGEINT
+             THEN (s.usig - {m})::BIGINT
+           ELSE s.usig::BIGINT END AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
     """
 
 
@@ -1227,4 +1274,5 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_events": _sql_wasserstein(),
         "ngram_jaccard_documents": _sql_ngram_jaccard(),
         "embedding_dups": _sql_embedding_dups(),
+        "simhash_signatures_documents": _sql_simhash(),
     }
