@@ -646,10 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_events": q_wasserstein_events,
         "multimodal_features_documents": q_multimodal_features_documents,
         "simhash_signatures_documents": q_simhash_signatures_documents,
-        # rows-only: minhash banding hashes Spark's seeded xxhash64 and
-        # IVF centroids come from iterative k-means — neither is
-        # SQL-reproducible; invariants covered in pytest
         "minhash_candidates_documents": q_minhash_candidates_documents,
+        # rows-only: IVF centroids come from iterative k-means seeded by a
+        # sampled init — not SQL-reproducible; invariants covered in pytest
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
@@ -750,6 +749,84 @@ def _sql_embedding_dups(threshold: float = 0.999) -> str:
     WHERE list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v))
            * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    """
+
+
+def _sql_minhash(num_hashes: int = 32, bands: int = 16, threshold: float = 0.9) -> str:
+    """DuckDB twin of dedup.minhash_lsh_candidates (udf impl) over the
+    doubled documents corpus, bit-exact:
+
+      - zlib CRC-32 of each distinct word 3-gram via a table-driven
+        list_reduce (256-entry literal table; empty gram folds the empty
+        byte list → 0, matching crc32(b''))
+      - signatures min_j (a_j·(h mod p) + b_j) mod p with the same seeded
+        numpy (a, b) embedded as literals (p = 2^31−1; products ≤ 2^62
+        stay in BIGINT)
+      - band collision = EQUALITY of the rows_per_band signature slice:
+        Spark buckets by xxhash64 of the slice, and equal slices hash
+        equal, so modulo 64-bit hash collisions (≈0 at corpus size) the
+        candidate sets coincide; est_jaccard = agreeing positions / n.
+    """
+    import zlib  # noqa: F401  (documented provenance of the table)
+
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    tbl_sql = "[" + ", ".join(f"{v}::UBIGINT" for v in tbl) + "]"
+    import numpy as _np
+
+    p = (1 << 31) - 1
+    rng = _np.random.default_rng(42)
+    a = rng.integers(1, p, size=num_hashes, dtype=_np.int64).tolist()
+    b = rng.integers(0, p, size=num_hashes, dtype=_np.int64).tolist()
+    rows_per_band = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"MIN(({a[j]}::BIGINT * (hv % {p}) + {b[j]}) % {p}) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{i * rows_per_band + k} = b.s{i * rows_per_band + k}"
+            for k in range(rows_per_band)
+        )
+        + ")"
+        for i in range(bands)
+    )
+    agree = " + ".join(f"(a.s{j} = b.s{j})::INT" for j in range(num_hashes))
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM docs2),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(0, GREATEST(len(t) - 3, 0) + 1),
+          i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS gram
+      FROM tk),
+    h AS (
+      SELECT doc_id,
+        xor(list_reduce(
+          list_prepend(4294967295::UBIGINT,
+            CASE WHEN gram = '' THEN []::UBIGINT[]
+                 ELSE list_transform(string_split(gram, ''),
+                                     c -> ascii(c)::UBIGINT) END),
+          (h, c) -> xor(h >> 8, list_extract({tbl_sql},
+                                             (xor(h, c) & 255)::INT + 1))
+        ), 4294967295::UBIGINT)::BIGINT AS hv
+      FROM g),
+    sigs AS (SELECT doc_id, {sig_exprs} FROM h GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ({agree}) / {float(num_hashes)} AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_conds})
+    WHERE ({agree}) / {float(num_hashes)} >= {threshold}
     """
 
 
@@ -1275,4 +1352,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _sql_ngram_jaccard(),
         "embedding_dups": _sql_embedding_dups(),
         "simhash_signatures_documents": _sql_simhash(),
+        "minhash_candidates_documents": _sql_minhash(),
     }
