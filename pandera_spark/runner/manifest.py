@@ -305,6 +305,62 @@ class PartitionedValidationRun:
         }
 
 
+    def table_profile(self) -> dict:
+        """Whole-table column profile merged from the per-partition metrics
+        already checkpointed in the manifest (latest attempt per
+        partition) — no data files are touched.  Exact merges: count /
+        null_count sum, min of mins, max of maxes.  approx_distinct is a
+        per-partition HLL estimate whose raw counts cannot be merged, so
+        the profile reports the bracket [max(partition values) = lower
+        bound, sum = upper bound]."""
+        from pyspark.sql import Window
+
+        m = self.read_manifest()
+        latest = (
+            m.withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("partition_id").orderBy(
+                        F.desc("finished_at")
+                    )
+                ),
+            )
+            .filter("__rn__ = 1")
+            .filter(F.col("status") == "ok")
+            .select("partition_id", "metrics")
+            .collect()
+        )
+        merged: dict[str, dict] = {}
+        n_parts = 0
+        for r in latest:
+            metrics = json.loads(r["metrics"] or "{}")
+            stats = metrics.get("stats") or {}
+            if not stats:
+                continue
+            n_parts += 1
+            for col, s in stats.items():
+                ent = merged.setdefault(
+                    col,
+                    {
+                        "count": 0, "null_count": 0, "min": None, "max": None,
+                        "approx_distinct_lb": 0, "approx_distinct_ub": 0,
+                        "n_rows": 0,
+                    },
+                )
+                ent["count"] += s.get("count") or 0
+                ent["null_count"] += s.get("null_count") or 0
+                ent["n_rows"] += s.get("n_rows") or 0
+                for key, pick in (("min", min), ("max", max)):
+                    v = s.get(key)
+                    if v is None:
+                        continue
+                    ent[key] = v if ent[key] is None else pick(ent[key], v)
+                ad = s.get("approx_distinct") or 0
+                ent["approx_distinct_lb"] = max(ent["approx_distinct_lb"], ad)
+                ent["approx_distinct_ub"] += ad
+        return {"partitions": n_parts, "columns": merged}
+
+
 def _jsonable(stats):
     if stats is None:
         return None

@@ -344,3 +344,36 @@ class TestRunnerFileStats:
             make_schema(), partitioned_df, "part_id", str(tmp_path / "o")
         )
         assert run._partition_file_stats("0") is None
+
+
+class TestTableProfile:
+    """Whole-table profile merged from per-partition manifest metrics —
+    no data re-scan; exact for count/null/min/max, bracketed for the HLL."""
+
+    def test_merged_profile_matches_direct(self, spark, tmp_path):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "part_id": [i % 3 for i in range(300)],
+                "x": [float(i) for i in range(300)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        schema = DataFrameSchema(
+            {"x": Column("double", checks=Check.ge(0.0))}, name="t"
+        )
+        run = PartitionedValidationRun(
+            schema, df, "part_id", str(tmp_path / "o"), collect_stats=True
+        )
+        run.run()
+        prof = run.table_profile()
+        assert prof["partitions"] == 3
+        x = prof["columns"]["x"]
+        assert x["count"] == 300 and x["null_count"] == 0
+        assert x["min"] == 0.0 and x["max"] == 299.0
+        assert x["n_rows"] == 300
+        # HLL bracket contains the true distinct count (300), within the
+        # sketch's rsd on each side
+        assert x["approx_distinct_lb"] <= 300 * 1.1
+        assert x["approx_distinct_ub"] >= 300 * 0.9
