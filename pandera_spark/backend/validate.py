@@ -207,7 +207,13 @@ def validate(
     )
     n_rows = agg_row["__n_rows__"] if agg_row is not None else None
     if n_rows is None and file_stats and head is None and sample is None:
-        n_rows = int(file_stats.get("n_rows") or 0)
+        # footer row count only describes the frame when nothing between
+        # the scan and here dropped rows (proofs tolerate filtering, the
+        # row COUNT does not) — a filtered frame pays one count job
+        if _df_preserves_source_rows(df):
+            n_rows = int(file_stats.get("n_rows") or 0)
+        else:
+            n_rows = df.count()
 
     check_results: list[dict] = []
     failed_row_checks: list[CompiledCheck] = []
@@ -727,6 +733,23 @@ def _compile_checks(schema, df, coerce_checks):
             cid += 1
 
     return compiled, agg_only, grouped
+
+
+def _df_preserves_source_rows(df) -> bool:
+    """True when every node of the optimized plan is row-preserving
+    (Project over a Relation) — i.e. the frame still has exactly the
+    source files' row count.  Used to decide whether a footer row count
+    may stand in for a real count."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    except Exception:  # pragma: no cover - Connect or plan API change
+        return False
+    allowed = ("Project", "Relation", "LogicalRDD", "InMemoryRelation")
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:")
+        if node and not node.startswith(allowed):
+            return False
+    return True
 
 
 def _prove_value_check(name, stat, lo, hi) -> bool:

@@ -483,9 +483,24 @@ def register_check_method(
             stats.update({k: v for k, v in kw.items() if k in params})
             opts = {k: v for k, v in kw.items() if k not in params}
             # statistic args bound BY KEYWORD so factory(max=5) with params
-            # ('min','max') cannot slide into the wrong positional slot;
-            # arg_str renders them in declared order for the error string
+            # ('min','max') cannot slide into the wrong positional slot.
+            # Functions with positional-only or *args statistic params
+            # cannot take keywords — those keep the positional call (their
+            # params cannot be skipped-by-keyword in the first place).
+            param_objs = list(inspect.signature(func).parameters.values())[1:]
+            kw_ok = all(
+                p.kind not in (p.POSITIONAL_ONLY, p.VAR_POSITIONAL)
+                for p in param_objs
+            )
             call_kw = {p: stats[p] for p in params if p in stats}
+            if kw_ok:
+                def call(first):
+                    return func(first, **call_kw)
+            else:
+                pos_args = [stats[p] for p in params if p in stats]
+
+                def call(first):
+                    return func(first, *pos_args)
             arg_str = ", ".join(repr(call_kw[p]) for p in params if p in call_kw)
             common = dict(
                 name=opts.pop("name", method_name),
@@ -495,14 +510,14 @@ def register_check_method(
                 **opts,
             )
             if check_type == "expression":
-                return Check(lambda c: func(c, **call_kw), **common)
+                return Check(call, **common)
             if check_type == "vectorized":
-                return Check(lambda s: func(s, **call_kw), vectorized=True, **common)
+                return Check(call, vectorized=True, **common)
             if check_type == "element_wise":
-                return Check(lambda x: func(x, **call_kw), element_wise=True, **common)
+                return Check(call, element_wise=True, **common)
             if check_type == "groupby":
                 gb = common.pop("groupby", None) or opts.get("groupby")
-                return Check(lambda d: func(d, **call_kw), groupby=gb, **common)
+                return Check(call, groupby=gb, **common)
             raise ValueError(f"unknown check_type {check_type}")
 
         _CHECK_REGISTRY[method_name] = factory

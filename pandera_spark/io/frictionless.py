@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Optional, Union
 
 from ..checks import Check
@@ -186,6 +187,13 @@ def to_frictionless_schema(schema: DataFrameSchema) -> dict:
         for chk in col.checks:
             st = chk.statistics or {}
             if chk.name == "in_range":
+                if not st.get("include_min", True) or not st.get("include_max", True):
+                    raise ValueError(
+                        f"column {name!r}: exclusive in_range bounds have no "
+                        "frictionless constraint mapping (minimum/maximum "
+                        "are inclusive) — exporting them would silently "
+                        "weaken the schema"
+                    )
                 constraints["minimum"] = st["min_value"]
                 constraints["maximum"] = st["max_value"]
             elif chk.name == "greater_than_or_equal_to":

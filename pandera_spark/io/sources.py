@@ -64,8 +64,9 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
                     continue
                 ent = agg.setdefault(
                     name, {"null_count": 0, "min": None, "max": None,
-                           "_mm_ok": True, "_nc_ok": True}
+                           "_mm_ok": True, "_nc_ok": True, "_rows": 0}
                 )
+                ent["_rows"] += rg.num_rows
                 st = cc.statistics
                 if st is None or not st.has_null_count:
                     ent["_nc_ok"] = False
@@ -89,10 +90,15 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
                     ent["max"] = st.max if ent["max"] is None else max(ent["max"], st.max)
     cols = {}
     for name, ent in agg.items():
+        # schema-evolution guard: a column absent from some part files is
+        # NULL for those files' rows — a footer sum over only the files
+        # that HAVE the column would falsely prove it clean.  Distrust
+        # every statistic unless the column's row groups cover all rows.
+        covered = ent["_rows"] == n_rows
         cols[name] = {
-            "null_count": ent["null_count"] if ent["_nc_ok"] else None,
-            "min": ent["min"] if ent["_mm_ok"] else None,
-            "max": ent["max"] if ent["_mm_ok"] else None,
+            "null_count": ent["null_count"] if (ent["_nc_ok"] and covered) else None,
+            "min": ent["min"] if (ent["_mm_ok"] and covered) else None,
+            "max": ent["max"] if (ent["_mm_ok"] and covered) else None,
         }
     return {"n_rows": n_rows, "columns": cols}
 
@@ -111,21 +117,42 @@ def iceberg_footer_stats(
     if not iceberg_available(spark):
         raise RuntimeError("Iceberg runtime not on the classpath")
     files = spark.sql(f"SELECT record_count, readable_metrics FROM {table}.files")
-    aggs = [F.sum("record_count").alias("__n__")]
+    # a file written with metrics disabled/truncated has NULL metric
+    # entries; F.sum/min/max silently skip NULLs, which would UNDERCOUNT
+    # nulls (or narrow the bounds) and enable a false PASS — so each
+    # statistic is only trusted when EVERY file contributed it
+    aggs = [F.sum("record_count").alias("__n__"), F.count(F.lit(1)).alias("__f__")]
     for c in columns:
         m = f"readable_metrics.`{c}`"
         aggs += [
             F.sum(f"{m}.null_value_count").alias(f"__nc__{c}"),
+            F.count(f"{m}.null_value_count").alias(f"__ncn__{c}"),
             F.min(f"{m}.lower_bound").alias(f"__lo__{c}"),
             F.max(f"{m}.upper_bound").alias(f"__hi__{c}"),
+            # a file may legitimately lack bounds when ALL its values are
+            # null — only files with non-null values and missing bounds
+            # mean metrics are off
+            F.count(
+                F.when(
+                    F.col(f"{m}.lower_bound").isNotNull()
+                    | (F.col(f"{m}.null_value_count") == F.col("record_count")),
+                    1,
+                )
+            ).alias(f"__bn__{c}"),
         ]
     row = files.agg(*aggs).collect()[0].asDict()
+    n_files = row["__f__"]
     cols = {}
     for c in columns:
         lo, hi = row[f"__lo__{c}"], row[f"__hi__{c}"]
-        trusted = isinstance(lo, _TRUSTED_MINMAX) and isinstance(hi, _TRUSTED_MINMAX)
+        trusted = (
+            isinstance(lo, _TRUSTED_MINMAX)
+            and isinstance(hi, _TRUSTED_MINMAX)
+            and row[f"__bn__{c}"] == n_files
+        )
+        nc_ok = row[f"__ncn__{c}"] == n_files
         cols[c] = {
-            "null_count": row[f"__nc__{c}"],
+            "null_count": row[f"__nc__{c}"] if nc_ok else None,
             "min": lo if trusted else None,
             "max": hi if trusted else None,
         }

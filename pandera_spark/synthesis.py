@@ -72,23 +72,57 @@ def _walk(node, rng: np.random.Generator) -> str:
     if name == "in":
         choices: list[str] = []
         negated = False
+        ranges: list[tuple[int, int]] = []
+        literals: set[str] = set()
+        categories: list[str] = []
         for sub_op, sub_arg in arg:
             sub = str(sub_op).lower().split(".")[-1]
             if sub == "negate":
                 negated = True
             elif sub == "literal":
+                literals.add(chr(sub_arg))
                 choices.append(chr(sub_arg))
             elif sub == "range":
                 lo, hi = sub_arg
+                ranges.append((lo, hi))
+                # sampling pool may truncate wide ranges; membership
+                # checks below always use the FULL (lo, hi) ranges
                 choices.extend(chr(c) for c in range(lo, min(hi, lo + 16) + 1))
             elif sub == "category":
                 cat = str(sub_arg).lower().split(".")[-1]
+                categories.append(cat)
                 choices.extend(_CATEGORY_SAMPLES.get(cat, "a"))
         if negated:
-            for cand in "abcxyz019 -_":
-                if cand not in choices:
+
+            def in_class(ch: str) -> bool:
+                if ch in literals:
+                    return True
+                if any(lo <= ord(ch) <= hi for lo, hi in ranges):
+                    return True
+                for cat in categories:
+                    if cat == "category_digit" and ch.isdigit():
+                        return True
+                    if cat == "category_word" and (ch.isalnum() or ch == "_"):
+                        return True
+                    if cat == "category_space" and ch.isspace():
+                        return True
+                    if cat == "category_not_digit" and not ch.isdigit():
+                        return True
+                    if cat == "category_not_word" and not (
+                        ch.isalnum() or ch == "_"
+                    ):
+                        return True
+                    if cat == "category_not_space" and not ch.isspace():
+                        return True
+                return False
+
+            for cand in "abcxyzABCXYZ019 -_.!¿":
+                if not in_class(cand):
                     return cand
-            return "¿"
+            raise ValueError(
+                "regex negated class excludes every candidate character "
+                "— not synthesizable"
+            )
         return choices[int(rng.integers(0, len(choices)))] if choices else "a"
     if name == "category":
         cat = str(arg).lower().split(".")[-1]
@@ -126,6 +160,9 @@ def _gather(col) -> dict:
         "isin": None, "eq": None, "ne": set(), "pattern": None,
         "len_lo": None, "len_hi": None, "startswith": "", "endswith": "",
         "contains": "",
+        # ignore_na=False makes nulls count as violations — the column may
+        # be declared nullable, but injecting nulls would fail validation
+        "no_nulls": any(not chk.ignore_na for chk in col.checks),
     }
     for chk in col.checks:
         st = chk.statistics or {}
@@ -224,14 +261,19 @@ def _string_expr(g, size: int, unique: bool, seed: int, name: str) -> SparkCol:
         return gen(id_)
     prefix, suffix, mid = g["startswith"], g["endswith"], g["contains"]
     if mid and re.escape(mid) != mid:
-        mid = ""  # str_contains takes a regex; only literal fragments embed
+        # str_contains takes a regex; a non-literal pattern cannot be
+        # embedded verbatim — refusing beats emitting non-conforming rows
+        raise ValueError(
+            f"column {name!r}: str_contains pattern {mid!r} is not a "
+            "literal fragment — not synthesizable"
+        )
     lo, hi = g["len_lo"], g["len_hi"]
     fixed = len(prefix) + len(mid) + len(suffix)
-    digits = len(str(size - 1))  # widest id rendered in the value
+    cdigits = len(str(size - 1))  # widest id rendered in the value
     counter = id_.cast("string")
     if hi is not None:
         avail = int(hi) - fixed
-        if digits > avail:
+        if cdigits > avail:
             if unique:
                 raise ValueError(
                     f"column {name!r}: cannot fit {size} unique values "
@@ -245,9 +287,12 @@ def _string_expr(g, size: int, unique: bool, seed: int, name: str) -> SparkCol:
             # wrap the counter into the available digit budget (avail is
             # small here by construction, so 10**avail stays in int64)
             counter = F.pmod(id_, F.lit(10 ** min(avail, 18))).cast("string")
+            cdigits = min(avail, 18)
     if lo is not None and int(lo) > fixed:
-        # pad the counter (not the suffix) so startswith/endswith survive
-        counter = F.lpad(counter, int(lo) - fixed, "0")
+        # pad the counter (not the suffix) so startswith/endswith survive;
+        # lpad TRUNCATES below the string length, so never pad under the
+        # counter's own width — that would collapse distinct ids
+        counter = F.lpad(counter, max(int(lo) - fixed, cdigits), "0")
     return F.concat(F.lit(prefix + mid), counter, F.lit(suffix))
 
 
@@ -295,7 +340,7 @@ def _column_expr(name, col, size: int, seed: int, force_unique: bool = False) ->
     spark_t = col.spark_dtype
     if spark_t is not None:
         expr = expr.cast(spark_t)
-    if col.nullable and not unique:
+    if col.nullable and not unique and not g["no_nulls"]:
         expr = F.when(F.pmod(id_, F.lit(37)) == 17, F.lit(None)).otherwise(expr)
     return expr.alias(name)
 

@@ -289,3 +289,47 @@ class TestCustomChecks:
         assert chk.error == "is_multiple_of(3)"
         r = _validate_col(spark, [3, 4, 9], chk)
         assert _failed_indexes(r) == [1]
+
+
+class TestRegisterKeywordBinding:
+    """Review finding: keyword binding must not break positional-only or
+    *args check functions, while still binding factory(max=5) correctly."""
+
+    def test_keyword_skip_binds_correctly(self, spark):
+        from pandera_spark.checks import Check, register_check_method
+
+        @register_check_method(name="rng_kw2", check_type="expression")
+        def rng_kw2(c, min=None, max=None):
+            import pyspark.sql.functions as F
+
+            p = F.lit(True)
+            if min is not None:
+                p = p & (c >= min)
+            if max is not None:
+                p = p & (c <= max)
+            return p
+
+        from pandera_spark import Column, DataFrameSchema
+
+        df = spark.createDataFrame([(1,), (9,)], "x int")
+        r = DataFrameSchema(
+            {"x": Column("int", Check.rng_kw2(max=5))}
+        ).validate(df)
+        rec = [c for c in r.check_results if c["check"].startswith("rng_kw2")][0]
+        assert rec["n_violations"] == 1
+
+    def test_positional_only_function(self, spark):
+        from pandera_spark.checks import Check, register_check_method
+
+        @register_check_method(name="pos_only_mult", check_type="expression")
+        def pos_only_mult(c, base, /):
+            return (c % base) == 0
+
+        from pandera_spark import Column, DataFrameSchema
+
+        df = spark.createDataFrame([(4,), (5,)], "x int")
+        r = DataFrameSchema(
+            {"x": Column("int", Check.pos_only_mult(2))}
+        ).validate(df)
+        rec = [c for c in r.check_results if c["check"].startswith("pos_only")][0]
+        assert rec["n_violations"] == 1

@@ -217,3 +217,54 @@ class TestIcebergVariant:
             pytest.skip("Iceberg runtime present — covered by integrations")
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             iceberg_footer_stats(spark, "db.tbl", ["a"])
+
+
+class TestSchemaEvolutionGuard:
+    """A column absent from some part files is NULL for those rows: footer
+    sums over only the files that HAVE the column must NOT prove it clean
+    (code-review finding: false PASS under schema evolution)."""
+
+    def test_partial_column_coverage_distrusts_stats(self, spark, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "evolved"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"a": list(range(100))}), str(d / "old.parquet")
+        )
+        pq.write_table(
+            pa.table({"a": list(range(100, 200)), "y": list(range(1, 101))}),
+            str(d / "new.parquet"),
+        )
+        st = parquet_footer_stats(str(d))
+        assert st["n_rows"] == 200
+        # full coverage: a stays trusted
+        assert st["columns"]["a"]["null_count"] == 0
+        # partial coverage: every y statistic must be distrusted
+        y = st["columns"]["y"]
+        assert y["null_count"] is None and y["min"] is None and y["max"] is None
+        # end-to-end: not_nullable on y must SCAN and fail (100 nulls)
+        df = spark.read.option("mergeSchema", "true").parquet(str(d))
+        schema = ps.DataFrameSchema({"y": ps.Column("long", nullable=False)})
+        res = schema.validate(df, file_stats=st)
+        assert not res.passed
+        rec = [c for c in res.check_results if c["check"] == "not_nullable"][0]
+        assert rec["n_violations"] == 100
+
+
+class TestFilteredFrameRowCount:
+    def test_all_proven_on_filtered_frame_counts_for_real(
+        self, spark, clean_parquet
+    ):
+        """When every check is proven but the frame is filtered, n_rows
+        must be the FRAME's count, not the source footer's (finding 6)."""
+        schema = ps.DataFrameSchema(
+            {"a": ps.Column("long", ps.Check.in_range(0, 9_999), nullable=False)}
+        )
+        df = spark.read.parquet(clean_parquet).filter("a < 100").select("a")
+        st = parquet_footer_stats(clean_parquet)
+        res = schema.validate(df, file_stats=st)
+        assert res.passed
+        assert res.n_rows == 100  # not the footer's 10,000

@@ -272,3 +272,30 @@ def test_file_sources(tmp_path):
     for p in (p_json, p_yaml):
         schema = from_frictionless_schema(str(p))
         assert "integer_col" in schema.columns
+
+
+class TestReviewRegressions:
+    def test_json_schema_str_startswith(self):
+        """to_json_schema with str_startswith must not NameError (missing
+        re import, review finding) and must emit an escaped anchor."""
+        import pandera_spark as ps
+        from pandera_spark.io import to_json_schema
+
+        js = to_json_schema(
+            ps.DataFrameSchema(
+                {"n": ps.Column("string", ps.Check.str_startswith("u-"))}
+            )
+        )
+        assert js["properties"]["n"]["pattern"] == "^u\\-" or js[
+            "properties"
+        ]["n"]["pattern"].startswith("^u")
+
+    def test_exclusive_bounds_export_raises(self):
+        import pandera_spark as ps
+        from pandera_spark.io import to_frictionless_schema
+
+        schema = ps.DataFrameSchema(
+            {"x": ps.Column("long", ps.Check.in_range(0, 10, include_min=False))}
+        )
+        with pytest.raises(ValueError, match="exclusive in_range"):
+            to_frictionless_schema(schema)

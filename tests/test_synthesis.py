@@ -122,3 +122,42 @@ class TestSchemaExample:
         schema = from_frictionless_schema(spec)
         df = schema.example(size=300, spark=spark)
         assert schema.validate(df).passed
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 code review."""
+
+    def test_unique_str_length_no_lpad_truncation(self, spark):
+        schema = ps.DataFrameSchema(
+            {"s": ps.Column("string", ps.Check.str_length(2, 30), unique=True)}
+        )
+        df = schema.example(size=300, spark=spark)
+        assert df.distinct().count() == 300
+        assert schema.validate(df).passed
+
+    @pytest.mark.parametrize("pattern", [r"^[^a-z]+$", r"^[^0-9A-Za-z]+$", r"[^\d]{3}"])
+    def test_negated_class_full_membership(self, pattern):
+        import re
+
+        rng = np.random.default_rng(3)
+        for _ in range(30):
+            s = regex_example(pattern, rng)
+            assert re.search(pattern, s), (pattern, s)
+
+    def test_ignore_na_false_suppresses_null_injection(self, spark):
+        schema = ps.DataFrameSchema(
+            {"x": ps.Column(
+                "double", ps.Check.greater_than(0.0, ignore_na=False),
+                nullable=True,
+            )}
+        )
+        df = schema.example(size=200, spark=spark)
+        assert df.filter("x IS NULL").count() == 0
+        assert schema.validate(df).passed
+
+    def test_nonliteral_str_contains_raises(self, spark):
+        schema = ps.DataFrameSchema(
+            {"s": ps.Column("string", ps.Check.str_contains("a.b"))}
+        )
+        with pytest.raises(ValueError, match="not a\n?.*literal|literal"):
+            schema.example(size=10, spark=spark)
