@@ -974,10 +974,23 @@ def _fused_aggregate(
             )
         elif col_chunks:
             col_chunks[0] = ([count_expr] + col_chunks[0][0], col_chunks[0][1])
-        for exprs, cols in col_chunks:
-            row.update(
-                df.select(*sorted(cols)).agg(*exprs).collect()[0].asDict()
-            )
+
+        # chunks scan DISJOINT column sets — dispatch them concurrently so
+        # Spark pipelines the jobs instead of serializing driver round
+        # trips (each chunk is its own column-pruned parquet scan)
+        def _run_chunk(chunk):
+            exprs, cols = chunk
+            return df.select(*sorted(cols)).agg(*exprs).collect()[0].asDict()
+
+        if len(col_chunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(col_chunks), 4)) as ex:
+                for part in ex.map(_run_chunk, col_chunks):
+                    row.update(part)
+        else:
+            for chunk in col_chunks:
+                row.update(_run_chunk(chunk))
 
     stats = None
     if collect_stats:
