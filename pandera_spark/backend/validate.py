@@ -744,10 +744,16 @@ def _df_preserves_source_rows(df) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     except Exception:  # pragma: no cover - Connect or plan API change
         return False
-    allowed = ("Project", "Relation", "LogicalRDD", "InMemoryRelation")
+    # EXACT node names, not prefixes: 'RelationV2' (DSv2) may have had a
+    # row-dropping filter fully pushed into the scan and REMOVED from the
+    # optimized plan, so it must fall through to the real count
+    allowed = {"Project", "Relation", "LogicalRDD", "InMemoryRelation"}
     for line in plan.splitlines():
         node = line.lstrip(" +-:")
-        if node and not node.startswith(allowed):
+        if not node:
+            continue
+        name = node.split("[")[0].split(" ")[0].rstrip(",")
+        if name not in allowed:
             return False
     return True
 

@@ -470,34 +470,44 @@ def register_check_method(
     """
 
     def deco(func: Callable) -> Callable:
+        import inspect
+
         method_name = name or func.__name__
+        # signature facts are constants of the registered function —
+        # inspect once here, not on every factory call
+        param_objs = list(inspect.signature(func).parameters.values())[1:]
+        params = [p.name for p in param_objs]
+        if any(p.kind == p.VAR_POSITIONAL for p in param_objs):
+            raise TypeError(
+                f"register_check_method({method_name!r}): statistic "
+                "parameters must be named — *args cannot round-trip "
+                "through Check.statistics"
+            )
+        kw_ok = all(p.kind != p.POSITIONAL_ONLY for p in param_objs)
 
         def factory(*args, **kw) -> Check:
-            import inspect
-
-            params = [
-                p.name
-                for p in list(inspect.signature(func).parameters.values())[1:]
-            ]
             stats = dict(zip(params, args))
             stats.update({k: v for k, v in kw.items() if k in params})
             opts = {k: v for k, v in kw.items() if k not in params}
             # statistic args bound BY KEYWORD so factory(max=5) with params
             # ('min','max') cannot slide into the wrong positional slot.
-            # Functions with positional-only or *args statistic params
-            # cannot take keywords — those keep the positional call (their
-            # params cannot be skipped-by-keyword in the first place).
-            param_objs = list(inspect.signature(func).parameters.values())[1:]
-            kw_ok = all(
-                p.kind not in (p.POSITIONAL_ONLY, p.VAR_POSITIONAL)
-                for p in param_objs
-            )
+            # Positional-only functions cannot take keywords; their call is
+            # positional, which is only sound when the provided statistics
+            # form a PREFIX of the declared params — otherwise a skipped
+            # earlier param would slide values into the wrong slot.
             call_kw = {p: stats[p] for p in params if p in stats}
             if kw_ok:
                 def call(first):
                     return func(first, **call_kw)
             else:
-                pos_args = [stats[p] for p in params if p in stats]
+                provided = [p for p in params if p in stats]
+                if provided != params[: len(provided)]:
+                    raise TypeError(
+                        f"{method_name}: positional-only statistic params "
+                        f"{params} must be supplied as a prefix; got "
+                        f"{provided}"
+                    )
+                pos_args = [stats[p] for p in provided]
 
                 def call(first):
                     return func(first, *pos_args)

@@ -91,14 +91,16 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
     cols = {}
     for name, ent in agg.items():
         # schema-evolution guard: a column absent from some part files is
-        # NULL for those files' rows — a footer sum over only the files
-        # that HAVE the column would falsely prove it clean.  Distrust
-        # every statistic unless the column's row groups cover all rows.
+        # NULL for those files' rows — a null_count over only the files
+        # that HAVE the column would falsely prove it clean.  min/max stay
+        # valid under partial coverage (the uncovered rows are NULL and
+        # bounds describe only non-null values), so monotone value-check
+        # proofs keep working on evolved tables.
         covered = ent["_rows"] == n_rows
         cols[name] = {
             "null_count": ent["null_count"] if (ent["_nc_ok"] and covered) else None,
-            "min": ent["min"] if (ent["_mm_ok"] and covered) else None,
-            "max": ent["max"] if (ent["_mm_ok"] and covered) else None,
+            "min": ent["min"] if ent["_mm_ok"] else None,
+            "max": ent["max"] if ent["_mm_ok"] else None,
         }
     return {"n_rows": n_rows, "columns": cols}
 
@@ -116,31 +118,51 @@ def iceberg_footer_stats(
 
     if not iceberg_available(spark):
         raise RuntimeError("Iceberg runtime not on the classpath")
-    files = spark.sql(f"SELECT record_count, readable_metrics FROM {table}.files")
+    # content != 0 marks position/equality DELETE files: their
+    # record_count is deleted rows (not data), and row-level deletes make
+    # every data-file statistic stale (the min, or the only nulls, may
+    # belong to deleted rows) — refuse rather than prove against dead data
+    files = spark.sql(
+        f"SELECT content, record_count, readable_metrics FROM {table}.files"
+    )
     # a file written with metrics disabled/truncated has NULL metric
     # entries; F.sum/min/max silently skip NULLs, which would UNDERCOUNT
     # nulls (or narrow the bounds) and enable a false PASS — so each
     # statistic is only trusted when EVERY file contributed it
-    aggs = [F.sum("record_count").alias("__n__"), F.count(F.lit(1)).alias("__f__")]
+    aggs = [
+        F.sum(F.when(F.col("content") == 0, F.col("record_count"))).alias("__n__"),
+        F.count(F.when(F.col("content") == 0, 1)).alias("__f__"),
+        F.count(F.when(F.col("content") != 0, 1)).alias("__del__"),
+    ]
+    data = F.col("content") == 0
     for c in columns:
         m = f"readable_metrics.`{c}`"
         aggs += [
-            F.sum(f"{m}.null_value_count").alias(f"__nc__{c}"),
-            F.count(f"{m}.null_value_count").alias(f"__ncn__{c}"),
-            F.min(f"{m}.lower_bound").alias(f"__lo__{c}"),
-            F.max(f"{m}.upper_bound").alias(f"__hi__{c}"),
+            F.sum(F.when(data, F.col(f"{m}.null_value_count"))).alias(f"__nc__{c}"),
+            F.count(F.when(data, F.col(f"{m}.null_value_count"))).alias(f"__ncn__{c}"),
+            F.min(F.when(data, F.col(f"{m}.lower_bound"))).alias(f"__lo__{c}"),
+            F.max(F.when(data, F.col(f"{m}.upper_bound"))).alias(f"__hi__{c}"),
             # a file may legitimately lack bounds when ALL its values are
             # null — only files with non-null values and missing bounds
             # mean metrics are off
             F.count(
                 F.when(
-                    F.col(f"{m}.lower_bound").isNotNull()
-                    | (F.col(f"{m}.null_value_count") == F.col("record_count")),
+                    data
+                    & (
+                        F.col(f"{m}.lower_bound").isNotNull()
+                        | (F.col(f"{m}.null_value_count") == F.col("record_count"))
+                    ),
                     1,
                 )
             ).alias(f"__bn__{c}"),
         ]
     row = files.agg(*aggs).collect()[0].asDict()
+    if row["__del__"]:
+        raise RuntimeError(
+            f"{table} carries {row['__del__']} row-level delete files: "
+            "file statistics describe pre-delete data and cannot prove "
+            "checks — compact/rewrite the table or validate with a scan"
+        )
     n_files = row["__f__"]
     cols = {}
     for c in columns:

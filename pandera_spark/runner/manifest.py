@@ -104,22 +104,31 @@ class PartitionedValidationRun:
     def completed_partitions(self) -> set[str]:
         if not os.path.isdir(self.manifest_dir) or not os.listdir(self.manifest_dir):
             return set()
-        m = self.read_manifest()
-        latest = (
-            m.withColumn(
-                "__rn__",
-                F.row_number().over(
-                    __import__("pyspark").sql.Window.partitionBy("partition_id")
-                    .orderBy(F.desc("finished_at"))
-                ),
-            )
-            .filter("__rn__ = 1")
-            .filter(F.col("status") == "ok")
-        )
+        latest = self._latest_attempts().filter(F.col("status") == "ok")
         return {r["partition_id"] for r in latest.select("partition_id").collect()}
 
     def read_manifest(self) -> DataFrame:
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
+
+    def _latest_attempts(self) -> DataFrame:
+        """One manifest row per partition: the most recent attempt (the
+        single attempt-resolution rule — completed_partitions, summary and
+        table_profile all derive from this)."""
+        from pyspark.sql import Window
+
+        return (
+            self.read_manifest()
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("partition_id").orderBy(
+                        F.desc("finished_at"), F.desc("attempt")
+                    )
+                ),
+            )
+            .filter("__rn__ = 1")
+            .drop("__rn__")
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -279,20 +288,7 @@ class PartitionedValidationRun:
 
     def summary(self) -> dict:
         """Aggregate manifest view: latest attempt per partition."""
-        from pyspark.sql import Window
-
-        m = self.read_manifest()
-        latest = (
-            m.withColumn(
-                "__rn__",
-                F.row_number().over(
-                    Window.partitionBy("partition_id").orderBy(F.desc("finished_at"))
-                ),
-            )
-            .filter("__rn__ = 1")
-            .drop("__rn__")
-        )
-        rows = latest.collect()
+        rows = self._latest_attempts().collect()
         return {
             "partitions": len(rows),
             "ok": sum(1 for r in rows if r["status"] == "ok"),
@@ -313,19 +309,8 @@ class PartitionedValidationRun:
         per-partition HLL estimate whose raw counts cannot be merged, so
         the profile reports the bracket [max(partition values) = lower
         bound, sum = upper bound]."""
-        from pyspark.sql import Window
-
-        m = self.read_manifest()
         latest = (
-            m.withColumn(
-                "__rn__",
-                F.row_number().over(
-                    Window.partitionBy("partition_id").orderBy(
-                        F.desc("finished_at")
-                    )
-                ),
-            )
-            .filter("__rn__ = 1")
+            self._latest_attempts()
             .filter(F.col("status") == "ok")
             .select("partition_id", "metrics")
             .collect()
@@ -351,7 +336,7 @@ class PartitionedValidationRun:
                 ent["null_count"] += s.get("null_count") or 0
                 ent["n_rows"] += s.get("n_rows") or 0
                 for key, pick in (("min", min), ("max", max)):
-                    v = s.get(key)
+                    v = _comparable_stat(s.get(key))
                     if v is None:
                         continue
                     ent[key] = v if ent[key] is None else pick(ent[key], v)
@@ -359,6 +344,22 @@ class PartitionedValidationRun:
                 ent["approx_distinct_lb"] = max(ent["approx_distinct_lb"], ad)
                 ent["approx_distinct_ub"] += ad
         return {"partitions": n_parts, "columns": merged}
+
+
+def _comparable_stat(v):
+    """Metrics rows serialize non-JSON-native values (Decimal, dates) via
+    str; comparing those strings lexically would order '10.1' < '9.5'.
+    Numeric-looking strings come back as Decimal for correct ordering;
+    genuine strings (isoformat timestamps order correctly lexically) pass
+    through."""
+    if isinstance(v, str):
+        from decimal import Decimal, InvalidOperation
+
+        try:
+            return Decimal(v)
+        except InvalidOperation:
+            return v
+    return v
 
 
 def _jsonable(stats):

@@ -119,6 +119,11 @@ def _walk(node, rng: np.random.Generator) -> str:
             for cand in "abcxyzABCXYZ019 -_.!¿":
                 if not in_class(cand):
                     return cand
+            # common candidates exhausted: sweep printable ASCII + Latin-1
+            # + a Greek block before declaring the class unsatisfiable
+            for code in range(0x20, 0x400):
+                if not in_class(chr(code)):
+                    return chr(code)
             raise ValueError(
                 "regex negated class excludes every candidate character "
                 "— not synthesizable"

@@ -242,9 +242,11 @@ class TestSchemaEvolutionGuard:
         assert st["n_rows"] == 200
         # full coverage: a stays trusted
         assert st["columns"]["a"]["null_count"] == 0
-        # partial coverage: every y statistic must be distrusted
+        # partial coverage: null_count distrusted (uncovered rows ARE
+        # null), but bounds stay valid — they describe non-null values
         y = st["columns"]["y"]
-        assert y["null_count"] is None and y["min"] is None and y["max"] is None
+        assert y["null_count"] is None
+        assert y["min"] == 1 and y["max"] == 100
         # end-to-end: not_nullable on y must SCAN and fail (100 nulls)
         df = spark.read.option("mergeSchema", "true").parquet(str(d))
         schema = ps.DataFrameSchema({"y": ps.Column("long", nullable=False)})
@@ -268,3 +270,49 @@ class TestFilteredFrameRowCount:
         res = schema.validate(df, file_stats=st)
         assert res.passed
         assert res.n_rows == 100  # not the footer's 10,000
+
+
+class TestSecondReviewRegressions:
+    def test_value_proof_survives_partial_coverage(self, spark, tmp_path):
+        """Monotone value checks stay provable on evolved tables (bounds
+        valid for non-null values); not_nullable must still scan."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "ev2"
+        d.mkdir()
+        pq.write_table(pa.table({"a": [1, 2]}), str(d / "old.parquet"))
+        pq.write_table(
+            pa.table({"a": [3, 4], "y": [10, 20]}), str(d / "new.parquet")
+        )
+        st = parquet_footer_stats(str(d))
+        df = spark.read.option("mergeSchema", "true").parquet(str(d))
+        schema = ps.DataFrameSchema(
+            {"y": ps.Column("long", ps.Check.greater_than(0), nullable=True)}
+        )
+        from pandera_spark.backend.validate import (
+            _compile_checks,
+            _file_stats_shortcircuit,
+        )
+
+        compiled, _, _ = _compile_checks(schema, df, [])
+        _, proven = _file_stats_shortcircuit(schema, df, compiled, st)
+        assert ("y", "greater_than(0)") in {
+            (c.column, c.check_name) for c in proven
+        }
+        assert schema.validate(df, file_stats=st).passed
+
+    def test_plan_guard_rejects_relationv2_prefix(self, spark, clean_parquet):
+        """_df_preserves_source_rows matches node names EXACTLY — a name
+        like RelationV2 (DSv2, filters may be consumed by the scan) must
+        not slip through the 'Relation' prefix."""
+        from pandera_spark.backend.validate import _df_preserves_source_rows
+
+        bare = spark.read.parquet(clean_parquet).select("a")
+        assert _df_preserves_source_rows(bare)
+        assert not _df_preserves_source_rows(
+            spark.read.parquet(clean_parquet).filter("a > 5")
+        )
+        assert not _df_preserves_source_rows(
+            spark.read.parquet(clean_parquet).limit(10)
+        )

@@ -377,3 +377,14 @@ class TestTableProfile:
         # sketch's rsd on each side
         assert x["approx_distinct_lb"] <= 300 * 1.1
         assert x["approx_distinct_ub"] >= 300 * 0.9
+
+
+class TestComparableStat:
+    def test_decimal_strings_merge_numerically(self):
+        from decimal import Decimal
+
+        from pandera_spark.runner.manifest import _comparable_stat
+
+        assert min(_comparable_stat("9.5"), _comparable_stat("10.1")) == Decimal("9.5")
+        assert _comparable_stat("2026-01-01 10:00:00") == "2026-01-01 10:00:00"
+        assert _comparable_stat(7) == 7
