@@ -23,6 +23,18 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--max-partitions", type=int, default=None)
+    ap.add_argument(
+        "--parallelism", type=int, default=1,
+        help="partitions dispatched concurrently (Spark schedules the jobs)",
+    )
+    ap.add_argument(
+        "--no-file-stats", action="store_true",
+        help="disable the per-partition footer-statistics short-circuit",
+    )
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="also print the merged whole-table column profile",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -33,10 +45,18 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("pandera_spark-validate").getOrCreate()
     schema = from_json(args.schema)
     run = PartitionedValidationRun(
-        schema, args.source, args.partition_col, args.output, spark=spark
+        schema, args.source, args.partition_col, args.output, spark=spark,
+        use_file_stats=not args.no_file_stats,
     )
-    run.run(resume=not args.no_resume, max_partitions=args.max_partitions)
-    print(json.dumps(run.summary()))
+    run.run(
+        resume=not args.no_resume,
+        max_partitions=args.max_partitions,
+        parallelism=args.parallelism,
+    )
+    out = run.summary()
+    if args.profile:
+        out["table_profile"] = run.table_profile()
+    print(json.dumps(out, default=str))
     return 0
 
 
