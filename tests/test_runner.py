@@ -388,3 +388,37 @@ class TestComparableStat:
         assert min(_comparable_stat("9.5"), _comparable_stat("10.1")) == Decimal("9.5")
         assert _comparable_stat("2026-01-01 10:00:00") == "2026-01-01 10:00:00"
         assert _comparable_stat(7) == 7
+
+
+class TestRunnerCLI:
+    """spark-submit entrypoint (python -m pandera_spark.runner): schema
+    from JSON, partition loop, summary JSON on stdout — the north rule's
+    deployment shape."""
+
+    def test_main_end_to_end(self, spark, tmp_path, capsys):
+        import pandas as pd
+
+        from pandera_spark.io.serialization import to_json
+        from pandera_spark.runner.__main__ import main
+
+        pdf = pd.DataFrame(
+            {"part_id": [i % 2 for i in range(40)], "x": range(40)}
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).write.partitionBy("part_id").parquet(src)
+        schema = DataFrameSchema(
+            {"x": Column("long", checks=Check.ge(0), nullable=False)},
+            name="cli",
+        )
+        spath = str(tmp_path / "schema.json")
+        to_json(schema, spath)
+        rc = main([
+            "--schema", spath, "--source", src, "--partition-col", "part_id",
+            "--output", str(tmp_path / "out"), "--parallelism", "2",
+            "--profile",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["partitions"] == 2 and out["ok"] == 2
+        assert out["n_rows"] == 40
+        assert out["table_profile"]["columns"]["x"]["count"] == 40
