@@ -804,7 +804,11 @@ def _file_stats_shortcircuit(schema, df, compiled, file_stats):
     ignore_na=False additionally requires null_count == 0 (nulls would
     count as violations).  All proofs are one-sided: the footer can prove
     a PASS, never a failure, so an unprovable check simply stays in the
-    fused aggregate.  This mirrors Iceberg's null_value_counts/bounds
+    fused aggregate.  For float/double columns the footer never supplies
+    a max (NaN-excluding bounds vs Spark's NaN-is-greatest ordering — see
+    io.sources._FLOAT_PHYSICAL), so upper-bound checks on them always
+    scan; lower-bound proofs via min remain sound because NaN cannot
+    violate a lower bound under Spark's total order.  This mirrors Iceberg's null_value_counts/bounds
     file-skipping, with parquet footers as the in-sandbox stand-in."""
     fcols = file_stats.get("columns", {})
     target_col = {
@@ -830,11 +834,17 @@ def _file_stats_shortcircuit(schema, df, compiled, file_stats):
             if cc.check_name == "not_nullable":
                 ok = nulls_clean
             elif cc.check is not None:
-                lo, hi = fs.get("min"), fs.get("max")
-                if lo is not None and hi is not None:
-                    ok = _prove_value_check(
-                        cc.check.name, cc.check.statistics or {}, lo, hi
-                    )
+                # one-sided: a float/double column's footer max is never
+                # trusted (NaN-excluding bounds, see io.sources), but its
+                # min still proves lower-bound checks — _prove_value_check
+                # returns False (via TypeError) for any proof whose side
+                # is missing
+                ok = _prove_value_check(
+                    cc.check.name,
+                    cc.check.statistics or {},
+                    fs.get("min"),
+                    fs.get("max"),
+                )
                 if ok and not cc.check.ignore_na:
                     ok = nulls_clean
         (proven if ok else remaining).append(cc)
@@ -907,21 +917,28 @@ def _fused_aggregate(
         }
         for c in data_cols:
             fs = fcols.get(c)
+            # null_count is the substitution anchor (count = n_rows −
+            # null_count under the row-count cross-check); min/max are
+            # individually optional — a float/double column's footer max
+            # is never trusted (NaN, see io.sources) and only that one
+            # statistic falls back to a scan expression
             if (
                 fs is not None
                 and fs.get("null_count") is not None
-                and fs.get("min") is not None
-                and fs.get("max") is not None
                 and (PRE_COERCE_PREFIX + c) not in df.columns
                 and c not in parsed
             ):
                 footer_cols[c] = fs
     if collect_stats:
         for c in data_cols:
-            if c in footer_cols:  # footer supplies count/nulls/min/max
-                groups.append(
-                    ([F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}")], {c})
-                )
+            if c in footer_cols:  # footer supplies count/nulls(/min/max)
+                fs = footer_cols[c]
+                exprs = [F.approx_count_distinct(F.col(c)).alias(f"__hll__{c}")]
+                if fs.get("min") is None:
+                    exprs.append(F.min(F.col(c)).alias(f"__min__{c}"))
+                if fs.get("max") is None:
+                    exprs.append(F.max(F.col(c)).alias(f"__max__{c}"))
+                groups.append((exprs, {c}))
                 continue
             groups.append(
                 (
@@ -1017,8 +1034,10 @@ def _fused_aggregate(
                     "count": n - fs["null_count"],
                     "null_count": fs["null_count"],
                     "approx_distinct": row[f"__hll__{c}"],
-                    "min": fs["min"],
-                    "max": fs["max"],
+                    "min": fs["min"] if fs.get("min") is not None
+                    else row.get(f"__min__{c}"),
+                    "max": fs["max"] if fs.get("max") is not None
+                    else row.get(f"__max__{c}"),
                     "n_rows": n,
                 }
                 continue

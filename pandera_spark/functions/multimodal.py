@@ -148,29 +148,92 @@ def extract_features(
     return df.mapInPandas(run, out_schema)
 
 
+#: chunks walked by wav_metadata before giving up (fmt/fact/LIST/INFO/
+#: cue + data covers every encoder layout seen in practice)
+_WAV_MAX_CHUNKS = 6
+
+
 def wav_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     """Fill ``media_meta.duration_ms`` for WAV payloads by reading only
-    the 44-byte RIFF header fields via JVM expressions — no UDF, no full
-    decode: duration = data_bytes / byte_rate.  Header layout: byte_rate
-    is little-endian uint32 at offset 28, total payload length minus the
-    44-byte canonical header approximates the data size."""
-    little32 = lambda off: (  # noqa: E731
-        F.conv(
+    header bytes via JVM expressions — no UDF, no sample decode:
+    duration = data_chunk_bytes / fmt.byte_rate.
+
+    The RIFF container does NOT pin fmt/data to fixed offsets — encoders
+    commonly insert LIST/INFO or fact chunks before data (ADVICE r3) —
+    so this walks the chunk list (bounded, unrolled ``_WAV_MAX_CHUNKS``
+    times as a when-cascade) to find the ``fmt `` and ``data`` chunks,
+    gated on the 'RIFF'/'WAVE' magics.  Files that don't match emit NULL
+    duration_ms rather than a silently wrong value.  The declared data
+    size is clamped to the bytes actually present (truncated uploads)."""
+    bin_ = F.col(binary_col)
+
+    def _le32(pos):
+        """Little-endian uint32 at 1-based position ``pos`` (Column)."""
+        return F.conv(
             F.concat(
-                F.hex(F.substring(F.col(binary_col), off + 4, 1)),
-                F.hex(F.substring(F.col(binary_col), off + 3, 1)),
-                F.hex(F.substring(F.col(binary_col), off + 2, 1)),
-                F.hex(F.substring(F.col(binary_col), off + 1, 1)),
+                F.hex(F.substring(bin_, pos + 3, 1)),
+                F.hex(F.substring(bin_, pos + 2, 1)),
+                F.hex(F.substring(bin_, pos + 1, 1)),
+                F.hex(F.substring(bin_, pos, 1)),
             ),
             16,
             10,
         ).cast("long")
+
+    is_riff = (
+        (F.substring(bin_, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(bin_, 9, 4) == F.lit(b"WAVE"))
     )
-    byte_rate = little32(28)
-    data_len = (F.length(F.col(binary_col)) - F.lit(44)).cast("long")
+    null_long = F.lit(None).cast("long")
+    # each iteration's offset/size lands in a NAMED temp column: inlining
+    # them as nested expressions duplicates the offset subtree ~10× per
+    # chunk (csize alone reads it 4×), which is exponential in
+    # _WAV_MAX_CHUNKS and OOMs Catalyst.  Named columns keep the tree
+    # linear — the optimizer's CollapseProject leaves multiply-referenced
+    # non-cheap projections un-inlined.
+    tmp = df
+    off_cols, cid_cols, cs_cols = [], [], []
+    off = F.lit(13).cast("long")  # 1-based position of chunk id (byte 12)
+    for i in range(_WAV_MAX_CHUNKS):
+        oc, cc, sc = f"__wavoff{i}__", f"__wavcid{i}__", f"__wavcs{i}__"
+        tmp = tmp.withColumn(oc, off)
+        offc = F.col(oc)
+        tmp = tmp.withColumn(cc, F.substring(bin_, offc, 4)).withColumn(
+            sc, _le32(offc + 4)
+        )
+        off_cols.append(oc)
+        cid_cols.append(cc)
+        cs_cols.append(sc)
+        # chunks are word-aligned: odd sizes carry a pad byte
+        off = offc + 8 + F.col(sc) + F.col(sc) % 2
+    byte_rate, data_size, data_avail = null_long, null_long, null_long
+    for oc, cc, sc in zip(off_cols, cid_cols, cs_cols):
+        body = F.col(oc) + 8  # first byte of the chunk payload
+        byte_rate = (
+            F.when(byte_rate.isNotNull(), byte_rate)
+            # fmt body: format(2) channels(2) sample_rate(4) byte_rate(4)
+            .when(F.col(cc) == F.lit(b"fmt "), _le32(body + 8))
+            .otherwise(null_long)
+        )
+        data_size = (
+            F.when(data_size.isNotNull(), data_size)
+            .when(F.col(cc) == F.lit(b"data"), F.col(sc))
+            .otherwise(null_long)
+        )
+        data_avail = (
+            F.when(data_avail.isNotNull(), data_avail)
+            .when(
+                F.col(cc) == F.lit(b"data"),
+                (F.length(bin_) - body + F.lit(1)).cast("long"),
+            )
+            .otherwise(null_long)
+        )
+    data_len = F.least(data_size, data_avail)
     duration_ms = F.when(
-        byte_rate > 0, (data_len * 1000 / byte_rate).cast("long")
+        is_riff & (byte_rate > 0) & data_len.isNotNull(),
+        (data_len * 1000 / byte_rate).cast("long"),
     )
+    df = tmp
     return df.withColumn(
         "media_meta",
         F.struct(
@@ -181,7 +244,7 @@ def wav_metadata(df: DataFrame, binary_col: str) -> DataFrame:
             duration_ms.alias("duration_ms"),
             F.col("media_meta.n_bytes").alias("n_bytes"),
         ),
-    )
+    ).drop(*off_cols, *cid_cols, *cs_cols)
 
 
 def sample_frames(

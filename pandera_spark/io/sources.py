@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 #: unit-conversion mismatches between pyarrow and Spark.
 _TRUSTED_MINMAX = (int, float, bool)
 
+#: parquet physical types that can hold NaN.  Footer (and Iceberg) bounds
+#: EXCLUDE NaN, but Spark's comparison/ordering semantics place NaN above
+#: every other value (``double('NaN') > x`` is TRUE for any x).  The two
+#: directions are therefore asymmetric:
+#:   - footer MIN stays sound: NaN can never violate a lower-bound check
+#:     (greater_than/ge), and Spark's ``min`` aggregate likewise skips NaN
+#:     unless ALL values are NaN — in which case the writer emits no
+#:     min/max at all and the stat is already dropped;
+#:   - footer MAX is UNSOUND: max=3.0 with a NaN present would falsely
+#:     prove less_than(5.0) while the scan reports a violation, and
+#:     Spark's ``max`` aggregate would return NaN, not 3.0.
+#: Parquet footers carry no NaN count, so NaN absence is unprovable and
+#: float/double max is never trusted.  (Iceberg DOES carry
+#: nan_value_count — see iceberg_footer_stats.)
+_FLOAT_PHYSICAL = ("FLOAT", "DOUBLE")
+
 
 def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> dict:
     """Aggregate row-group footer statistics across all parquet files of
@@ -41,11 +57,26 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
     """
     import pyarrow.parquet as pq
 
-    paths = (
-        sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
-        if os.path.isdir(source)
-        else [source]
-    )
+    if os.path.isdir(source):
+        # mirror Spark's InMemoryFileIndex path filter: files or
+        # directories whose basename starts with '_' or '.'
+        # (_temporary/ staging, _SUCCESS markers, .crc files, stale
+        # compaction leftovers) are invisible to the scan, so their
+        # footers must not contribute rows — a mismatch here would trip
+        # the collect_stats row-count cross-check on a perfectly valid
+        # partition (ADVICE r3 low)
+        paths = sorted(
+            p
+            for p in glob.glob(
+                os.path.join(source, "**", "*.parquet"), recursive=True
+            )
+            if not any(
+                part.startswith(("_", "."))
+                for part in os.path.relpath(p, source).split(os.sep)
+            )
+        )
+    else:
+        paths = [source]
     if not paths:
         raise FileNotFoundError(f"no parquet files under {source}")
     n_rows = 0
@@ -64,9 +95,15 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
                     continue
                 ent = agg.setdefault(
                     name, {"null_count": 0, "min": None, "max": None,
-                           "_mm_ok": True, "_nc_ok": True, "_rows": 0}
+                           "_mm_ok": True, "_hi_ok": True, "_nc_ok": True,
+                           "_rows": 0}
                 )
                 ent["_rows"] += rg.num_rows
+                if cc.physical_type in _FLOAT_PHYSICAL:
+                    # NaN absence is unprovable from parquet footers; the
+                    # NaN-excluding footer max would falsely prove
+                    # upper-bound checks (see _FLOAT_PHYSICAL note)
+                    ent["_hi_ok"] = False
                 st = cc.statistics
                 if st is None or not st.has_null_count:
                     ent["_nc_ok"] = False
@@ -100,7 +137,7 @@ def parquet_footer_stats(source: str, columns: Optional[list[str]] = None) -> di
         cols[name] = {
             "null_count": ent["null_count"] if (ent["_nc_ok"] and covered) else None,
             "min": ent["min"] if ent["_mm_ok"] else None,
-            "max": ent["max"] if ent["_mm_ok"] else None,
+            "max": ent["max"] if (ent["_mm_ok"] and ent["_hi_ok"]) else None,
         }
     return {"n_rows": n_rows, "columns": cols}
 
@@ -142,6 +179,16 @@ def iceberg_footer_stats(
             F.count(F.when(data, F.col(f"{m}.null_value_count"))).alias(f"__ncn__{c}"),
             F.min(F.when(data, F.col(f"{m}.lower_bound"))).alias(f"__lo__{c}"),
             F.max(F.when(data, F.col(f"{m}.upper_bound"))).alias(f"__hi__{c}"),
+            # NaN proof for float/double upper bounds: Iceberg bounds
+            # exclude NaN while Spark orders NaN above everything, so
+            # upper_bound is only trusted when EVERY data file reports
+            # nan_value_count and their sum is 0 (lower_bound stays sound
+            # regardless — NaN cannot violate a lower-bound check; see
+            # _FLOAT_PHYSICAL note above)
+            F.sum(F.when(data, F.col(f"{m}.nan_value_count"))).alias(f"__nanv__{c}"),
+            F.count(
+                F.when(data & F.col(f"{m}.nan_value_count").isNotNull(), 1)
+            ).alias(f"__nann__{c}"),
             # a file may legitimately lack bounds when ALL its values are
             # null — only files with non-null values and missing bounds
             # mean metrics are off
@@ -172,11 +219,15 @@ def iceberg_footer_stats(
             and isinstance(hi, _TRUSTED_MINMAX)
             and row[f"__bn__{c}"] == n_files
         )
+        nan_free = (
+            row[f"__nann__{c}"] == n_files and not row[f"__nanv__{c}"]
+        )
+        hi_trusted = trusted and (not isinstance(hi, float) or nan_free)
         nc_ok = row[f"__ncn__{c}"] == n_files
         cols[c] = {
             "null_count": row[f"__nc__{c}"] if nc_ok else None,
             "min": lo if trusted else None,
-            "max": hi if trusted else None,
+            "max": hi if hi_trusted else None,
         }
     return {"n_rows": row["__n__"], "columns": cols}
 

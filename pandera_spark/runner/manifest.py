@@ -190,10 +190,24 @@ class PartitionedValidationRun:
         started = datetime.datetime.now()
         try:
             pdf = self._partition_df(p)
-            res = self.schema.validate(
-                pdf, collect_stats=self.collect_stats, collect_failure_cases=True,
-                file_stats=self._partition_file_stats(p),
-            )
+            fs = self._partition_file_stats(p)
+            try:
+                res = self.schema.validate(
+                    pdf, collect_stats=self.collect_stats,
+                    collect_failure_cases=True, file_stats=fs,
+                )
+            except ValueError as ve:
+                # footer/frame row-count cross-check tripped (files the
+                # scan ignores but the footer walk found, concurrent
+                # compaction, ...): stats are an optimization only —
+                # retry the partition with a real scan instead of
+                # recording a valid partition as status=error
+                if fs is None or "file_stats row count" not in str(ve):
+                    raise
+                res = self.schema.validate(
+                    pdf, collect_stats=self.collect_stats,
+                    collect_failure_cases=True, file_stats=None,
+                )
             n_viol = 0
             viol_path = os.path.join(self.violations_dir, f"partition_id={p}")
             if res.violations is not None:
@@ -335,11 +349,16 @@ class PartitionedValidationRun:
                 ent["count"] += s.get("count") or 0
                 ent["null_count"] += s.get("null_count") or 0
                 ent["n_rows"] += s.get("n_rows") or 0
+                kind = s.get("value_kind")
                 for key, pick in (("min", min), ("max", max)):
-                    v = _comparable_stat(s.get(key))
+                    v = s.get(key)
+                    if kind == "decimal" or (kind is None and isinstance(v, str)):
+                        # tagged decimal columns revive exactly; legacy
+                        # untagged rows get the best-effort guess
+                        v = _comparable_stat(v)
                     if v is None:
                         continue
-                    ent[key] = v if ent[key] is None else pick(ent[key], v)
+                    ent[key] = _merge_stat(ent[key], v, pick)
                 ad = s.get("approx_distinct") or 0
                 ent["approx_distinct_lb"] = max(ent["approx_distinct_lb"], ad)
                 ent["approx_distinct_ub"] += ad
@@ -347,25 +366,62 @@ class PartitionedValidationRun:
 
 
 def _comparable_stat(v):
-    """Metrics rows serialize non-JSON-native values (Decimal, dates) via
-    str; comparing those strings lexically would order '10.1' < '9.5'.
-    Numeric-looking strings come back as Decimal for correct ordering;
-    genuine strings (isoformat timestamps order correctly lexically) pass
-    through."""
+    """Best-effort revival for LEGACY (untagged) metrics rows only —
+    new rows carry a ``value_kind`` tag (see _jsonable) that says exactly
+    which stats were stringified Decimals.  Numeric-looking strings come
+    back as Decimal for correct ordering; non-finite parses
+    ('NaN'/'Infinity' — which are valid Decimals whose comparisons can
+    raise) and genuine strings pass through unchanged."""
     if isinstance(v, str):
         from decimal import Decimal, InvalidOperation
 
         try:
-            return Decimal(v)
+            d = Decimal(v)
         except InvalidOperation:
             return v
+        return d if d.is_finite() else v
     return v
 
 
+def _merge_stat(cur, v, pick):
+    """min/max merge that can never crash table_profile: mixed kinds
+    (legacy untagged rows, string columns whose partition mins mix
+    numeric-looking and alphabetic values) fall back to comparing the
+    str() forms instead of raising TypeError/InvalidOperation."""
+    if cur is None:
+        return v
+    try:
+        return pick(cur, v)
+    except Exception:  # noqa: BLE001 — TypeError / InvalidOperation
+        return pick(str(cur), str(v))
+
+
 def _jsonable(stats):
+    """JSON-safe per-column stats for the manifest's metrics blob.
+
+    Values that json can't carry natively are stringified and the column
+    is TAGGED with ``value_kind`` ('decimal' | 'temporal' | 'native') so
+    table_profile() knows whether a string min/max needs Decimal revival
+    (decimal columns), orders correctly lexically as-is (isoformat
+    temporals, genuine strings), or is native — guessing from the string
+    shape mis-orders genuine string columns ('9' > '10' lexically) and
+    crashes on mixed kinds (ADVICE r3 medium)."""
     if stats is None:
         return None
-    return {
-        c: {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in s.items()}
-        for c, s in stats.items()
-    }
+    from decimal import Decimal
+
+    out = {}
+    for c, s in stats.items():
+        ent, kind = {}, "native"
+        for k, v in s.items():
+            if hasattr(v, "isoformat"):
+                ent[k] = str(v)
+                kind = "temporal"
+            elif isinstance(v, Decimal):
+                ent[k] = str(v)
+                kind = "decimal"
+            else:
+                ent[k] = v
+        ent["value_kind"] = kind
+        out[c] = ent
+    return out

@@ -210,9 +210,37 @@ def _gather(col) -> dict:
     return g
 
 
-def _numeric_expr(g, size: int, unique: bool, integral: bool) -> SparkCol:
+def _numeric_expr(
+    g, size: int, unique: bool, integral: bool, scale: Optional[int] = None
+) -> SparkCol:
     id_ = F.col(_ID)
     lo, hi = g["lo"], g["hi"]
+    if scale is not None:
+        # decimal(p, s): synthesize ON the type's value grid.  The float
+        # path's open-bound nudge eps=(hi-lo)/1e6 is smaller than one
+        # quantum (10^-s) and is rounded away by the final cast — and a
+        # value near an open upper bound can round UP onto it (ADVICE
+        # r3).  Scaling bounds by 10^s turns this into an exact integer
+        # problem; dividing the integer grid back down keeps every value
+        # exactly representable at scale s.
+        import math
+        from decimal import Decimal
+
+        factor = 10 ** scale
+        lo_s = hi_s = None
+        if lo is not None:
+            d = Decimal(str(lo)) * factor
+            lo_s = math.ceil(d)
+            if g["lo_open"] and d == lo_s:
+                lo_s += 1
+        if hi is not None:
+            d = Decimal(str(hi)) * factor
+            hi_s = math.floor(d)
+            if g["hi_open"] and d == hi_s:
+                hi_s -= 1
+        g2 = {**g, "lo": lo_s, "hi": hi_s, "lo_open": False, "hi_open": False}
+        int_expr = _numeric_expr(g2, size, unique, integral=True)
+        return int_expr.cast("decimal(38,0)") / F.lit(factor)
     if integral:
         lo_i = None if lo is None else int(lo) + (1 if g["lo_open"] else 0)
         hi_i = None if hi is None else int(hi) - (1 if g["hi_open"] else 0)
@@ -326,7 +354,8 @@ def _column_expr(name, col, size: int, seed: int, force_unique: bool = False) ->
         if tname in ("tinyint", "smallint", "int", "bigint", "long"):
             expr = _numeric_expr(g, size, unique, integral=True)
         elif tname in ("float", "double") or tname.startswith("decimal"):
-            expr = _numeric_expr(g, size, unique, integral=False)
+            dec_scale = spark_t.scale if tname.startswith("decimal") else None
+            expr = _numeric_expr(g, size, unique, integral=False, scale=dec_scale)
         elif tname == "boolean":
             if unique and size > 2:
                 raise ValueError(f"column {name!r}: >2 unique booleans")

@@ -47,8 +47,11 @@ class TestParquetFooterStats:
         assert st["n_rows"] == 10_000
         a = st["columns"]["a"]
         assert a["null_count"] == 0 and a["min"] == 0 and a["max"] == 9_999
+        # double: min trusted (NaN cannot violate a lower bound under
+        # Spark's total order), max NEVER trusted (parquet bounds exclude
+        # NaN and footers carry no NaN count — ADVICE r3 high)
         b = st["columns"]["b"]
-        assert b["null_count"] == 0 and b["min"] == 1.5 and b["max"] == 13.5
+        assert b["null_count"] == 0 and b["min"] == 1.5 and b["max"] is None
         # string min/max never trusted (writer truncation)
         s = st["columns"]["s"]
         assert s["min"] is None and s["max"] is None
@@ -58,13 +61,37 @@ class TestParquetFooterStats:
         st = parquet_footer_stats(dirty_parquet)
         assert st["columns"]["a"]["null_count"] == 100
         assert st["columns"]["a"]["min"] == 1  # nulls excluded from bounds
-        assert st["columns"]["b"]["max"] == 499.0
+        assert st["columns"]["b"]["min"] == 0.0
+        assert st["columns"]["b"]["max"] is None  # double: NaN-unsafe
 
     def test_column_filter_and_missing(self, clean_parquet):
         st = parquet_footer_stats(clean_parquet, columns=["a"])
         assert set(st["columns"]) == {"a"}
         with pytest.raises(FileNotFoundError):
             parquet_footer_stats("/nonexistent-dir-xyz")
+
+    def test_hidden_files_ignored_like_spark(self, spark, tmp_path):
+        """Files under _temporary/ (or any _/.-prefixed name) are
+        invisible to Spark's scan — the footer walk must skip them too or
+        the row-count cross-check trips on valid partitions (ADVICE r3)."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "part"
+        (d / "_temporary").mkdir(parents=True)
+        pq.write_table(pa.table({"a": [1, 2, 3]}), str(d / "data.parquet"))
+        pq.write_table(
+            pa.table({"a": [9, 9]}), str(d / "_temporary" / "stale.parquet")
+        )
+        pq.write_table(pa.table({"a": [8]}), str(d / "_staged.parquet"))
+        pq.write_table(pa.table({"a": [7]}), str(d / ".hidden.parquet"))
+        st = parquet_footer_stats(str(d))
+        assert st["n_rows"] == 3  # matches what Spark would read
+        assert st["columns"]["a"]["max"] == 3
+        assert spark.read.parquet(str(d)).count() == 3
+        shutil.rmtree(str(d))
 
 
 SCHEMA = ps.DataFrameSchema(
@@ -92,7 +119,9 @@ class TestFooterShortCircuit:
         assert ("a", "not_nullable") in proven_names
         assert ("a", "greater_than_or_equal_to(0)") in proven_names
         assert ("a", "less_than(20000)") in proven_names
-        assert ("b", "in_range(1.0, 14.0)") in proven_names
+        # double: in_range needs the (NaN-unsafe, never-supplied) footer
+        # max — must stay in the scan; its not_nullable proof is fine
+        assert ("b", "in_range(1.0, 14.0)") not in proven_names
         # string VALUE check is not provable (untrusted min/max) — but the
         # not_nullable proof on s IS valid (null_count is always exact)
         assert ("s", "not_nullable") in proven_names
@@ -302,6 +331,93 @@ class TestSecondReviewRegressions:
         }
         assert schema.validate(df, file_stats=st).passed
 
+class TestFloatNaNSoundness:
+    """ADVICE r3 (high): parquet/Iceberg bounds EXCLUDE NaN while Spark
+    orders NaN above every value — a footer max of 3.0 on [1.0, NaN, 3.0]
+    must never prove less_than/le/in_range-upper.  Lower-bound proofs via
+    footer min stay sound (NaN > bound is TRUE under Spark's total
+    order), as does min-substitution in collect_stats (Spark's min
+    aggregate also skips NaN except in the all-NaN case, where the
+    writer emits no bounds at all)."""
+
+    @pytest.fixture(scope="class")
+    def nan_parquet(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("nanfs")
+        pq.write_table(
+            pa.table(
+                {
+                    "x": pa.array([1.0, float("nan"), 3.0], pa.float64()),
+                    "allnan": pa.array([float("nan")] * 3, pa.float64()),
+                    "i": pa.array([1, 2, 3], pa.int64()),
+                }
+            ),
+            str(d / "f.parquet"),
+        )
+        return str(d)
+
+    def test_float_max_never_trusted(self, nan_parquet):
+        st = parquet_footer_stats(nan_parquet)
+        x = st["columns"]["x"]
+        assert x["min"] == 1.0 and x["max"] is None
+        # all-NaN column: writer emits no bounds at all
+        an = st["columns"]["allnan"]
+        assert an["min"] is None and an["max"] is None
+        # int columns keep both bounds
+        i = st["columns"]["i"]
+        assert i["min"] == 1 and i["max"] == 3
+
+    def test_le_not_falsely_proven(self, spark, nan_parquet):
+        """The judge's repro: le(5.0) on [1.0, NaN, 3.0] must SCAN and
+        report the NaN violation, footer stats or not."""
+        schema = ps.DataFrameSchema(
+            {"x": ps.Column("double", ps.Check.less_than_or_equal_to(5.0))}
+        )
+        df = spark.read.parquet(nan_parquet)
+        st = parquet_footer_stats(nan_parquet)
+        res_scan = schema.validate(df)
+        res_footer = schema.validate(df, file_stats=st)
+        for res in (res_scan, res_footer):
+            assert not res.passed
+            rec = [c for c in res.check_results if "less_than" in c["check"]][0]
+            assert rec["n_violations"] == 1
+
+    def test_lower_bound_still_proven_one_sided(self, spark, nan_parquet):
+        """ge(0.5) is provable from footer min alone even though max is
+        absent — NaN satisfies every lower bound under Spark's order."""
+        schema = ps.DataFrameSchema(
+            {"x": ps.Column("double", ps.Check.greater_than_or_equal_to(0.5))}
+        )
+        df = spark.read.parquet(nan_parquet)
+        st = parquet_footer_stats(nan_parquet)
+        compiled, _, _ = _compile_checks(schema, df, [])
+        _, proven = _file_stats_shortcircuit(schema, df, compiled, st)
+        assert ("x", "greater_than_or_equal_to(0.5)") in {
+            (c.column, c.check_name) for c in proven
+        }
+        assert schema.validate(df, file_stats=st).passed
+
+    def test_stats_substitution_scans_float_max(self, spark, nan_parquet):
+        """collect_stats with file_stats: float max comes from the scan
+        (NaN), min/count/nulls from the footer — identical to a full
+        scan's stats."""
+        import math
+
+        schema = ps.DataFrameSchema({"x": ps.Column("double")})
+        df = spark.read.parquet(nan_parquet).select("x")
+        st = parquet_footer_stats(nan_parquet, columns=["x"])
+        scanned = schema.validate(df, collect_stats=True).stats["x"]
+        footer = schema.validate(
+            df, collect_stats=True, file_stats=st
+        ).stats["x"]
+        assert footer["min"] == scanned["min"] == 1.0
+        assert math.isnan(footer["max"]) and math.isnan(scanned["max"])
+        assert footer["null_count"] == 0 and footer["count"] == 3
+
+
+class TestSecondReviewRegressions2:
     def test_plan_guard_rejects_relationv2_prefix(self, spark, clean_parquet):
         """_df_preserves_source_rows matches node names EXACTLY — a name
         like RelationV2 (DSv2, filters may be consumed by the scan) must

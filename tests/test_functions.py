@@ -369,3 +369,41 @@ class TestWavDecoder:
         }
         assert abs(out[1] - 500) <= 2
         assert abs(out[2] - 2000) <= 2
+
+    def test_wav_metadata_walks_extra_chunks(self, spark):
+        """Encoders commonly insert LIST/INFO (or fact) chunks between
+        fmt and data — byte_rate/data must be located by walking the
+        chunk list, not read from fixed offsets (ADVICE r3)."""
+        base = _make_wav(seconds=0.5)  # canonical: RIFF(12)+fmt(24)+data
+        fmt_chunk, data_chunk = base[12:36], base[36:]
+        list_chunk = (
+            b"LIST" + (18).to_bytes(4, "little")
+            + b"INFO" + b"ISFT" + (6).to_bytes(4, "little") + b"pytest"
+        )
+        body = fmt_chunk + list_chunk + data_chunk
+        wav = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+        df = spark.createDataFrame([(1, wav)], "id int, payload binary")
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        assert abs(out["media_meta"]["duration_ms"] - 500) <= 2
+
+    def test_wav_metadata_rejects_non_riff(self, spark):
+        """Garbage payloads emit NULL duration, never a wrong number."""
+        df = spark.createDataFrame(
+            [(1, b"not a wav file at all, but 44+ bytes long padding...")],
+            "id int, payload binary",
+        )
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        assert out["media_meta"]["duration_ms"] is None
+
+    def test_wav_metadata_clamps_truncated_data(self, spark):
+        """A truncated upload's declared data size exceeds the bytes
+        present — duration reflects the clamped available bytes."""
+        base = _make_wav(seconds=0.5, sr=8000)  # byte_rate 16000
+        trunc = base[: len(base) // 2]
+        df = spark.createDataFrame([(1, trunc)], "id int, payload binary")
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        expected = (len(trunc) - 44) * 1000 // 16000
+        assert out["media_meta"]["duration_ms"] == expected

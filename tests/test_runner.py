@@ -389,6 +389,110 @@ class TestComparableStat:
         assert _comparable_stat("2026-01-01 10:00:00") == "2026-01-01 10:00:00"
         assert _comparable_stat(7) == 7
 
+    def test_nonfinite_strings_stay_strings(self):
+        """'NaN'/'Infinity' parse as valid Decimals whose comparisons can
+        raise InvalidOperation — they must pass through as strings
+        (ADVICE r3 medium)."""
+        from pandera_spark.runner.manifest import _comparable_stat
+
+        assert _comparable_stat("NaN") == "NaN"
+        assert _comparable_stat("Infinity") == "Infinity"
+        assert _comparable_stat("-Infinity") == "-Infinity"
+        assert _comparable_stat("abc") == "abc"
+
+    def test_merge_stat_never_raises_on_mixed_kinds(self):
+        from decimal import Decimal
+
+        from pandera_spark.runner.manifest import _merge_stat
+
+        # Decimal vs alpha string (legacy mixed partitions): falls back
+        # to str comparison instead of TypeError
+        assert _merge_stat(Decimal("9"), "abc", min) == "9"
+        assert _merge_stat("abc", Decimal("9"), max) == "abc"
+        assert _merge_stat(None, 5, min) == 5
+        assert _merge_stat(3, 5, max) == 5
+
+    def test_string_column_profile_is_lexicographic(self, spark, tmp_path):
+        """A genuine string column whose partition mins mix
+        numeric-looking and alphabetic values: table_profile must not
+        crash and must agree with Spark's lexicographic min/max
+        ('10' < '9' < 'abc')."""
+        import pandas as pd
+
+        from pandera_spark import Check, Column, DataFrameSchema
+        from pandera_spark.runner.manifest import PartitionedValidationRun
+
+        pdf = pd.DataFrame(
+            {
+                "part_id": [0] * 3 + [1] * 3,
+                "s": ["9", "10", "zz", "abc", "5", "xy"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        schema = DataFrameSchema({"s": Column("string")}, name="t")
+        run = PartitionedValidationRun(
+            schema, df, "part_id", str(tmp_path / "o"), collect_stats=True
+        )
+        run.run()
+        prof = run.table_profile()
+        s = prof["columns"]["s"]
+        assert s["min"] == "10" and s["max"] == "zz"  # Spark's string order
+
+    def test_decimal_column_profile_orders_numerically(self, spark, tmp_path):
+        """decimal(10,2) mins are stringified in the metrics blob but the
+        value_kind tag revives them — '9.50' must beat '10.10'."""
+        from decimal import Decimal
+
+        from pandera_spark import Column, DataFrameSchema
+        from pandera_spark.runner.manifest import PartitionedValidationRun
+
+        df = spark.createDataFrame(
+            [(0, Decimal("10.10")), (0, Decimal("99.00")), (1, Decimal("9.50"))],
+            "part_id int, d decimal(10,2)",
+        )
+        schema = DataFrameSchema({"d": Column("decimal(10,2)")}, name="t")
+        run = PartitionedValidationRun(
+            schema, df, "part_id", str(tmp_path / "o"), collect_stats=True
+        )
+        run.run()
+        d = run.table_profile()["columns"]["d"]
+        assert d["min"] == Decimal("9.50") and d["max"] == Decimal("99.00")
+
+
+class TestFooterMismatchRetry:
+    def test_row_count_mismatch_retries_with_scan(self, spark, tmp_path):
+        """A footer walk that disagrees with the frame's row count (files
+        the scan ignores, concurrent compaction) must NOT fail the
+        partition: run_partition retries with file_stats=None
+        (ADVICE r3 low)."""
+        import pandas as pd
+
+        from pandera_spark import Column, DataFrameSchema
+        from pandera_spark.runner.manifest import PartitionedValidationRun
+
+        pdf = pd.DataFrame({"part_id": [0] * 50 + [1] * 50, "x": range(100)})
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).write.partitionBy("part_id").parquet(src)
+        schema = DataFrameSchema(
+            {"x": Column("long", nullable=False)}, name="t"
+        )
+        run = PartitionedValidationRun(
+            schema, src, "part_id", str(tmp_path / "o"),
+            spark=spark, collect_stats=True,
+        )
+        real = run._partition_file_stats
+
+        def lying_stats(p):
+            st = real(p)
+            if st is not None:
+                st = {**st, "n_rows": st["n_rows"] + 7}  # torn footer walk
+            return st
+
+        run._partition_file_stats = lying_stats
+        results = {r.partition_id: r for r in run.run()}
+        assert all(r.status == "ok" for r in results.values())
+        assert all(r.n_rows == 50 for r in results.values())
+
 
 class TestRunnerCLI:
     """spark-submit entrypoint (python -m pandera_spark.runner): schema

@@ -161,3 +161,56 @@ class TestReviewRegressions:
         )
         with pytest.raises(ValueError, match="not a\n?.*literal|literal"):
             schema.example(size=10, spark=spark)
+
+    def test_decimal_exclusive_bounds_on_grid(self, spark):
+        """ADVICE r3: in_range(0, 1, include_min=False) on decimal(2,1) —
+        the float-path eps nudge (1e-6) was rounded to 0.0 by the final
+        cast, emitting a row violating the schema's own check.  Decimals
+        now synthesize on the 10^-scale grid."""
+        schema = ps.DataFrameSchema(
+            {
+                "d": ps.Column(
+                    "decimal(2,1)",
+                    ps.Check.in_range(0, 1, include_min=False),
+                )
+            }
+        )
+        df = schema.example(size=2000, seed=7, spark=spark)
+        assert schema.validate(df).passed
+        lo, hi = df.selectExpr("min(d)", "max(d)").collect()[0]
+        from decimal import Decimal
+
+        assert lo > Decimal("0") and hi <= Decimal("1")
+
+    def test_decimal_open_upper_bound_never_rounds_up(self, spark):
+        """Values near an open upper bound must not round up onto it:
+        decimal(3,1) in (0, 10) exclusive both sides."""
+        schema = ps.DataFrameSchema(
+            {
+                "d": ps.Column(
+                    "decimal(3,1)",
+                    ps.Check.in_range(
+                        0, 10, include_min=False, include_max=False
+                    ),
+                )
+            }
+        )
+        df = schema.example(size=500, seed=3, spark=spark)
+        assert schema.validate(df).passed
+        assert df.filter("d <= 0 OR d >= 10").count() == 0
+
+    def test_decimal_unique_grid(self, spark):
+        """unique decimals draw distinct grid points; an undersized grid
+        is reported as unsatisfiable up front."""
+        schema = ps.DataFrameSchema(
+            {
+                "d": ps.Column(
+                    "decimal(2,1)", ps.Check.in_range(0, 1), unique=True
+                )
+            }
+        )
+        df = schema.example(size=11, spark=spark)  # 0.0 .. 1.0 = 11 points
+        assert schema.validate(df).passed
+        assert df.distinct().count() == 11
+        with pytest.raises(ValueError, match="unique"):
+            schema.example(size=12, spark=spark)
