@@ -95,6 +95,47 @@ def train_centroids(
     return cents
 
 
+def train_centroids_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 8,
+    iters: int = 5,
+    sample: Optional[int] = None,
+    round_to: int = 6,
+) -> np.ndarray:
+    """Lloyd's algorithm with a fully REPRODUCIBLE recipe — the variant
+    whose result an external SQL engine can recompute exactly (the
+    correctness oracle unrolls these same iterations as CTEs):
+
+      - init: the ``nlist`` vectors with the smallest ``id_col``
+        (no RNG, no partition-order dependence);
+      - distance: ``-2·x·c + ‖c‖²`` (the ‖x‖² term is constant per row),
+        ties to the lowest cluster id;
+      - update: per-cluster mean ROUNDED to ``round_to`` decimals, so
+        both sides converge to identical centroids despite different
+        float summation orders; empty clusters keep their centroid.
+
+    ``train_centroids`` (seeded sample) is the production path at scale;
+    this one collects ``sample`` (or all) rows ordered by id, so cap
+    ``sample`` on big tables."""
+    q = df.select(id_col, vec_col).orderBy(id_col)
+    if sample is not None:
+        q = q.limit(sample)
+    rows = q.collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = X[: min(nlist, len(X))].copy()
+    c_sq = (cents**2).sum(1)
+    for _ in range(iters):
+        assign = (X @ cents.T * -2.0 + c_sq[None, :]).argmin(1)
+        for j in range(len(cents)):
+            pts = X[assign == j]
+            if len(pts):
+                cents[j] = np.round(pts.mean(0), round_to)
+        c_sq = (cents**2).sum(1)
+    return cents
+
+
 def assign_cluster(vec_col: str, centroids: np.ndarray) -> Column:
     """Nearest-centroid id, vectorized: one numpy matmul per Arrow batch.
 
@@ -155,8 +196,11 @@ def cosine_topk_ivf(
     if centroids is None:
         centroids = train_centroids(df, vec_col, nlist=nlist, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(1)
-    probe = np.argsort(d)[:nprobe].tolist()
+    # same distance form as assign_cluster (‖q‖² is constant); stable
+    # argsort ties to the lowest cluster id — deterministic and
+    # SQL-mirrorable (ORDER BY dist, j)
+    d = centroids @ q * -2.0 + (centroids**2).sum(1)
+    probe = np.argsort(d, kind="stable")[:nprobe].tolist()
     assigned = df.withColumn("__cluster__", assign_cluster(vec_col, centroids))
     pruned = assigned.filter(F.col("__cluster__").isin(probe))
     return cosine_topk(pruned.drop("__cluster__"), vec_col, query_vec, k, id_col)

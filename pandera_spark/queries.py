@@ -539,9 +539,10 @@ def q_ignore_na_orders(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
-# approximate operators: minhash/simhash/ivf stay rows-only (hash
-# permutations / centroid assignment are not SQL-expressible); ngram
-# Jaccard, embedding dups and Wasserstein gained DuckDB oracles in round 3
+# every approximate operator is now oracle-paired: minhash (CRC-32
+# table), simhash (FNV-1a), ngram Jaccard, embedding dups and Wasserstein
+# gained DuckDB oracles in round 3; IVF closed in round 4 by unrolling the
+# deterministic Lloyd iterations as CTEs (see _sql_ivf_topk)
 
 
 def q_minhash_candidates_documents(spark, sf_dir):
@@ -561,12 +562,23 @@ def q_ngram_jaccard_documents(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.8)
 
 
+IVF_NLIST, IVF_NPROBE, IVF_ITERS, IVF_K = 8, 4, 5, 5
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF top-k with the REPRODUCIBLE trainer (sorted init + rounded
+    Lloyd updates) so the DuckDB oracle can recompute the identical
+    centroids by unrolling the same iterations as CTEs — closes the last
+    rows-only CORRECTNESS gap (VERDICT r3 #1)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    cents = similarity.train_centroids_deterministic(
+        emb, "embedding", "vec_id", nlist=IVF_NLIST, iters=IVF_ITERS
+    )
     out = similarity.cosine_topk_ivf(
-        emb, "embedding", ANN_QUERY, k=5, id_col="vec_id", nlist=8, nprobe=4
+        emb, "embedding", ANN_QUERY, k=IVF_K, id_col="vec_id",
+        nprobe=IVF_NPROBE, centroids=cents,
     )
     return out.select("vec_id", F.round("cosine", 4).alias("cos_sim"))
 
@@ -992,6 +1004,69 @@ def _sql_quality_score() -> str:
     """
 
 
+def _sql_ivf_topk() -> str:
+    """DuckDB recomputation of q_ivf_topk_embeddings END TO END — k-means
+    training included.  train_centroids_deterministic is reproducible by
+    construction (sorted init, −2x·c+‖c‖² distances with ties to the
+    lowest cluster id, per-cluster means rounded to 6 decimals), so the
+    oracle unrolls the same ``IVF_ITERS`` Lloyd iterations as CTE stages:
+    a{t} = assignment against c{t}; m{t} = rounded elementwise means;
+    c{t+1} = means with empty clusters keeping their centroid.  Then the
+    probe set (nearest IVF_NPROBE centroids to the query), cluster-pruned
+    cosine top-k — identical ordering and rounding to the Spark path."""
+    qv = "[" + ", ".join(str(v) for v in ANN_QUERY) + "]::DOUBLE[]"
+
+    def dist(v, c):
+        return f"-2*list_dot_product({v}, {c}) + list_dot_product({c}, {c})"
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {IVF_NLIST}))""",
+    ]
+    for t in range(IVF_ITERS):
+        ctes.append(
+            f"""a{t} AS (SELECT vec_id, v, j FROM (
+                  SELECT e.vec_id, e.v, c.j,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {dist('e.v', 'c.c')}, c.j) AS rn
+                  FROM e CROSS JOIN c{t} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS (SELECT j, list(ROUND(m, 6) ORDER BY i) AS c FROM (
+                  SELECT a.j, t.i, AVG(a.v[t.i]) AS m
+                  FROM a{t} a CROSS JOIN range(1, {ANN_DIM + 1}) t(i)
+                  GROUP BY a.j, t.i) GROUP BY j)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (SELECT p.j, COALESCE(m.c, p.c) AS c
+                  FROM c{t} p LEFT JOIN m{t} m USING (j))"""
+        )
+    cT = f"c{IVF_ITERS}"
+    ctes.append(
+        f"""probe AS (SELECT j FROM {cT}
+              ORDER BY {dist(qv, 'c')}, j LIMIT {IVF_NPROBE})"""
+    )
+    ctes.append(
+        f"""asg AS (SELECT vec_id, v, j FROM (
+              SELECT e.vec_id, e.v, c.j,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {dist('e.v', 'c.c')}, c.j) AS rn
+              FROM e CROSS JOIN {cT} c) WHERE rn = 1)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, ROUND(cos6, 4) AS cos_sim FROM (
+          SELECT a.vec_id,
+                 ROUND(list_dot_product(a.v, {qv}) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product({qv}, {qv}))), 6) AS cos6
+          FROM asg a WHERE a.j IN (SELECT j FROM probe)
+          ORDER BY cos6 DESC, a.vec_id LIMIT {IVF_K})
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
     qv = "[" + ", ".join(str(v) for v in ANN_QUERY) + "]::DOUBLE[]"
@@ -1353,4 +1428,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": _sql_embedding_dups(),
         "simhash_signatures_documents": _sql_simhash(),
         "minhash_candidates_documents": _sql_minhash(),
+        "ivf_topk_embeddings": _sql_ivf_topk(),
     }
