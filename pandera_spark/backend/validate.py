@@ -418,7 +418,10 @@ def _parse_strict(schema, df, handler, schema_name):
     """strict / strict='filter' (pandera/backends/pyspark/container.py:338-396)."""
     if schema.strict is False:
         return df
-    schema_cols = set(schema.columns)
+    # index_cols are the Spark-native stand-in for pandas' row index —
+    # the reference's strict never flags the index (it isn't a column
+    # there), so declared index_cols are exempt here too
+    schema_cols = set(schema.columns) | set(schema.index_cols or [])
     regex_cols = [c for n, c in schema.columns.items() if c.regex]
     extras = []
     for c in df.columns:

@@ -9,6 +9,9 @@ Sources:
   (product/price report dict)
 - tests/core/test_schemas.py:1817-1841 (report_duplicates index lists —
   covered in test_schema_validate.TestUniqueness)
+- tests/core/test_schemas.py:1284-1351 (multi-error lazy matrix +
+  3-group SCHEMA report), :1353-1397 (per-column check failure cases),
+  :1398-1449 (nullable failure indexes) — round 4
 """
 
 import pytest
@@ -98,6 +101,214 @@ class TestProductPriceGolden:
         r = schema.validate(df)
         assert r.passed
         assert r.report == {}
+
+
+class TestLazyValidationErrorGolden:
+    """Mirror of tests/core/test_schemas.py:1284-1351
+    (test_lazy_dataframe_validation_error): one lazy pass collects the
+    full multi-error matrix — strict extras, missing columns, dtype
+    mismatch, three failing column checks and a df-level check — and the
+    SCHEMA report carries exactly 3 reason-code groups."""
+
+    def _schema(self):
+        import pyspark.sql.functions as F
+
+        return DataFrameSchema(
+            {
+                "int_col": Column("long", Check.gt(5)),
+                "int_col2": Column("long"),
+                "float_col": Column("double", Check.lt(0)),
+                "str_col": Column("string", Check.isin(["foo", "bar"])),
+                "not_in_dataframe": Column("long"),
+            },
+            checks=Check(
+                lambda d: (F.col("int_col") != 1) & (F.col("float_col") != 1),
+                df_level=True,
+                error="dataframe_not_equal_1",
+                ignore_na=False,
+            ),
+            strict=True,
+            index_cols=["str_index"],
+        )
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("index0", 1, "a", 1.0, "foo", None),
+                ("index1", 2, "b", -2.0, "b", None),
+                ("index2", 6, "c", 3.0, "c", None),
+            ],
+            "str_index string, int_col long, int_col2 string, "
+            "float_col double, str_col string, unknown_col string",
+        )
+
+    def test_multi_error_expectation_dict(self, spark):
+        r = self._schema().validate(self._df(spark))
+        assert not r.passed
+        got = sorted(map(tuple, r.violations.collect()), key=repr)
+        # the reference expectation dict (:1312-1325) re-expressed as the
+        # canonical frame; pandas 'object' dtype failure-case becomes the
+        # observed Spark type 'string'; the df-level failure case is the
+        # natural-key index (pandas emits a row dict instead)
+        expected = sorted(
+            [
+                ("Column", "float_col", "less_than(0)", 0, "1.0", "index0"),
+                ("Column", "float_col", "less_than(0)", 0, "3.0", "index2"),
+                ("Column", "int_col", "greater_than(5)", 0, "1", "index0"),
+                ("Column", "int_col", "greater_than(5)", 0, "2", "index1"),
+                ("Column", "int_col2", "dtype('bigint')", None, "string", None),
+                ("Column", "str_col", "isin({'bar', 'foo'})", 0, "b", "index1"),
+                ("Column", "str_col", "isin({'bar', 'foo'})", 0, "c", "index2"),
+                (
+                    "DataFrameSchema", "not_in_dataframe",
+                    "column_in_dataframe", None, "not_in_dataframe", None,
+                ),
+                (
+                    "DataFrameSchema", "unknown_col",
+                    "column_in_schema", None, "unknown_col", None,
+                ),
+                (
+                    "DataFrameSchema", None,
+                    "dataframe_not_equal_1", 0, None, "index0",
+                ),
+            ],
+            key=repr,
+        )
+        assert got == expected
+
+    def test_schema_report_has_three_groups(self, spark):
+        """Reference asserts len(e.value.message['SCHEMA']) == 3
+        (:1331): COLUMN_NOT_IN_SCHEMA, COLUMN_NOT_IN_DATAFRAME,
+        WRONG_DATATYPE."""
+        r = self._schema().validate(self._df(spark))
+        assert len(r.report["SCHEMA"]) == 3
+        assert set(r.report["SCHEMA"]) == {
+            "COLUMN_NOT_IN_SCHEMA",
+            "COLUMN_NOT_IN_DATAFRAME",
+            "WRONG_DATATYPE",
+        }
+
+    def test_strict_exempts_declared_index_cols(self, spark):
+        """The reference's strict never flags the row index (it is not a
+        column in pandas); the Spark-native index_cols must be exempt the
+        same way — and strict='filter' must not drop them."""
+        r = self._schema().validate(self._df(spark))
+        flagged = {
+            x["failure_case"]
+            for x in r.violations.collect()
+            if x["check"] == "column_in_schema"
+        }
+        assert flagged == {"unknown_col"}
+        filt = DataFrameSchema(
+            {"int_col": Column("long")},
+            strict="filter",
+            index_cols=["str_index"],
+        )
+        out_cols = filt.validate(self._df(spark)).df.columns
+        assert "str_index" in out_cols and "unknown_col" not in out_cols
+
+
+class TestLazyMultipleChecksGolden:
+    """Mirror of tests/core/test_schemas.py:1353-1397
+    (test_lazy_validation_multiple_checks): every check on every column
+    reports its own failure cases in one lazy pass.  Spark deviation,
+    by design: NULL coerces cleanly to bigint (stays NULL), so the
+    reference's coerce_dtype('int64') NaN failures surface as
+    not_nullable violations here instead."""
+
+    def test_per_column_check_failure_cases(self, spark):
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "long",
+                    checks=[
+                        Check.in_range(1, 4),
+                        Check(lambda s: s % 2 == 0, name="is_even"),
+                    ],
+                    coerce=True,
+                    nullable=False,
+                ),
+                "col2": Column("long", Check.gt(3), coerce=True, nullable=False),
+            },
+            index_cols=["rid"],
+        )
+        df = spark.createDataFrame(
+            [(0, 0, None), (1, 1, 53.0), (2, 2, 23.0), (3, 3, None), (4, 4, 2.0)],
+            "rid int, col1 long, col2 double",
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        got = sorted(map(tuple, r.violations.collect()), key=repr)
+        expected = sorted(
+            [
+                # reference expectation (:1374-1381): in_range → [0],
+                # is_even → [1, 3]; check_number orders multiple checks
+                ("Column", "col1", "in_range(1, 4)", 0, "0", "0"),
+                ("Column", "col1", "is_even", 1, "1", "1"),
+                ("Column", "col1", "is_even", 1, "3", "3"),
+                ("Column", "col2", "greater_than(3)", 0, "2", "4"),
+                ("Column", "col2", "not_nullable", None, None, "0"),
+                ("Column", "col2", "not_nullable", None, None, "3"),
+            ],
+            key=repr,
+        )
+        assert got == expected
+
+    def test_coerce_failure_rows(self, spark):
+        """The genuinely uncoercible case (reference's NaN→int64
+        analogue): a malformed string under coerce='bigint' yields a
+        coerce_dtype failure-case row with the original value."""
+        schema = DataFrameSchema(
+            {"a": Column("bigint", coerce=True, nullable=True)},
+            index_cols=["rid"],
+        )
+        df = spark.createDataFrame(
+            [(0, "1"), (1, "xyz"), (2, "3")], "rid int, a string"
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        rows = [
+            tuple(x)
+            for x in r.violations.collect()
+            if "coerce_dtype" in x["check"]
+        ]
+        assert rows == [
+            ("Column", "a", "coerce_dtype('bigint')", None, "xyz", "1")
+        ]
+
+
+class TestLazyNullableGolden:
+    """Mirror of tests/core/test_schemas.py:1398-1449
+    (test_lazy_dataframe_validation_nullable): not_nullable failure
+    cases are NULL-valued and each lands on the right row index."""
+
+    def test_per_column_null_indexes(self, spark):
+        schema = DataFrameSchema(
+            {
+                "int_column": Column("long", nullable=False),
+                "float_column": Column("double", nullable=False),
+                "str_column": Column("string", nullable=False),
+            },
+            strict=True,
+            index_cols=["rid"],
+        )
+        df = spark.createDataFrame(
+            [(0, 1, 0.1, None), (1, None, 1.2, "foo"), (2, 3, None, "bar")],
+            "rid int, int_column long, float_column double, str_column string",
+        )
+        r = schema.validate(df)
+        assert not r.passed
+        rows = sorted(map(tuple, r.violations.collect()), key=repr)
+        # reference loop (:1440-1449): (int_column, 1), (float_column, 2),
+        # (str_column, 0); all failure cases are null
+        assert rows == sorted(
+            [
+                ("Column", "float_column", "not_nullable", None, None, "2"),
+                ("Column", "int_column", "not_nullable", None, None, "1"),
+                ("Column", "str_column", "not_nullable", None, None, "0"),
+            ],
+            key=repr,
+        )
 
 
 class TestValidationDepthGating:
