@@ -819,17 +819,21 @@ def _sql_minhash(num_hashes: int = 32, bands: int = 16, threshold: float = 0.9) 
                          x -> x <> '') AS t
       FROM docs2),
     g AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-          range(0, GREATEST(len(t) - 3, 0) + 1),
-          i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS gram
-      FROM tk),
+      SELECT doc_id, gram, hex(encode(gram)) AS hx FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, GREATEST(len(t) - 3, 0) + 1),
+            i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS gram
+        FROM tk)),
     h AS (
+      -- CRC-32 over the gram's UTF-8 BYTES (hex(encode(...)) + digit
+      -- lookup), matching the engine exactly on non-ASCII text too —
+      -- ascii(c) yields code points, which diverge beyond U+007F
       SELECT doc_id,
         xor(list_reduce(
           list_prepend(4294967295::UBIGINT,
-            CASE WHEN gram = '' THEN []::UBIGINT[]
-                 ELSE list_transform(string_split(gram, ''),
-                                     c -> ascii(c)::UBIGINT) END),
+            list_transform(range(0, octet_length(encode(gram))),
+              i -> (16 * (strpos('0123456789ABCDEF', hx[2*i + 1]) - 1)
+                    + (strpos('0123456789ABCDEF', hx[2*i + 2]) - 1))::UBIGINT)),
           (h, c) -> xor(h >> 8, list_extract({tbl_sql},
                                              (xor(h, c) & 255)::INT + 1))
         ), 4294967295::UBIGINT)::BIGINT AS hv
@@ -847,8 +851,9 @@ def _sql_simhash() -> str:
     FNV-1a (dedup.hash_token) folds via list_reduce in HUGEINT (the
     128-bit product then mod 2^64 reproduces the wrapping multiply
     bit-exactly); per-document bit votes are 64 aggregate sums and the
-    majority rule 2·ones > n matches votes = 2·Σbits − n > 0.  ascii()
-    equals the utf-8 byte for this corpus (verified pure-ASCII); the
+    majority rule 2·ones > n matches votes = 2·Σbits − n > 0.  Tokens
+    hash over their UTF-8 BYTES (hex(encode(...)) + digit lookup, same
+    as _sql_minhash) so non-ASCII text matches the engine too; the
     signed cast mirrors numpy's int64 two's complement."""
     m = "18446744073709551616::HUGEINT"
     bit_sums = ", ".join(
@@ -860,16 +865,19 @@ def _sql_simhash() -> str:
     )
     return f"""
     WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS tk
-      FROM documents
+      SELECT doc_id, tk, hex(encode(tk)) AS hx FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tk
+        FROM documents)
     ),
     h AS (
       SELECT doc_id,
         (list_reduce(
           list_prepend(14695981039346656037::HUGEINT,
-            list_transform(string_split(tk, ''), c -> ascii(c)::HUGEINT)),
+            list_transform(range(0, octet_length(encode(tk))),
+              i -> (16 * (strpos('0123456789ABCDEF', hx[2*i + 1]) - 1)
+                    + (strpos('0123456789ABCDEF', hx[2*i + 2]) - 1))::HUGEINT)),
           (h, c) -> (xor((h % {m})::UBIGINT, c::UBIGINT)::HUGEINT
                      * 1099511628211::HUGEINT) % {m}
         ))::UBIGINT AS hv

@@ -387,16 +387,6 @@ class TestWavDecoder:
         out = multimodal.wav_metadata(df, "payload").collect()[0]
         assert abs(out["media_meta"]["duration_ms"] - 500) <= 2
 
-    def test_wav_metadata_rejects_non_riff(self, spark):
-        """Garbage payloads emit NULL duration, never a wrong number."""
-        df = spark.createDataFrame(
-            [(1, b"not a wav file at all, but 44+ bytes long padding...")],
-            "id int, payload binary",
-        )
-        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
-        out = multimodal.wav_metadata(df, "payload").collect()[0]
-        assert out["media_meta"]["duration_ms"] is None
-
     def test_wav_metadata_clamps_truncated_data(self, spark):
         """A truncated upload's declared data size exceeds the bytes
         present — duration reflects the clamped available bytes."""
@@ -407,3 +397,195 @@ class TestWavDecoder:
         out = multimodal.wav_metadata(df, "payload").collect()[0]
         expected = (len(trunc) - 44) * 1000 // 16000
         assert out["media_meta"]["duration_ms"] == expected
+
+    def test_wav_metadata_rejects_non_riff(self, spark):
+        """Garbage payloads emit NULL duration, never a wrong number."""
+        df = spark.createDataFrame(
+            [(1, b"not a wav file at all, but 44+ bytes long padding...")],
+            "id int, payload binary",
+        )
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        assert out["media_meta"]["duration_ms"] is None
+
+def _make_png(img, color_type=2, filters=None) -> bytes:
+    """Minimal from-scratch PNG encoder (stdlib struct/zlib + numpy):
+    encodes ``img`` (H x W*channels uint8) applying the given per-row
+    filter types so the decoder's unfiltering paths are all exercised."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, stride = img.shape
+    w = stride // ch
+    filters = filters or [0] * h
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(stride, int)
+    for y, ft in zip(range(h), filters):
+        rec = img[y].astype(int)
+        a = np.concatenate([np.zeros(ch, int), rec[:-ch]]) if stride > ch else np.zeros(stride, int)
+        c = np.concatenate([np.zeros(ch, int), prev[:-ch]]) if stride > ch else np.zeros(stride, int)
+        if ft == 0:
+            enc = rec
+        elif ft == 1:
+            enc = (rec - a) % 256
+        elif ft == 2:
+            enc = (rec - prev) % 256
+        elif ft == 3:
+            enc = (rec - (a + prev) // 2) % 256
+        else:  # Paeth
+            p = a + prev - c
+            pa, pb, pc = abs(p - a), abs(p - prev), abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (rec - pred) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestPngDecoder:
+    """decoder='png' decodes REAL (stdlib-synthesized) PNGs through the
+    same Arrow mapInPandas path; png_metadata reads IHDR via JVM exprs."""
+
+    def test_roundtrip_all_filter_types(self):
+        from pandera_spark.functions.multimodal import _png_decode
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(5, 4 * 3), dtype=np.uint8)
+        payload = _make_png(img, color_type=2, filters=[0, 1, 2, 3, 4])
+        ihdr, out = _png_decode(payload)
+        assert ihdr["width"] == 4 and ihdr["height"] == 5
+        assert ihdr["color_type"] == 2
+        np.testing.assert_array_equal(out, img)
+
+    def test_corrupted_crc_rejected(self):
+        from pandera_spark.functions.multimodal import _png_decode
+
+        img = np.zeros((2, 2), dtype=np.uint8)
+        payload = bytearray(_make_png(img, color_type=0))
+        payload[20] ^= 0xFF  # flip an IHDR data byte; CRC now mismatches
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC"):
+            _png_decode(bytes(payload))
+        with _pytest.raises(ValueError, match="signature"):
+            _png_decode(b"not a png")
+
+    def test_png_features_end_to_end(self, spark):
+        rng = np.random.default_rng(5)
+        img1 = rng.integers(0, 256, size=(8, 6 * 3), dtype=np.uint8)
+        img2 = np.full((4, 10), 128, dtype=np.uint8)  # grayscale constant
+        df = spark.createDataFrame(
+            [
+                (1, _make_png(img1, color_type=2, filters=[4] * 8)),
+                (2, _make_png(img2, color_type=0)),
+            ],
+            "id int, payload binary",
+        )
+        out = {
+            r["id"]: r["features"]
+            for r in multimodal.extract_features(
+                df, "payload", out_dim=8, decoder="png"
+            ).collect()
+        }
+        w, h, bd, ct, nch, mean, std, nz = out[1]
+        assert (w, h, bd, ct, nch) == (6.0, 8.0, 8.0, 2.0, 3.0)
+        assert abs(mean - img1.mean() / 255.0) < 1e-6
+        assert out[2][0] == 10.0 and out[2][1] == 4.0
+        assert abs(out[2][5] - 128 / 255.0) < 1e-6 and out[2][6] == 0.0
+
+    def test_png_metadata_header_only(self, spark):
+        img = np.zeros((3, 7 * 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, _make_png(img, color_type=2)), (2, b"garbage bytes here......")],
+            "id int, payload binary",
+        )
+        df = multimodal.attach_media_metadata(df, "payload", "image", "png")
+        out = {
+            r["id"]: (r["media_meta"]["width"], r["media_meta"]["height"])
+            for r in multimodal.png_metadata(df, "payload").collect()
+        }
+        assert out[1] == (7, 3)
+        assert out[2] == (None, None)
+
+
+class TestNonAsciiOracleParity:
+    """The DuckDB oracles hash UTF-8 BYTES (hex(encode())), not code
+    points — on non-ASCII text they must still agree bit-exactly with
+    the engine's CRC-32 / FNV-1a hashing (VERDICT r3: the old ascii()
+    oracle diverged beyond U+007F)."""
+
+    CORPUS = [
+        (1, "héllo wörld héllo wörld naïve café déjà vu"),
+        (2, "héllo wörld héllo wörld naïve café déjà vu"),  # exact dup
+        (3, "日本語 のテキスト 検証 エンジン データ 品質 検証 エンジン"),
+        (4, "mixed ascii and ünïcode tokens żółć 🚀 emoji here too"),
+        (5, "plain ascii text with no funny business at all okay"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def corpus_df(self, spark):
+        return spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+
+    def _duck(self):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        pdf = pd.DataFrame(self.CORPUS, columns=["doc_id", "text"])
+        con.register("documents", pdf)
+        return con
+
+    def test_minhash_oracle_matches_on_nonascii(self, spark, corpus_df):
+        from pandera_spark import queries
+
+        doubled = corpus_df.unionByName(
+            corpus_df.select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 6))
+            for r in dedup.minhash_lsh_candidates(
+                doubled, "text", "doc_id", num_hashes=32, bands=16
+            )
+            .filter(F.col("est_jaccard") >= 0.9)
+            .collect()
+        )
+        con = self._duck()
+        want = sorted(
+            (a, b, round(j, 6))
+            for a, b, j in con.sql(queries._sql_minhash()).fetchall()
+        )
+        assert got == want
+        assert len(got) >= 5  # every doubled doc pairs with itself
+
+    def test_simhash_oracle_matches_on_nonascii(self, spark, corpus_df):
+        from pandera_spark import queries
+
+        got = sorted(
+            (r["doc_id"], r["simhash"])
+            for r in dedup.simhash_signatures(
+                corpus_df, "text", "doc_id"
+            ).collect()
+        )
+        con = self._duck()
+        want = sorted(con.sql(queries._sql_simhash()).fetchall())
+        assert got == want
+        # exact dups share a signature; distinct scripts differ
+        by_id = dict(got)
+        assert by_id[1] == by_id[2]
+        assert by_id[1] != by_id[3]
