@@ -263,6 +263,66 @@ def bench_text_quality(spark):
     return quality_score(docs).agg(F.sum("quality_score")).collect()[0][0]
 
 
+def bench_streaming_pipeline(spark):
+    """Structured Streaming path at bench scale: the cached transcript
+    table replayed as a bounded file stream (availableNow, several files
+    per micro-batch) through watermarked exact dedup
+    (dropDuplicatesWithinWatermark — state bounded by the horizon) chained
+    into the windowed PSI monitor (state O(buckets) per event-time
+    window).  Returns rows that survived dedup — the recorded seconds are
+    the end-to-end stream drain time."""
+    import shutil
+    import tempfile
+
+    from pandera_spark.streaming import (
+        baseline_bucket_shares,
+        dedup_stream,
+        windowed_psi_monitor,
+    )
+
+    path = ensure_transcripts(spark)
+    static = spark.read.parquet(path)
+    edges = [20.0 * i for i in range(1, 10)]
+    baseline = baseline_bucket_shares(
+        static.limit(200_000).select(
+            F.length("text").cast("double").alias("text_len")
+        ),
+        "text_len",
+        edges,
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+        # the cache stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = dedup_stream(
+        stream, text_col="text", ts_col="ts", keys=["conv_id", "turn_idx"],
+        watermark_delay="30 minutes",
+    )
+    lens = deduped.withColumn("text_len", F.length("text").cast("double"))
+    psi = windowed_psi_monitor(
+        lens, "text_len", "ts", edges, baseline,
+        window_duration="6 hours", watermark_delay=None,  # upstream's
+    )
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-ckpt-")
+    counts = {"rows": 0}
+
+    def sink(batch_df, batch_id):
+        counts["rows"] += batch_df.count()
+
+    q = (
+        psi.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return counts["rows"]
+
+
 def make_transcript_schema():
     from pandera_spark import Check, Column, Contiguity, DataFrameSchema
 
@@ -321,6 +381,7 @@ WORKLOADS = {
     "ann_topk": bench_ann,
     "drift_ks_psi": bench_drift,
     "text_quality": bench_text_quality,
+    "streaming_pipeline": bench_streaming_pipeline,
 }
 
 

@@ -565,6 +565,68 @@ def q_ngram_jaccard_documents(spark, sf_dir):
 IVF_NLIST, IVF_NPROBE, IVF_ITERS, IVF_K = 8, 4, 5, 5
 
 
+def q_synthesis_verdicts(spark, sf_dir):
+    """Round-trip the data synthesizer through the validator: a schema
+    exercising unique ids, decimal/double exclusive bounds (the round-3
+    decimal-grid fix), isin, regex, str_length and notin generates 500
+    rows via ``schema.example`` and validates them.  The oracle is the
+    CONSTANT all-green verdict frame — any synthesis bug that emits a
+    row violating its own schema flips a verdict and breaks the hash.
+    ``sf_dir`` is unused: the input is synthesized, not read."""
+    schema = DataFrameSchema(
+        {
+            "event_id": Column(
+                "long", Check.in_range(0, 10**9), unique=True, nullable=False
+            ),
+            "score": Column(
+                "decimal(4,2)",
+                Check.in_range(0, 10, include_min=False, include_max=False),
+            ),
+            "ratio": Column(
+                "double", Check.in_range(0.0, 1.0, include_max=False)
+            ),
+            "label": Column("string", Check.isin(["ham", "spam", "unknown"])),
+            "code": Column("string", Check.str_matches(r"^EV-[0-9]{4}$")),
+            "note": Column("string", Check.str_length(3, 20), nullable=True),
+            "kind": Column("int", Check.notin([7, 13])),
+        },
+        name="synth",
+    )
+    df = schema.example(size=500, seed=11, spark=spark)
+    r = schema.validate(df, collect_failure_cases=False)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def _sql_synthesis_verdicts() -> str:
+    """The expected verdict frame is fully determined a priori: every
+    check green over 500 synthesized rows."""
+    expected = [
+        ("event_id", "not_nullable"),
+        ("score", "not_nullable"),
+        ("ratio", "not_nullable"),
+        ("label", "not_nullable"),
+        ("code", "not_nullable"),
+        ("kind", "not_nullable"),
+        ("event_id", "in_range(0, 1000000000)"),
+        ("score", "in_range(0, 10)"),
+        ("ratio", "in_range(0.0, 1.0)"),
+        ("label", "isin({'ham', 'spam', 'unknown'})"),
+        ("code", "str_matches('^EV-[0-9]{4}$')"),
+        ("note", "str_length(3, 20)"),
+        ("kind", "notin({13, 7})"),
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, '{k.replace(chr(39), chr(39) * 2)}' AS check_name, "
+        "0::BIGINT AS n_violations, true AS passed"
+        for c, k in expected
+    )
+    return rows
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF top-k with the REPRODUCIBLE trainer (sorted init + rounded
     Lloyd updates) so the DuckDB oracle can recompute the identical
@@ -662,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: IVF centroids come from iterative k-means seeded by a
         # sampled init — not SQL-reproducible; invariants covered in pytest
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "synthesis_verdicts": q_synthesis_verdicts,
     }
 
 
@@ -1437,4 +1500,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures_documents": _sql_simhash(),
         "minhash_candidates_documents": _sql_minhash(),
         "ivf_topk_embeddings": _sql_ivf_topk(),
+        "synthesis_verdicts": _sql_synthesis_verdicts(),
     }

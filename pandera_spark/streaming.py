@@ -132,7 +132,7 @@ def windowed_psi_monitor(
     edges: list[float],
     baseline_shares: list[float],
     window_duration: str = "10 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: Optional[str] = "10 minutes",
     eps: float = 1e-4,
 ) -> DataFrame:
     """Watermark-aware per-event-time-window PSI vs a static baseline.
@@ -163,11 +163,17 @@ def windowed_psi_monitor(
         if hi is not None:
             c = c & (v <= F.lit(hi))
         aggs.append(F.sum(c.cast("long")).alias(f"__b{i}__"))
-    win = (
-        stream_df.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w__"))
-        .agg(*aggs)
+    # watermark_delay=None reuses the watermark already declared upstream
+    # (chaining after dedup_stream: Spark forbids REDEFINING a watermark
+    # between two stateful operators in one query)
+    src = (
+        stream_df
+        if watermark_delay is None
+        else stream_df.withWatermark(ts_col, watermark_delay)
     )
+    win = src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("__w__")
+    ).agg(*aggs)
     n = F.greatest(F.col("__n__"), F.lit(1))
     psi = F.lit(0.0)
     for i in range(nb):

@@ -270,3 +270,61 @@ class TestDedupStream:
         assert len(out) == 3
         keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
         assert keys == [("c1", 0), ("c1", 1), ("c2", 0)]
+
+
+class TestChainedDedupPsi:
+    """Two stateful operators in ONE streaming query (the bench.py
+    streaming_pipeline shape): watermarked dedup chained into the
+    windowed PSI monitor with watermark_delay=None — re-declaring the
+    watermark between stateful operators is a Spark error."""
+
+    def test_dedup_then_windowed_psi(self, spark, tmp_path):
+        import datetime
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = []
+        for i in range(200):
+            rows.append(("c%03d" % i, 0, "x" * (10 + i % 50), base + datetime.timedelta(seconds=i)))
+        # replays: same (conv_id, turn_idx) keys, must be dropped
+        for i in range(50):
+            rows.append(("c%03d" % i, 0, "replayed", base + datetime.timedelta(seconds=300 + i)))
+        # sentinel far in the future: advances the final watermark past
+        # the earlier windows so append mode actually emits them
+        rows.append(("zzz", 0, "sentinel", base + datetime.timedelta(days=1)))
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx long, text string, ts timestamp"
+        ).parquet(src)
+        deduped = st.dedup_stream(
+            stream, ts_col="ts", keys=["conv_id", "turn_idx"],
+            watermark_delay="2 hours",
+        )
+        lens = deduped.withColumn("text_len", F.length("text").cast("double"))
+        edges = [20.0, 40.0]
+        psi = st.windowed_psi_monitor(
+            lens, "text_len", "ts", edges, [0.3, 0.4, 0.3],
+            window_duration="10 minutes", watermark_delay=None,
+        )
+        q = (
+            psi.writeStream.format("memory")
+            .queryName("chained_psi_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.sql("select * from chained_psi_test").collect()
+        # windows are emitted once the watermark passes; total deduped
+        # rows across emitted windows = 200 originals (the sentinel's own
+        # window stays open), none of the 50 replays counted twice
+        assert len(out) >= 1
+        assert sum(r["n_rows"] for r in out) == 200
+        assert all(r["psi"] >= 0.0 for r in out)
