@@ -39,6 +39,7 @@ from ..dtypes import dtype_equal, dtype_str, resolve_dtype
 from ..errors import (
     ErrorHandler,
     FAILURE_CASE_COLUMNS,
+    FileStatsMismatchError,
     SchemaErrorReason,
     SchemaErrorRecord,
     SchemaErrors,
@@ -1040,7 +1041,7 @@ def _fused_aggregate(
     if collect_stats:
         n = row["__n_rows__"]
         if footer_cols and n != file_stats.get("n_rows"):
-            raise ValueError(
+            raise FileStatsMismatchError(
                 f"file_stats row count {file_stats.get('n_rows')} does not "
                 f"match the DataFrame ({n} rows): collect_stats footer "
                 "substitution requires the unmodified scan of the source — "

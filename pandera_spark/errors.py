@@ -122,6 +122,14 @@ class SchemaError(Exception):
         self.reason_code = record.reason_code if record else None
 
 
+class FileStatsMismatchError(ValueError):
+    """The supplied file_stats footer row count disagrees with the
+    DataFrame's actual count (files invisible to the scan, concurrent
+    compaction, a filtered/transformed frame).  Typed so callers (e.g.
+    the partition runner's scan-retry) don't have to match on message
+    text.  Subclasses ValueError for backward compatibility."""
+
+
 class SchemaErrors(Exception):
     """Lazy-collected multi-error exception (pandera/errors.py:165).
 

@@ -144,6 +144,8 @@ def _png_decode(payload: bytes):
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("malformed IHDR chunk")
             w, h, bd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
             ihdr = {
                 "width": w, "height": h, "bit_depth": bd,
@@ -158,10 +160,15 @@ def _png_decode(payload: bytes):
         raise ValueError("missing IHDR")
     if ihdr["bit_depth"] != 8 or ihdr["interlace"] != 0:
         raise ValueError("only 8-bit non-interlaced PNGs supported")
+    if ihdr["color_type"] not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ihdr['color_type']}")
     ch = _PNG_CHANNELS[ihdr["color_type"]]
     w, h = ihdr["width"], ihdr["height"]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # keep one ValueError contract for bad input
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size does not match dimensions")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -176,20 +183,31 @@ def _png_decode(payload: bytes):
         elif ft == 2:  # Up
             rec = (row + prev) % 256
         elif ft in (3, 4):  # Average / Paeth: left-dependency loop
-            # plain Python ints: the Paeth predictor p = a + b - c can go
-            # negative, which wraps in unsigned numpy arithmetic
-            rec = np.zeros(stride, np.uint16)
-            for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                if ft == 3:
-                    rec[i] = (int(row[i]) + (a + b) // 2) % 256
-                else:
-                    c = int(prev[i - ch]) if i >= ch else 0
+            # plain Python LISTS with local-var loop (not numpy scalar
+            # indexing, which is ~10× slower per element; the Paeth
+            # predictor p = a + b - c also goes negative, which would
+            # wrap in unsigned numpy arithmetic).  Adaptive encoders
+            # pick these filters often, so this is the hot path for
+            # real photographic PNGs.
+            rw = row.tolist()
+            pv = prev.tolist()
+            rl = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    a = rl[i - ch] if i >= ch else 0
+                    rl[i] = (rw[i] + (a + pv[i]) // 2) & 0xFF
+            else:
+                for i in range(stride):
+                    a = rl[i - ch] if i >= ch else 0
+                    b = pv[i]
+                    c = pv[i - ch] if i >= ch else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[i] = (int(row[i]) + pr) % 256
+                    rl[i] = (rw[i] + pr) & 0xFF
+            rec = np.array(rl, np.uint16)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
@@ -337,15 +355,22 @@ def wav_metadata(df: DataFrame, binary_col: str) -> DataFrame:
             .when(F.col(cc) == F.lit(b"data"), F.col(sc))
             .otherwise(null_long)
         )
+        avail = (F.length(bin_) - body + F.lit(1)).cast("long")
         data_avail = (
             F.when(data_avail.isNotNull(), data_avail)
-            .when(
-                F.col(cc) == F.lit(b"data"),
-                (F.length(bin_) - body + F.lit(1)).cast("long"),
-            )
+            # negative avail = the payload was cut inside this chunk's
+            # header (the id matched but the size field is truncated):
+            # the duration is unknowable — NULL, never a clamped 0
+            .when((F.col(cc) == F.lit(b"data")) & (avail >= 0), avail)
             .otherwise(null_long)
         )
-    data_len = F.least(data_size, data_avail)
+    # F.least SKIPS nulls, so require both sides explicitly: a null
+    # data_avail (payload cut inside the size field) must make the
+    # duration NULL, not fall back to the possibly-garbage declared size
+    data_len = F.when(
+        data_size.isNotNull() & data_avail.isNotNull(),
+        F.least(data_size, data_avail),
+    )
     duration_ms = F.when(
         is_riff & (byte_rate > 0) & data_len.isNotNull(),
         (data_len * 1000 / byte_rate).cast("long"),

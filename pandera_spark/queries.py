@@ -721,8 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_documents": q_multimodal_features_documents,
         "simhash_signatures_documents": q_simhash_signatures_documents,
         "minhash_candidates_documents": q_minhash_candidates_documents,
-        # rows-only: IVF centroids come from iterative k-means seeded by a
-        # sampled init — not SQL-reproducible; invariants covered in pytest
+        # oracle-paired since round 4 (deterministic trainer + unrolled
+        # Lloyd CTEs — see _sql_ivf_topk)
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "synthesis_verdicts": q_synthesis_verdicts,
     }

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..errors import FileStatsMismatchError
+
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("partition_id", T.StringType()),
@@ -196,13 +198,13 @@ class PartitionedValidationRun:
                     pdf, collect_stats=self.collect_stats,
                     collect_failure_cases=True, file_stats=fs,
                 )
-            except ValueError as ve:
+            except FileStatsMismatchError:
                 # footer/frame row-count cross-check tripped (files the
                 # scan ignores but the footer walk found, concurrent
                 # compaction, ...): stats are an optimization only —
                 # retry the partition with a real scan instead of
                 # recording a valid partition as status=error
-                if fs is None or "file_stats row count" not in str(ve):
+                if fs is None:
                     raise
                 res = self.schema.validate(
                     pdf, collect_stats=self.collect_stats,

@@ -226,21 +226,28 @@ def _numeric_expr(
         import math
         from decimal import Decimal
 
-        factor = 10 ** scale
         lo_s = hi_s = None
         if lo is not None:
-            d = Decimal(str(lo)) * factor
+            d = Decimal(str(lo)).scaleb(scale)
             lo_s = math.ceil(d)
             if g["lo_open"] and d == lo_s:
                 lo_s += 1
         if hi is not None:
-            d = Decimal(str(hi)) * factor
+            d = Decimal(str(hi)).scaleb(scale)
             hi_s = math.floor(d)
             if g["hi_open"] and d == hi_s:
                 hi_s -= 1
         g2 = {**g, "lo": lo_s, "hi": hi_s, "lo_open": False, "hi_open": False}
         int_expr = _numeric_expr(g2, size, unique, integral=True)
-        return int_expr.cast("decimal(38,0)") / F.lit(factor)
+        # grid → value by multiplying with the EXACT decimal quantum.
+        # Division (or a bigint factor) trips Spark's precision-loss
+        # rule, which silently clamps the result scale to 6 and rounds
+        # the grid away for scale > 6 (review r4 finding).  Multiply is
+        # exact when p1 + p2 + 1 <= 38, so size the int operand to
+        # 37 - p2 integral digits.
+        quantum = Decimal(1).scaleb(-scale)
+        p1 = 37 - max(1, scale)
+        return int_expr.cast(f"decimal({p1},0)") * F.lit(quantum)
     if integral:
         lo_i = None if lo is None else int(lo) + (1 if g["lo_open"] else 0)
         hi_i = None if hi is None else int(hi) - (1 if g["hi_open"] else 0)

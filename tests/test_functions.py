@@ -398,6 +398,19 @@ class TestWavDecoder:
         expected = (len(trunc) - 44) * 1000 // 16000
         assert out["media_meta"]["duration_ms"] == expected
 
+    def test_wav_metadata_cut_inside_size_field_is_null(self, spark):
+        """Review r4: a payload cut inside the data chunk's 4-byte size
+        field matched the id but computed a negative available-bytes —
+        duration must be NULL, never a clamped 0."""
+        base = _make_wav(seconds=0.5)
+        # canonical layout: 'data' id at offset 36, size field 40..43 —
+        # cut after 2 size bytes
+        trunc = base[:42]
+        df = spark.createDataFrame([(1, trunc)], "id int, payload binary")
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        assert out["media_meta"]["duration_ms"] is None
+
     def test_wav_metadata_rejects_non_riff(self, spark):
         """Garbage payloads emit NULL duration, never a wrong number."""
         df = spark.createDataFrame(
@@ -483,6 +496,33 @@ class TestPngDecoder:
             _png_decode(bytes(payload))
         with _pytest.raises(ValueError, match="signature"):
             _png_decode(b"not a png")
+
+    def test_malformed_but_crc_valid_raise_valueerror(self):
+        """One error contract for every malformation (review r4): an
+        invalid color type or a corrupt IDAT stream must raise
+        ValueError, not KeyError/zlib.error."""
+        import struct
+        import zlib
+
+        from pandera_spark.functions.multimodal import _png_decode
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        bad_ct = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 1, 0, 0, 0)
+        ) + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="color type"):
+            _png_decode(bad_ct)
+        bad_idat = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        ) + chunk(b"IDAT", b"\x01\x02not-deflate") + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="IDAT"):
+            _png_decode(bad_idat)
 
     def test_png_features_end_to_end(self, spark):
         rng = np.random.default_rng(5)

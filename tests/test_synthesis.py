@@ -199,6 +199,20 @@ class TestReviewRegressions:
         assert schema.validate(df).passed
         assert df.filter("d <= 0 OR d >= 10").count() == 0
 
+    def test_decimal_high_scale_exact(self, spark):
+        """Review r4: Spark's decimal-division precision-loss rule clamps
+        result scale to 6, so decimal(20,8) grids were rounded to zero.
+        The exact-quantum multiply keeps any scale."""
+        schema = ps.DataFrameSchema(
+            {"d": ps.Column("decimal(20,8)", ps.Check.greater_than(0))}
+        )
+        df = schema.example(size=5, spark=spark)
+        assert schema.validate(df).passed
+        from decimal import Decimal
+
+        vals = sorted(r.d for r in df.collect())
+        assert vals[0] == Decimal("1E-8") and vals[-1] == Decimal("5E-8")
+
     def test_decimal_unique_grid(self, spark):
         """unique decimals draw distinct grid points; an undersized grid
         is reported as unsatisfiable up front."""
