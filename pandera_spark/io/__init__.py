@@ -12,6 +12,13 @@ from .serialization import (  # noqa: F401
     to_script,
     to_yaml,
 )
+from .iceberg_meta import (  # noqa: F401
+    iceberg_meta_stats,
+    plan_files,
+    read_iceberg,
+    read_table_meta,
+    write_iceberg_table,
+)
 from .sources import (  # noqa: F401
     iceberg_footer_stats,
     parquet_footer_stats,

@@ -1,0 +1,636 @@
+"""Iceberg v2 table METADATA layer — pure Python, no runtime jar.
+
+The container has no Iceberg Spark runtime (no network), which blocked
+the north rule's Iceberg target at the catalog level.  The table FORMAT,
+however, is a public spec over files this sandbox can handle: JSON table
+metadata + Avro manifest lists/manifests (io/avro_lite.py) + parquet
+data files.  This module implements that spec directly:
+
+  - :func:`read_table_meta` — metadata.json → current snapshot →
+    manifest list → manifest entries, schema-driven Avro decoding (reads
+    manifests written by the Java/PyIceberg implementations too);
+  - :func:`iceberg_meta_stats` — the engine's file-stats contract
+    (same shape as parquet_footer_stats) from per-file value/null/NaN
+    counts and bounds, WITHOUT opening a single data file: this is real
+    Iceberg file-stat short-circuiting in-sandbox.  Float/double upper
+    bounds are only trusted when every data file reports
+    nan_value_count and their sum is 0 (bounds exclude NaN while Spark
+    orders NaN above everything — see io.sources._FLOAT_PHYSICAL);
+    unlike raw parquet footers, Iceberg CARRIES the NaN proof, so float
+    max checks short-circuit here;
+  - :func:`plan_files` / :func:`read_iceberg` — manifest-level partition
+    pruning (identity transforms) BEFORE Spark ever lists a file, then a
+    plain parquet scan of the surviving files;
+  - :func:`write_iceberg_table` — a spec-v2 writer used to build tables
+    from Spark/parquet output (real per-file stats computed via pyarrow,
+    including NaN counts for float columns): the fixture path for tests
+    and an offline-friendly append-snapshot sink.
+
+When a real Iceberg runtime IS on the classpath, io/sources.py's
+catalog-based paths take precedence; this module is the standalone
+file-level implementation of the same contracts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .avro_lite import read_ocf, write_ocf
+
+# ----------------------------------------------------------------------- #
+# single-value binary serialization (spec Appendix D)
+# ----------------------------------------------------------------------- #
+
+_BOUND_CODECS = {
+    "int": ("<i", 4),
+    "date": ("<i", 4),
+    "long": ("<q", 8),
+    "timestamp": ("<q", 8),
+    "timestamptz": ("<q", 8),
+    "float": ("<f", 4),
+    "double": ("<d", 8),
+}
+
+
+def _decode_bound(type_name: str, raw: Optional[bytes]) -> Any:
+    if raw is None:
+        return None
+    codec = _BOUND_CODECS.get(type_name)
+    if codec:
+        fmt, size = codec
+        if len(raw) != size:
+            return None
+        return struct.unpack(fmt, raw)[0]
+    if type_name == "string":
+        return raw.decode("utf-8", errors="replace")
+    if type_name == "boolean":
+        return raw == b"\x01"
+    return None  # decimals/binary/nested: not needed for stats
+
+
+def _encode_bound(type_name: str, value: Any) -> Optional[bytes]:
+    if value is None:
+        return None
+    codec = _BOUND_CODECS.get(type_name)
+    if codec:
+        import datetime
+
+        if isinstance(value, datetime.datetime):
+            # spec: timestamps serialize as microseconds from epoch
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=value.tzinfo
+            )
+            value = int((value - epoch).total_seconds() * 1_000_000)
+        elif isinstance(value, datetime.date):
+            # spec: dates serialize as days from epoch
+            value = (value - datetime.date(1970, 1, 1)).days
+        return struct.pack(codec[0], value)
+    if type_name == "string":
+        return str(value).encode("utf-8")
+    if type_name == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None
+
+
+# ----------------------------------------------------------------------- #
+# reading
+# ----------------------------------------------------------------------- #
+
+
+@dataclass
+class IcebergMeta:
+    location: str
+    snapshot_id: Optional[int]
+    #: field id → {"name", "type", "required"}
+    fields: dict[int, dict]
+    #: manifest-entry data_file dicts (decoded; only live DATA files)
+    data_files: list[dict] = field(default_factory=list)
+    #: number of row-level DELETE files in the current snapshot
+    delete_files: int = 0
+    #: identity-partition column names, spec order
+    partition_cols: list[str] = field(default_factory=list)
+
+    def field_name(self, fid: int) -> Optional[str]:
+        f = self.fields.get(fid)
+        return f["name"] if f else None
+
+
+def _metadata_path(table_dir: str) -> str:
+    mdir = os.path.join(table_dir, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    versions = sorted(
+        glob.glob(os.path.join(mdir, "*.metadata.json")),
+        key=lambda p: (len(p), p),
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+    return versions[-1]
+
+
+def _localize(path: str, table_dir: str, location: str) -> str:
+    """Manifest paths are absolute URIs from the writer's filesystem;
+    re-root them under ``table_dir`` so relocated tables still read."""
+    for prefix in (location, location.rstrip("/")):
+        if prefix and path.startswith(prefix):
+            return table_dir.rstrip("/") + path[len(prefix.rstrip("/")):]
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return path
+
+
+def read_table_meta(table_dir: str) -> IcebergMeta:
+    """Parse metadata.json → current snapshot → manifests → data files."""
+    mpath = _metadata_path(table_dir)
+    md = json.load(open(mpath))
+    location = md.get("location", table_dir)
+    schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
+    sid = md.get("current-schema-id", 0)
+    schema = next(
+        (s for s in schemas if s.get("schema-id", 0) == sid),
+        schemas[0] if schemas else {"fields": []},
+    )
+    fields = {
+        f["id"]: {
+            "name": f["name"],
+            "type": f["type"],
+            "required": f.get("required", False),
+        }
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)  # nested structs: stats N/A
+    }
+    specs = md.get("partition-specs") or []
+    spec = next(
+        (s for s in specs if s.get("spec-id", 0) == md.get("default-spec-id", 0)),
+        specs[0] if specs else {"fields": []},
+    )
+    partition_cols = [
+        pf["name"]
+        for pf in spec.get("fields", [])
+        if pf.get("transform") == "identity"
+    ]
+    meta = IcebergMeta(
+        location=location,
+        snapshot_id=md.get("current-snapshot-id"),
+        fields=fields,
+        partition_cols=partition_cols,
+    )
+    snap = next(
+        (
+            s
+            for s in md.get("snapshots", [])
+            if s.get("snapshot-id") == md.get("current-snapshot-id")
+        ),
+        None,
+    )
+    if snap is None:  # empty table
+        return meta
+    mlist = _localize(snap["manifest-list"], table_dir, location)
+    _, manifests = read_ocf(mlist)
+    for mf in manifests:
+        mpath_i = _localize(mf["manifest_path"], table_dir, location)
+        _, entries = read_ocf(mpath_i)
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry
+                continue
+            df = e.get("data_file") or {}
+            if df.get("content", 0) != 0:
+                meta.delete_files += 1
+                continue
+            meta.data_files.append(df)
+    return meta
+
+
+def _kv(entries: Optional[list]) -> dict[int, Any]:
+    """Iceberg's logical maps are arrays of {key, value} records."""
+    if not entries:
+        return {}
+    if isinstance(entries, dict):  # a real avro map (string keys)
+        return {int(k): v for k, v in entries.items()}
+    return {e["key"]: e["value"] for e in entries}
+
+
+def _part_match(part: dict, flt: Optional[dict]) -> bool:
+    """Identity-partition equality, string-tolerant (the partition
+    runner keys partitions by their string rendering)."""
+    if not flt:
+        return True
+    for k, v in flt.items():
+        got = part.get(k)
+        if got != v and str(got) != str(v):
+            return False
+    return True
+
+
+def iceberg_meta_stats(
+    table_dir: str,
+    columns: Optional[list[str]] = None,
+    partition_filter: Optional[dict] = None,
+) -> dict:
+    """File-stats contract (see io.sources.parquet_footer_stats) from
+    Iceberg manifests alone.  Trust rules:
+
+      - ``null_count``: every data file reports the column's
+        null_value_count;
+      - ``min``: every file that may contain non-null values reports a
+        lower bound of a numeric/boolean type (string bounds may be
+        writer-truncated → never trusted, like parquet);
+      - ``max``: as min, plus for float/double a proven NaN absence —
+        every file reports nan_value_count and the sum is 0.  This is
+        the proof parquet footers cannot give (ADVICE r3 high).
+
+    Raises RuntimeError when the snapshot carries row-level delete
+    files: statistics describe pre-delete data and cannot prove checks.
+    """
+    meta = read_table_meta(table_dir)
+    if meta.delete_files:
+        raise RuntimeError(
+            f"{table_dir} carries {meta.delete_files} row-level delete "
+            "files: file statistics describe pre-delete data and cannot "
+            "prove checks — compact/rewrite the table or validate with "
+            "a scan"
+        )
+    name_to = {f["name"]: (fid, f) for fid, f in meta.fields.items()}
+    wanted = list(columns) if columns is not None else list(name_to)
+    if partition_filter:
+        meta.data_files = [
+            df
+            for df in meta.data_files
+            if _part_match(df.get("partition") or {}, partition_filter)
+        ]
+    n_rows = sum(df.get("record_count", 0) for df in meta.data_files)
+    cols: dict[str, dict] = {}
+    for name in wanted:
+        if name not in name_to:
+            continue
+        fid, f = name_to[name]
+        tname = f["type"]
+        is_float = tname in ("float", "double")
+        nc_total, nc_ok = 0, True
+        mn = mx = None
+        mm_ok, nan_total, nan_ok = True, 0, True
+        for dfile in meta.data_files:
+            nulls = _kv(dfile.get("null_value_counts")).get(fid)
+            if nulls is None:
+                nc_ok = False
+            else:
+                nc_total += nulls
+            nans = _kv(dfile.get("nan_value_counts")).get(fid)
+            if nans is None:
+                nan_ok = False
+            else:
+                nan_total += nans
+            lo = _decode_bound(tname, _kv(dfile.get("lower_bounds")).get(fid))
+            hi = _decode_bound(tname, _kv(dfile.get("upper_bounds")).get(fid))
+            all_null = nulls is not None and nulls == dfile.get("record_count")
+            if lo is None or hi is None:
+                if not all_null:
+                    mm_ok = False
+                continue
+            if not isinstance(lo, (int, float, bool)):
+                # strings may be writer-truncated; decimals undecoded
+                mm_ok = False
+                continue
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        nan_free = nan_ok and nan_total == 0
+        cols[name] = {
+            "null_count": nc_total if nc_ok else None,
+            "min": mn if mm_ok else None,
+            "max": mx if (mm_ok and (not is_float or nan_free)) else None,
+        }
+    return {"n_rows": n_rows, "columns": cols}
+
+
+def plan_files(
+    table_dir: str, partition_filter: Optional[dict] = None
+) -> list[str]:
+    """Live data-file paths, pruned by identity-partition equality
+    BEFORE any filesystem listing — manifest-level partition pruning."""
+    meta = read_table_meta(table_dir)
+    return [
+        _localize(dfile["file_path"], table_dir, meta.location)
+        for dfile in meta.data_files
+        if _part_match(dfile.get("partition") or {}, partition_filter)
+    ]
+
+
+def read_iceberg(spark, table_dir: str, partition_filter: Optional[dict] = None):
+    """DataFrame over the current snapshot's (pruned) data files."""
+    paths = plan_files(table_dir, partition_filter)
+    if not paths:
+        raise FileNotFoundError(
+            f"no data files match in {table_dir} ({partition_filter=})"
+        )
+    return spark.read.parquet(*paths)
+
+
+# ----------------------------------------------------------------------- #
+# writing (append snapshots; spec v2)
+# ----------------------------------------------------------------------- #
+
+_PA_TO_ICEBERG = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "long",
+    "float": "float", "double": "double", "bool": "boolean",
+    "string": "string", "large_string": "string", "binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _iceberg_type(pa_type) -> str:
+    s = str(pa_type)
+    if s in _PA_TO_ICEBERG:
+        return _PA_TO_ICEBERG[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal"):
+        return s.replace("decimal128", "decimal")
+    return "string"
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    def kvlist(name, key_id, val_id, vtype):
+        return ["null", {"type": "array", "items": {
+            "type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": vtype, "field-id": val_id},
+            ]}}]
+
+    part_fields = [
+        {"name": pf["name"], "type": ["null", pf["avro_type"]], "default": None}
+        for pf in partition_fields
+    ]
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": {
+                "type": "record", "name": "r102", "fields": part_fields}},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "value_counts", "type": kvlist("k119_v120", 119, 120, "long"), "default": None},
+            {"name": "null_value_counts", "type": kvlist("k121_v122", 121, 122, "long"), "default": None},
+            {"name": "nan_value_counts", "type": kvlist("k138_v139", 138, 139, "long"), "default": None},
+            {"name": "lower_bounds", "type": kvlist("k126_v127", 126, 127, "bytes"), "default": None},
+            {"name": "upper_bounds", "type": kvlist("k129_v130", 129, 130, "bytes"), "default": None},
+        ],
+    }
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _file_stats(path: str, fids: dict[str, int], types: dict[str, str]) -> dict:
+    """Real per-file column stats via pyarrow: null counts + bounds from
+    row-group footers, NaN counts by reading float columns (exact —
+    Iceberg writers count NaN at write time the same way)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    nulls: dict[int, int] = {}
+    los: dict[int, Any] = {}
+    his: dict[int, Any] = {}
+    ok_mm: dict[int, bool] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            cc = rg.column(ci)
+            name = cc.path_in_schema
+            if name not in fids:
+                continue
+            fid = fids[name]
+            st = cc.statistics
+            if st is not None and st.has_null_count:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if st is not None and st.has_min_max and ok_mm.get(fid, True):
+                los[fid] = st.min if fid not in los else min(los[fid], st.min)
+                his[fid] = st.max if fid not in his else max(his[fid], st.max)
+            elif not (
+                st is not None
+                and st.has_null_count
+                and st.null_count == rg.num_rows
+            ):
+                ok_mm[fid] = False
+    nans: dict[int, int] = {}
+    float_cols = [n for n, t in types.items() if t in ("float", "double")]
+    if float_cols:
+        import numpy as np
+
+        tbl = pf.read(columns=float_cols)
+        for n in float_cols:
+            arr = tbl[n].to_numpy(zero_copy_only=False)
+            nans[fids[n]] = int(np.isnan(arr.astype("float64")).sum())
+    lower, upper = [], []
+    for name, fid in fids.items():
+        if not ok_mm.get(fid, True) or fid not in los:
+            continue
+        lo_b = _encode_bound(types[name], los[fid])
+        hi_b = _encode_bound(types[name], his[fid])
+        if lo_b is not None and hi_b is not None:
+            lower.append({"key": fid, "value": lo_b})
+            upper.append({"key": fid, "value": hi_b})
+    return {
+        "record_count": md.num_rows,
+        "file_size": os.path.getsize(path),
+        "null_value_counts": [
+            {"key": k, "value": v} for k, v in sorted(nulls.items())
+        ],
+        "nan_value_counts": [
+            {"key": k, "value": v} for k, v in sorted(nans.items())
+        ],
+        "lower_bounds": sorted(lower, key=lambda e: e["key"]),
+        "upper_bounds": sorted(upper, key=lambda e: e["key"]),
+    }
+
+
+def write_iceberg_table(
+    table_dir: str,
+    data_files: list[str],
+    partition_by: Optional[str] = None,
+    partition_values: Optional[dict[str, Any]] = None,
+) -> None:
+    """Create a spec-v2 Iceberg table over existing parquet files.
+
+    ``data_files`` become the first append snapshot's data files (they
+    are referenced in place when already under ``table_dir``, else
+    hard-linked/copied into ``data/``).  Real per-file stats (null
+    counts, NaN counts, bounds) land in the manifest.  Identity
+    partitioning: ``partition_by`` + per-file ``partition_values``
+    {path: value}.
+    """
+    import pyarrow.parquet as pq
+    import shutil
+
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    # schema from the first file; field ids 1..n in order
+    arrow_schema = pq.ParquetFile(data_files[0]).schema_arrow
+    names = [f.name for f in arrow_schema]
+    types = {f.name: _iceberg_type(f.type) for f in arrow_schema}
+    fids = {n: i + 1 for i, n in enumerate(names)}
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": fids[n], "name": n, "required": False, "type": types[n]}
+            for n in names
+        ],
+    }
+    spec_fields = []
+    if partition_by:
+        spec_fields.append(
+            {
+                "name": partition_by,
+                "transform": "identity",
+                "source-id": fids[partition_by],
+                "field-id": 1000,
+            }
+        )
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+
+    # --- data files (+stats) → manifest entries
+    avro_part_type = {
+        "long": "long", "int": "int", "double": "double",
+        "float": "float", "string": "string", "boolean": "boolean",
+    }
+    part_fields = (
+        [{"name": partition_by,
+          "avro_type": avro_part_type.get(types[partition_by], "string")}]
+        if partition_by
+        else []
+    )
+    entries = []
+    total_rows = 0
+    for src in data_files:
+        dst = src
+        if not os.path.abspath(src).startswith(os.path.abspath(table_dir)):
+            dst = os.path.join(table_dir, "data", os.path.basename(src))
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        st = _file_stats(dst, fids, types)
+        total_rows += st["record_count"]
+        part = {}
+        if partition_by:
+            part[partition_by] = (partition_values or {}).get(src)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(dst),
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": st["record_count"],
+                    "file_size_in_bytes": st["file_size"],
+                    "value_counts": None,
+                    "null_value_counts": st["null_value_counts"],
+                    "nan_value_counts": st["nan_value_counts"],
+                    "lower_bounds": st["lower_bounds"],
+                    "upper_bounds": st["upper_bounds"],
+                },
+            }
+        )
+
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+    )
+    write_ocf(manifest_path, _manifest_entry_schema(part_fields), entries)
+    mlist_path = os.path.join(
+        table_dir, "metadata", f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(table_dir),
+        "last-sequence-number": 1,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(names),
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 if spec_fields else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 1,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": os.path.abspath(mlist_path),
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    with open(os.path.join(table_dir, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")

@@ -73,11 +73,14 @@ def q_check_verdicts_orders(spark, sf_dir):
 
 
 def q_footer_verdicts_lineitem(spark, sf_dir):
-    """Footer-stat short-circuit conformance: three checks PROVEN from
-    parquet row-group statistics (no aggregate expression issued) must
-    report the same verdicts the oracle computes by scanning — plus one
+    """Footer-stat short-circuit conformance: checks PROVEN from parquet
+    row-group statistics (no aggregate expression issued) must report
+    the same verdicts the oracle computes by scanning — plus one
     genuinely-failing check that still goes through the fused aggregate.
-    Stand-in for Iceberg null_value_counts/bounds file skipping."""
+    Since the round-4 NaN fix, parquet footers never supply a
+    float/double max, so the in_range upper bound here SCANS (still the
+    same verdict); the Iceberg variant (q_iceberg_verdicts_lineitem)
+    proves it via the manifests' nan_value_count."""
     from .io.sources import parquet_footer_stats
 
     li = _t(spark, sf_dir, "lineitem")
@@ -98,6 +101,75 @@ def q_footer_verdicts_lineitem(spark, sf_dir):
         name="lineitem",
     )
     r = schema.validate(li, collect_failure_cases=False, file_stats=st)
+    rows = [
+        (c["column"], c["check"], c["n_violations"], c["passed"])
+        for c in r.check_results
+    ]
+    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def _iceberg_lineitem(sf_dir: str) -> str:
+    """One-time build of a real Iceberg v2 table (pure-Python metadata
+    layer, io/iceberg_meta) over the lineitem fixture's parquet files —
+    cached per sf_dir in the temp dir."""
+    import glob as _glob
+    import hashlib
+    import os
+    import tempfile
+
+    from .io.iceberg_meta import write_iceberg_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"pandera_iceberg_li_{key}")
+    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
+        src = f"{sf_dir}/lineitem.parquet"
+        if os.path.isdir(src):
+            files = sorted(
+                p
+                for p in _glob.glob(
+                    os.path.join(src, "**", "*.parquet"), recursive=True
+                )
+                if not any(
+                    part.startswith(("_", "."))
+                    for part in os.path.relpath(p, src).split(os.sep)
+                )
+            )
+        else:
+            files = [src]
+        write_iceberg_table(tdir, files)
+    return tdir
+
+
+def q_iceberg_verdicts_lineitem(spark, sf_dir):
+    """REAL Iceberg file-stat short-circuiting in the correctness gate:
+    the lineitem fixture wrapped as an Iceberg v2 table (manifests
+    carrying null/NaN counts + bounds, written and read by the
+    pure-Python spec implementation), validated with
+    ``file_stats=iceberg_meta_stats``.  The manifests' nan_value_count
+    proves the double upper bounds that raw parquet footers cannot
+    (in_range/le proofs on l_quantity), while the genuinely-failing
+    l_discount check scans — verdicts must equal the oracle's scan."""
+    from .io.iceberg_meta import iceberg_meta_stats, read_iceberg
+
+    t = _iceberg_lineitem(sf_dir)
+    st = iceberg_meta_stats(t)
+    df = read_iceberg(spark, t)
+    schema = DataFrameSchema(
+        {
+            "l_orderkey": Column("bigint", nullable=False),
+            "l_quantity": Column(
+                "double", checks=Check.in_range(0, 100), nullable=True
+            ),  # proven: bounds + NaN-free proof from the manifests
+            "l_extendedprice": Column(
+                "double", checks=Check.gt(0.0), nullable=True
+            ),  # proven: lower bound
+            "l_discount": Column(
+                "double", checks=Check.le(0.05), nullable=True
+            ),  # NOT provable (violations exist) — scans and fails
+        },
+        name="lineitem",
+    )
+    r = schema.validate(df, collect_failure_cases=False, file_stats=st)
     rows = [
         (c["column"], c["check"], c["n_violations"], c["passed"])
         for c in r.check_results
@@ -684,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "check_verdicts_orders": q_check_verdicts_orders,
         "footer_verdicts_lineitem": q_footer_verdicts_lineitem,
+        "iceberg_verdicts_lineitem": q_iceberg_verdicts_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
         "joint_unique_lineitem": q_joint_unique_lineitem,
@@ -1141,7 +1214,7 @@ def _sql_ivf_topk() -> str:
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
     qv = "[" + ", ".join(str(v) for v in ANN_QUERY) + "]::DOUBLE[]"
-    return {
+    d = {
         "check_verdicts_orders": """
             SELECT 'o_orderkey' AS col_name, 'not_nullable' AS check_name,
                    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
@@ -1502,3 +1575,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _sql_ivf_topk(),
         "synthesis_verdicts": _sql_synthesis_verdicts(),
     }
+    # the Iceberg-table variant validates the SAME semantics as the
+    # parquet footer variant (only the proof source differs), so the
+    # scan-based oracle is shared verbatim
+    d["iceberg_verdicts_lineitem"] = d["footer_verdicts_lineitem"]
+    return d

@@ -177,6 +177,18 @@ class PartitionedValidationRun:
         partition-dir layout doesn't match."""
         if not self.use_file_stats or self.source_desc == "dataframe":
             return None
+        # Iceberg table directory: partition-scoped stats straight from
+        # the manifests (null/NaN counts + bounds), no footer walk
+        if os.path.isdir(os.path.join(self.source_desc, "metadata")):
+            try:
+                from ..io.iceberg_meta import iceberg_meta_stats
+
+                return iceberg_meta_stats(
+                    self.source_desc,
+                    partition_filter={self.partition_col: p},
+                )
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                return None
         cand = os.path.join(self.source_desc, f"{self.partition_col}={p}")
         if not os.path.isdir(cand):
             return None

@@ -1,0 +1,239 @@
+"""Pure-Python Iceberg v2 metadata layer (io/avro_lite + io/iceberg_meta):
+spec-driven Avro OCF codec, table write/read, manifest-level stats with
+the NaN proof parquet footers cannot give, partition pruning before
+Spark, and the validate() file-stats short-circuit end-to-end."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import pandera_spark as ps
+from pandera_spark.io.avro_lite import read_ocf, write_ocf
+from pandera_spark.io.iceberg_meta import (
+    iceberg_meta_stats,
+    plan_files,
+    read_iceberg,
+    read_table_meta,
+    write_iceberg_table,
+)
+
+
+class TestAvroLite:
+    SCHEMA = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "kv", "type": {"type": "array", "items": {
+                "type": "record", "name": "pair", "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"}]}}},
+            {"name": "again", "type": {"type": "array", "items": "pair"}},
+        ],
+    }
+    RECS = [
+        {"s": "héllo", "opt": None, "d": 1.5,
+         "kv": [{"key": 1, "value": b"\x00\xff"}], "again": []},
+        {"s": "", "opt": -(2**40), "d": -0.25, "kv": [],
+         "again": [{"key": 9, "value": b""}]},
+    ]
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip(self, tmp_path, codec):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_ocf(p, self.SCHEMA, self.RECS, codec=codec)
+        schema, recs = read_ocf(p)
+        assert recs == self.RECS
+        assert schema["name"] == "rec"
+
+    def test_rejects_non_avro(self, tmp_path):
+        p = str(tmp_path / "bad.avro")
+        open(p, "wb").write(b"not avro at all")
+        with pytest.raises(ValueError, match="container"):
+            read_ocf(p)
+
+
+@pytest.fixture(scope="module")
+def iceberg_table(tmp_path_factory):
+    """Two parquet parts → one append snapshot; x carries a NaN in part
+    1 only; y is a NaN-free double; s has one null."""
+    d = tmp_path_factory.mktemp("ice")
+    f1, f2 = str(d / "p1.parquet"), str(d / "p2.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "x": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "y": pa.array([0.5, 0.6, 0.7], pa.float64()),
+        "s": pa.array(["a", "b", None]),
+        "part": pa.array([0, 0, 0], pa.int32()),
+    }), f1)
+    pq.write_table(pa.table({
+        "id": pa.array([4, 5], pa.int64()),
+        "x": pa.array([4.0, float("nan")], pa.float64()),
+        "y": pa.array([0.8, 0.9], pa.float64()),
+        "s": pa.array(["c", "d"]),
+        "part": pa.array([1, 1], pa.int32()),
+    }), f2)
+    t = str(d / "tbl")
+    write_iceberg_table(
+        t, [f1, f2], partition_by="part", partition_values={f1: 0, f2: 1}
+    )
+    return t
+
+
+class TestIcebergMeta:
+    def test_read_table_meta(self, iceberg_table):
+        meta = read_table_meta(iceberg_table)
+        assert len(meta.data_files) == 2
+        assert {f["name"] for f in meta.fields.values()} == {
+            "id", "x", "y", "s", "part"
+        }
+        assert meta.partition_cols == ["part"]
+        assert meta.delete_files == 0
+
+    def test_stats_nan_gate(self, iceberg_table):
+        """The headline: manifests CARRY nan_value_count, so float max
+        is trusted exactly when the table proves NaN absence — y gets
+        both bounds, x (one NaN) keeps only min."""
+        st = iceberg_meta_stats(iceberg_table)
+        assert st["n_rows"] == 5
+        assert st["columns"]["id"] == {"null_count": 0, "min": 1, "max": 5}
+        x = st["columns"]["x"]
+        assert x["min"] == 1.0 and x["max"] is None  # NaN present
+        y = st["columns"]["y"]
+        assert y["min"] == 0.5 and y["max"] == 0.9  # NaN-free proof
+        assert st["columns"]["s"]["null_count"] == 1
+        assert st["columns"]["s"]["min"] is None  # strings untrusted
+
+    def test_partition_pruning_before_spark(self, iceberg_table):
+        assert len(plan_files(iceberg_table)) == 2
+        p0 = plan_files(iceberg_table, {"part": 0})
+        assert len(p0) == 1 and p0[0].endswith("p1.parquet")
+        assert plan_files(iceberg_table, {"part": 7}) == []
+
+    def test_read_iceberg_matches_parquet(self, spark, iceberg_table):
+        df = read_iceberg(spark, iceberg_table)
+        assert df.count() == 5
+        assert sorted(r.id for r in df.select("id").collect()) == [1, 2, 3, 4, 5]
+        pruned = read_iceberg(spark, iceberg_table, {"part": 1})
+        assert sorted(r.id for r in pruned.select("id").collect()) == [4, 5]
+
+    def test_read_table_auto_detects_dir(self, spark, iceberg_table):
+        from pandera_spark.io import read_table
+
+        df = read_table(spark, iceberg_table)
+        assert df.count() == 5
+
+    def test_delete_files_refuse_stats(self, iceberg_table, tmp_path):
+        """A snapshot carrying row-level deletes must refuse to prove
+        checks from stats (they describe pre-delete data)."""
+        import shutil
+
+        t2 = str(tmp_path / "tbl2")
+        shutil.copytree(iceberg_table, t2)
+        # flip one manifest entry to a DELETE file (content=1)
+        mpath = [
+            p for p in glob.glob(os.path.join(t2, "metadata", "*-m0.avro"))
+        ][0]
+        schema, entries = read_ocf(mpath)
+        entries[0]["data_file"]["content"] = 1
+        write_ocf(mpath, schema, entries)
+        with pytest.raises(RuntimeError, match="delete"):
+            iceberg_meta_stats(t2)
+
+    def test_relocated_table_still_reads(self, iceberg_table, tmp_path):
+        """Manifest paths are absolute from write time; a moved table
+        directory must still resolve them (path re-rooting)."""
+        import shutil
+
+        t2 = str(tmp_path / "moved")
+        shutil.copytree(iceberg_table, t2)
+        meta = read_table_meta(t2)
+        assert len(meta.data_files) == 2
+        st = iceberg_meta_stats(t2)
+        assert st["n_rows"] == 5
+
+
+class TestIcebergPartitionRunner:
+    def test_manifest_run_over_iceberg_table(self, spark, iceberg_table, tmp_path):
+        """PartitionedValidationRun over an Iceberg table DIRECTORY:
+        read_table auto-plans files from manifests, and each partition's
+        file-stats come straight from manifest entries (partition_filter
+        on the identity column) — results identical to a full-scan run."""
+        from pandera_spark.runner.manifest import PartitionedValidationRun
+
+        schema = ps.DataFrameSchema(
+            {
+                "id": ps.Column("long", ps.Check.in_range(1, 5), nullable=False),
+                "y": ps.Column("double", ps.Check.le(1.0)),
+            },
+            name="ice",
+        )
+        run = PartitionedValidationRun(
+            schema, iceberg_table, "part", str(tmp_path / "o1"), spark=spark
+        )
+        st = run._partition_file_stats("0")
+        assert st is not None and st["n_rows"] == 3
+        assert st["columns"]["y"]["max"] == 0.7  # partition-scoped bound
+        res = {r.partition_id: r for r in run.run()}
+        scan = PartitionedValidationRun(
+            schema, iceberg_table, "part", str(tmp_path / "o2"),
+            spark=spark, use_file_stats=False,
+        )
+        res2 = {r.partition_id: r for r in scan.run()}
+        assert set(res) == set(res2) == {"0", "1"}
+        for p in res:
+            assert res[p].status == res2[p].status == "ok"
+            assert res[p].passed == res2[p].passed
+            assert res[p].n_rows == res2[p].n_rows
+
+
+class TestIcebergValidateShortCircuit:
+    def test_float_upper_bound_proven_via_nan_proof(
+        self, spark, iceberg_table
+    ):
+        """With Iceberg stats, le() on a NaN-FREE double column is
+        footer-provable (impossible from raw parquet footers); the same
+        check on the NaN-carrying column must scan and fail."""
+        from pandera_spark.backend.validate import (
+            _compile_checks,
+            _file_stats_shortcircuit,
+        )
+
+        st = iceberg_meta_stats(iceberg_table)
+        df = read_iceberg(spark, iceberg_table)
+        schema = ps.DataFrameSchema(
+            {
+                "y": ps.Column("double", ps.Check.le(1.0)),
+                "x": ps.Column("double", ps.Check.le(10.0)),
+            }
+        )
+        compiled, _, _ = _compile_checks(schema, df, [])
+        remaining, proven = _file_stats_shortcircuit(schema, df, compiled, st)
+        proven_names = {(c.column, c.check_name) for c in proven}
+        assert ("y", "less_than_or_equal_to(1.0)") in proven_names
+        assert ("x", "less_than_or_equal_to(10.0)") not in proven_names
+        res = schema.validate(df, file_stats=st)
+        assert not res.passed  # the NaN violates le(10.0) in the scan
+        rec = [c for c in res.check_results if c["column"] == "x"][0]
+        assert rec["n_violations"] == 1
+
+    def test_validate_end_to_end_with_meta_stats(self, spark, iceberg_table):
+        st = iceberg_meta_stats(iceberg_table)
+        df = read_iceberg(spark, iceberg_table)
+        schema = ps.DataFrameSchema(
+            {
+                "id": ps.Column("long", ps.Check.in_range(1, 5), nullable=False),
+                "y": ps.Column(
+                    "double",
+                    ps.Check.in_range(0.0, 1.0),
+                    nullable=False,
+                ),
+            }
+        )
+        res = schema.validate(df, file_stats=st, collect_stats=True)
+        assert res.passed
+        assert res.stats["y"]["max"] == 0.9
