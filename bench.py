@@ -263,6 +263,38 @@ def bench_text_quality(spark):
     return quality_score(docs).agg(F.sum("quality_score")).collect()[0][0]
 
 
+def bench_iceberg_transcripts(spark):
+    """The north rule's shape for real: the transcript table wrapped as
+    an Iceberg v2 table (pure-Python metadata layer), the full
+    schema+uniqueness+contiguity pass validated with manifest-level
+    file stats — provable checks (null counts, int bounds) skip their
+    aggregate expressions without opening a data file."""
+    import glob as _glob
+
+    from pandera_spark.io import (
+        iceberg_meta_stats,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    path = ensure_transcripts(spark)
+    tdir = path + "_iceberg"
+    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
+        files = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        write_iceberg_table(tdir, files)
+    st = iceberg_meta_stats(tdir)
+    df = read_iceberg(spark, tdir)
+    schema = make_transcript_schema()
+    r = schema.validate(
+        df, collect_stats=True, collect_failure_cases=False, file_stats=st
+    )
+    return r.n_rows
+
+
 def bench_streaming_pipeline(spark):
     """Structured Streaming path at bench scale: the cached transcript
     table replayed as a bounded file stream (availableNow, several files
@@ -382,6 +414,7 @@ WORKLOADS = {
     "drift_ks_psi": bench_drift,
     "text_quality": bench_text_quality,
     "streaming_pipeline": bench_streaming_pipeline,
+    "iceberg_transcripts": bench_iceberg_transcripts,
 }
 
 

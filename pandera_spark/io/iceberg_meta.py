@@ -277,6 +277,10 @@ def iceberg_meta_stats(
         fid, f = name_to[name]
         tname = f["type"]
         is_float = tname in ("float", "double")
+        # temporal bounds decode to raw ints (days/micros) which would
+        # leak into stats substitution with different semantics than a
+        # Spark scan — skipped, matching parquet_footer_stats
+        is_temporal = tname in ("date", "timestamp", "timestamptz")
         nc_total, nc_ok = 0, True
         mn = mx = None
         mm_ok, nan_total, nan_ok = True, 0, True
@@ -305,6 +309,7 @@ def iceberg_meta_stats(
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
         nan_free = nan_ok and nan_total == 0
+        mm_ok = mm_ok and not is_temporal
         cols[name] = {
             "null_count": nc_total if nc_ok else None,
             "min": mn if mm_ok else None,
