@@ -285,6 +285,8 @@ def iceberg_meta_stats(
         mn = mx = None
         mm_ok, nan_total, nan_ok = True, 0, True
         for dfile in meta.data_files:
+            if not dfile.get("record_count"):
+                continue  # 0-row file: trivially no nulls/NaN/bounds
             nulls = _kv(dfile.get("null_value_counts")).get(fid)
             if nulls is None:
                 nc_ok = False
@@ -339,6 +341,22 @@ def read_iceberg(spark, table_dir: str, partition_filter: Optional[dict] = None)
             f"no data files match in {table_dir} ({partition_filter=})"
         )
     return spark.read.parquet(*paths)
+
+
+def write_iceberg_sink(df, table_dir: str) -> None:
+    """Spark DataFrame → append snapshot: the batch lands as parquet
+    under ``data/batch-<uuid>/`` and a new snapshot references it
+    alongside every prior snapshot's files.  The Iceberg counterpart of
+    ``write_table(..., mode="append")`` for environments without the
+    runtime jar (violations/metrics sinks, incremental ingest)."""
+    batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(batch)
+    files = sorted(
+        p
+        for p in glob.glob(os.path.join(batch, "*.parquet"))
+        if not os.path.basename(p).startswith(("_", "."))
+    )
+    write_iceberg_table(table_dir, files)
 
 
 # ----------------------------------------------------------------------- #
@@ -507,29 +525,56 @@ def write_iceberg_table(
     os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
 
-    # schema from the first file; field ids 1..n in order
-    arrow_schema = pq.ParquetFile(data_files[0]).schema_arrow
-    names = [f.name for f in arrow_schema]
-    types = {f.name: _iceberg_type(f.type) for f in arrow_schema}
-    fids = {n: i + 1 for i, n in enumerate(names)}
-    schema_json = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
-            {"id": fids[n], "name": n, "required": False, "type": types[n]}
-            for n in names
-        ],
-    }
-    spec_fields = []
-    if partition_by:
-        spec_fields.append(
-            {
-                "name": partition_by,
-                "transform": "identity",
-                "source-id": fids[partition_by],
-                "field-id": 1000,
-            }
+    # append snapshot? reuse the existing table's schema/spec/history
+    existing = None
+    try:
+        existing = json.load(open(_metadata_path(table_dir)))
+    except FileNotFoundError:
+        pass
+    if existing is not None:
+        schemas = existing.get("schemas") or []
+        schema_json = next(
+            s
+            for s in schemas
+            if s.get("schema-id", 0) == existing.get("current-schema-id", 0)
         )
+        names = [f["name"] for f in schema_json["fields"]]
+        types = {f["name"]: f["type"] for f in schema_json["fields"]}
+        fids = {f["name"]: f["id"] for f in schema_json["fields"]}
+        specs = existing.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+        spec_fields = next(
+            s
+            for s in specs
+            if s.get("spec-id", 0) == existing.get("default-spec-id", 0)
+        )["fields"]
+        if partition_by is None and spec_fields:
+            partition_by = spec_fields[0]["name"]
+        seq = existing.get("last-sequence-number", 0) + 1
+    else:
+        # schema from the first file; field ids 1..n in order
+        arrow_schema = pq.ParquetFile(data_files[0]).schema_arrow
+        names = [f.name for f in arrow_schema]
+        types = {f.name: _iceberg_type(f.type) for f in arrow_schema}
+        fids = {n: i + 1 for i, n in enumerate(names)}
+        schema_json = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": fids[n], "name": n, "required": False, "type": types[n]}
+                for n in names
+            ],
+        }
+        spec_fields = []
+        if partition_by:
+            spec_fields.append(
+                {
+                    "name": partition_by,
+                    "transform": "identity",
+                    "source-id": fids[partition_by],
+                    "field-id": 1000,
+                }
+            )
+        seq = 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
 
     # --- data files (+stats) → manifest entries
@@ -555,6 +600,11 @@ def write_iceberg_table(
                 except OSError:
                     shutil.copy2(src, dst)
         st = _file_stats(dst, fids, types)
+        if st["record_count"] == 0:
+            # empty part files (over-parallel writes) are never
+            # committed — real Iceberg writers drop them too, and their
+            # absent statistics would poison every trust flag
+            continue
         total_rows += st["record_count"]
         part = {}
         if partition_by:
@@ -563,8 +613,8 @@ def write_iceberg_table(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
-                "sequence_number": 1,
-                "file_sequence_number": 1,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
                 "data_file": {
                     "content": 0,
                     "file_path": os.path.abspath(dst),
@@ -585,57 +635,97 @@ def write_iceberg_table(
         table_dir, "metadata", f"{uuid.uuid4().hex}-m0.avro"
     )
     write_ocf(manifest_path, _manifest_entry_schema(part_fields), entries)
-    mlist_path = os.path.join(
-        table_dir, "metadata", f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-    )
-    write_ocf(
-        mlist_path,
-        _MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": os.path.abspath(manifest_path),
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": 1,
-                "min_sequence_number": 1,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
-    )
-    md = {
-        "format-version": 2,
-        "table-uuid": str(uuid.uuid4()),
-        "location": os.path.abspath(table_dir),
-        "last-sequence-number": 1,
-        "last-updated-ms": int(time.time() * 1000),
-        "last-column-id": len(names),
-        "schemas": [schema_json],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "last-partition-id": 1000 if spec_fields else 999,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
-        "current-snapshot-id": snapshot_id,
-        "snapshots": [
-            {
-                "snapshot-id": snapshot_id,
-                "sequence-number": 1,
-                "timestamp-ms": int(time.time() * 1000),
-                "manifest-list": os.path.abspath(mlist_path),
-                "summary": {"operation": "append"},
-                "schema-id": 0,
-            }
-        ],
+    new_manifest = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
-    with open(os.path.join(table_dir, "metadata", "v1.metadata.json"), "w") as f:
+    # an append snapshot's manifest list carries the PRIOR snapshot's
+    # manifests plus the new one (manifests are immutable)
+    manifests = [new_manifest]
+    if existing is not None and existing.get("current-snapshot-id"):
+        prev_snap = next(
+            (
+                s
+                for s in existing.get("snapshots", [])
+                if s["snapshot-id"] == existing["current-snapshot-id"]
+            ),
+            None,
+        )
+        if prev_snap:
+            prev_list = _localize(
+                prev_snap["manifest-list"],
+                table_dir,
+                existing.get("location", table_dir),
+            )
+            _, prev_manifests = read_ocf(prev_list)
+            known = {f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]}
+            manifests += [
+                {k: v for k, v in m.items() if k in known}
+                for m in prev_manifests
+            ]
+    mlist_path = os.path.join(
+        table_dir,
+        "metadata",
+        f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+    )
+    write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA, manifests)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_entry = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "append"},
+        "schema-id": schema_json.get("schema-id", 0),
+    }
+    if existing is not None:
+        md = dict(existing)
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = now_ms
+        md["current-snapshot-id"] = snapshot_id
+        md["snapshots"] = list(existing.get("snapshots", [])) + [snapshot_entry]
+        base = os.path.basename(_metadata_path(table_dir)).split(".")[0]
+        try:
+            version = int(base.lstrip("v")) + 1
+        except ValueError:  # externally-named (<uuid>.metadata.json)
+            version = (
+                len(glob.glob(os.path.join(table_dir, "metadata", "*.metadata.json")))
+                + 1
+            )
+    else:
+        md = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": os.path.abspath(table_dir),
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(fids.values()),
+            "schemas": [schema_json],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 if spec_fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "current-snapshot-id": snapshot_id,
+            "snapshots": [snapshot_entry],
+        }
+        version = 1
+    with open(
+        os.path.join(table_dir, "metadata", f"v{version}.metadata.json"), "w"
+    ) as f:
         json.dump(md, f, indent=1)
     with open(os.path.join(table_dir, "metadata", "version-hint.text"), "w") as f:
-        f.write("1")
+        f.write(str(version))

@@ -157,6 +157,56 @@ class TestIcebergMeta:
         assert st["n_rows"] == 5
 
 
+class TestAppendSnapshots:
+    def test_append_preserves_history_and_stats(self, spark, tmp_path):
+        """create → two appends: every snapshot's files stay live, the
+        metadata version bumps, manifests aggregate across snapshots,
+        and read_iceberg sees the union."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "tbl")
+        df1 = spark.range(0, 10).selectExpr(
+            "id", "cast(id as double) AS v"
+        )
+        df2 = spark.range(10, 15).selectExpr(
+            "id", "cast(id as double) AS v"
+        )
+        write_iceberg_sink(df1, t)
+        write_iceberg_sink(df2, t)
+        meta = read_table_meta(t)
+        df = read_iceberg(spark, t)
+        assert df.count() == 15
+        assert sorted(r.id for r in df.select("id").collect()) == list(range(15))
+        st = iceberg_meta_stats(t)
+        assert st["n_rows"] == 15
+        assert st["columns"]["id"] == {"null_count": 0, "min": 0, "max": 14}
+        assert st["columns"]["v"]["max"] == 14.0  # NaN-free double proof
+        # two snapshots in history, version hint bumped to 2
+        md = json.load(
+            open(os.path.join(t, "metadata", "v2.metadata.json"))
+        )
+        assert len(md["snapshots"]) == 2
+        assert open(os.path.join(t, "metadata", "version-hint.text")).read() == "2"
+        assert meta.snapshot_id == md["current-snapshot-id"]
+
+    def test_validate_after_append(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "tbl2")
+        write_iceberg_sink(
+            spark.range(0, 8).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        write_iceberg_sink(
+            spark.range(8, 12).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        st = iceberg_meta_stats(t)
+        schema = ps.DataFrameSchema(
+            {"v": ps.Column("double", ps.Check.le(11.0), nullable=False)}
+        )
+        res = schema.validate(read_iceberg(spark, t), file_stats=st)
+        assert res.passed  # le proven from manifest bounds + NaN proof
+
+
 class TestIcebergPartitionRunner:
     def test_manifest_run_over_iceberg_table(self, spark, iceberg_table, tmp_path):
         """PartitionedValidationRun over an Iceberg table DIRECTORY:
