@@ -150,8 +150,16 @@ def _localize(path: str, table_dir: str, location: str) -> str:
     return path
 
 
-def read_table_meta(table_dir: str) -> IcebergMeta:
-    """Parse metadata.json → current snapshot → manifests → data files."""
+def read_table_meta(
+    table_dir: str,
+    snapshot_id: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
+) -> IcebergMeta:
+    """Parse metadata.json → snapshot → manifests → data files.
+
+    Time travel: ``snapshot_id`` pins an exact snapshot;
+    ``as_of_ms`` picks the latest snapshot at or before the timestamp
+    (millis).  Default: the current snapshot."""
     mpath = _metadata_path(table_dir)
     md = json.load(open(mpath))
     location = md.get("location", table_dir)
@@ -186,16 +194,34 @@ def read_table_meta(table_dir: str) -> IcebergMeta:
         fields=fields,
         partition_cols=partition_cols,
     )
-    snap = next(
-        (
-            s
-            for s in md.get("snapshots", [])
-            if s.get("snapshot-id") == md.get("current-snapshot-id")
-        ),
-        None,
-    )
+    snapshots = md.get("snapshots", [])
+    if snapshot_id is not None:
+        snap = next(
+            (s for s in snapshots if s.get("snapshot-id") == snapshot_id), None
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not in {table_dir}")
+    elif as_of_ms is not None:
+        eligible = [
+            s for s in snapshots if s.get("timestamp-ms", 0) <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {as_of_ms} in {table_dir}"
+            )
+        snap = max(eligible, key=lambda s: s.get("timestamp-ms", 0))
+    else:
+        snap = next(
+            (
+                s
+                for s in snapshots
+                if s.get("snapshot-id") == md.get("current-snapshot-id")
+            ),
+            None,
+        )
     if snap is None:  # empty table
         return meta
+    meta.snapshot_id = snap.get("snapshot-id")
     mlist = _localize(snap["manifest-list"], table_dir, location)
     _, manifests = read_ocf(mlist)
     for mf in manifests:
@@ -321,11 +347,15 @@ def iceberg_meta_stats(
 
 
 def plan_files(
-    table_dir: str, partition_filter: Optional[dict] = None
+    table_dir: str,
+    partition_filter: Optional[dict] = None,
+    snapshot_id: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
 ) -> list[str]:
     """Live data-file paths, pruned by identity-partition equality
-    BEFORE any filesystem listing — manifest-level partition pruning."""
-    meta = read_table_meta(table_dir)
+    BEFORE any filesystem listing — manifest-level partition pruning.
+    ``snapshot_id`` / ``as_of_ms`` time-travel like read_table_meta."""
+    meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
     return [
         _localize(dfile["file_path"], table_dir, meta.location)
         for dfile in meta.data_files
@@ -333,9 +363,16 @@ def plan_files(
     ]
 
 
-def read_iceberg(spark, table_dir: str, partition_filter: Optional[dict] = None):
-    """DataFrame over the current snapshot's (pruned) data files."""
-    paths = plan_files(table_dir, partition_filter)
+def read_iceberg(
+    spark,
+    table_dir: str,
+    partition_filter: Optional[dict] = None,
+    snapshot_id: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
+):
+    """DataFrame over a snapshot's (pruned) data files — the current one
+    by default, or time-traveled via snapshot_id / as_of_ms."""
+    paths = plan_files(table_dir, partition_filter, snapshot_id, as_of_ms)
     if not paths:
         raise FileNotFoundError(
             f"no data files match in {table_dir} ({partition_filter=})"
@@ -550,6 +587,16 @@ def write_iceberg_table(
         if partition_by is None and spec_fields:
             partition_by = spec_fields[0]["name"]
         seq = existing.get("last-sequence-number", 0) + 1
+        # append schema guard: files whose column set diverges from the
+        # table schema would silently drop/NULL columns at read time
+        # (the planner reads them as plain parquet) — refuse instead
+        got = set(pq.ParquetFile(data_files[0]).schema_arrow.names)
+        if got != set(names):
+            raise ValueError(
+                f"appended files' columns {sorted(got)} do not match the "
+                f"table schema {sorted(names)} — schema evolution is not "
+                "supported by this metadata-level writer"
+            )
     else:
         # schema from the first file; field ids 1..n in order
         arrow_schema = pq.ParquetFile(data_files[0]).schema_arrow

@@ -189,6 +189,34 @@ class TestAppendSnapshots:
         assert open(os.path.join(t, "metadata", "version-hint.text")).read() == "2"
         assert meta.snapshot_id == md["current-snapshot-id"]
 
+    def test_time_travel(self, spark, tmp_path):
+        """snapshot_id / as_of_ms select historical snapshots."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "tt")
+        write_iceberg_sink(spark.range(0, 6).selectExpr("id"), t)
+        md1 = json.load(open(os.path.join(t, "metadata", "v1.metadata.json")))
+        first = md1["current-snapshot-id"]
+        first_ts = md1["snapshots"][0]["timestamp-ms"]
+        write_iceberg_sink(spark.range(6, 10).selectExpr("id"), t)
+        assert read_iceberg(spark, t).count() == 10
+        assert read_iceberg(spark, t, snapshot_id=first).count() == 6
+        assert read_iceberg(spark, t, as_of_ms=first_ts).count() == 6
+        with pytest.raises(ValueError, match="snapshot"):
+            read_iceberg(spark, t, snapshot_id=123456)
+        with pytest.raises(ValueError, match="no snapshot"):
+            read_iceberg(spark, t, as_of_ms=1)
+
+    def test_append_schema_mismatch_refused(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "sg")
+        write_iceberg_sink(spark.range(3).selectExpr("id"), t)
+        with pytest.raises(ValueError, match="do not match the"):
+            write_iceberg_sink(
+                spark.range(3).selectExpr("id", "id * 2 AS extra"), t
+            )
+
     def test_validate_after_append(self, spark, tmp_path):
         from pandera_spark.io.iceberg_meta import write_iceberg_sink
 
