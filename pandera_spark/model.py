@@ -77,13 +77,17 @@ def Field(**kw) -> Any:
 
 
 def check(*fields: str, **check_kw):
-    """Method decorator: custom check over named column(s).  The method is
-    a classmethod-style fn(cls, col_expr_or_series) per the declared
-    check_kw (vectorized=True → pandas Series contract)."""
+    """Method decorator: custom check over named column(s) — the method
+    receives ``(cls, series_or_column)`` like the reference's
+    ``@pa.check`` + ``@classmethod`` stack (the metaclass promotes plain
+    functions to classmethods automatically, so the explicit
+    ``@classmethod`` is optional here).  ``regex=True`` applies the
+    check to every column matching the (anchored) pattern."""
 
     def deco(fn):
-        fn.__pandera_check_fields__ = fields
-        fn.__pandera_check_kwargs__ = check_kw
+        target = fn.__func__ if isinstance(fn, (classmethod, staticmethod)) else fn
+        target.__pandera_check_fields__ = fields
+        target.__pandera_check_kwargs__ = check_kw
         return fn
 
     return deco
@@ -91,8 +95,9 @@ def check(*fields: str, **check_kw):
 
 def dataframe_check(fn=None, **check_kw):
     def deco(f):
-        f.__pandera_df_check__ = True
-        f.__pandera_check_kwargs__ = check_kw
+        target = f.__func__ if isinstance(f, (classmethod, staticmethod)) else f
+        target.__pandera_df_check__ = True
+        target.__pandera_check_kwargs__ = check_kw
         return f
 
     if fn is not None:
@@ -134,6 +139,21 @@ class _ModelMeta(type):
     def __new__(mcs, name, bases, ns):
         cls = super().__new__(mcs, name, bases, ns)
         cls.__schema_cache__ = None
+        # promote marked check methods to classmethods so they are
+        # called as (cls, series/column) — reference parity with
+        # @pa.check-over-@classmethod, without requiring the stack
+        for key, val in list(ns.items()):
+            fn = (
+                val.__func__
+                if isinstance(val, (classmethod, staticmethod))
+                else val
+            )
+            if callable(fn) and (
+                hasattr(fn, "__pandera_check_fields__")
+                or getattr(fn, "__pandera_df_check__", False)
+            ):
+                if not isinstance(val, (classmethod, staticmethod)):
+                    setattr(cls, key, classmethod(val))
         return cls
 
 
@@ -152,6 +172,43 @@ class DataFrameModel(metaclass=_ModelMeta):
 
     class Config:
         pass
+
+    def __init_subclass__(cls, **kwargs):
+        """Reference parity (pandera/api/dataframe/model.py:140-161): a
+        field RE-ANNOTATED in a subclass without an assigned Field gets a
+        fresh default FieldInfo — overriding ``b: str = Field(alias=...)``
+        with a bare ``b: int`` drops the alias instead of silently
+        inheriting it."""
+        super().__init_subclass__(**kwargs)
+        for fname in cls.__dict__.get("__annotations__", {}):
+            if not fname.startswith("_") and fname not in cls.__dict__:
+                setattr(cls, fname, FieldInfo())
+
+    @classmethod
+    def _config_options(cls) -> dict:
+        """Merge Config options across the MRO, root first — subclasses
+        override individual options without redeclaring the rest
+        (pandera/api/dataframe/model.py:384-407)."""
+        opts: dict = {}
+        for klass in reversed(cls.__mro__):
+            cfg = klass.__dict__.get("Config")
+            if cfg is not None:
+                opts.update(
+                    {
+                        k: v
+                        for k, v in vars(cfg).items()
+                        if not k.startswith("_")
+                    }
+                )
+        # name is per-class, never inherited: each subclass is its own
+        # schema unless ITS Config names it explicitly
+        own_cfg = cls.__dict__.get("Config")
+        opts["name"] = (
+            getattr(own_cfg, "name", cls.__name__)
+            if own_cfg is not None
+            else cls.__name__
+        )
+        return opts
 
     @classmethod
     def to_schema(cls) -> DataFrameSchema:
@@ -181,38 +238,54 @@ class DataFrameModel(metaclass=_ModelMeta):
                 description=info.description,
                 name=colname,
             )
-        # custom check methods
+        # custom check methods (dir() walks the MRO: inherited methods
+        # apply, a subclass method of the same name REPLACES the base's —
+        # pandera/api/dataframe/model.py:_collect_check_infos)
         df_checks: list[Check] = []
         for attr_name in dir(cls):
             attr = getattr(cls, attr_name)
             if callable(attr) and hasattr(attr, "__pandera_check_fields__"):
+                kw_all = dict(attr.__pandera_check_kwargs__)
+                regex = kw_all.pop("regex", False)
                 for fld in attr.__pandera_check_fields__:
-                    if fld not in columns:
-                        raise ValueError(f"@check field {fld!r} not a model column")
-                    kw = dict(attr.__pandera_check_kwargs__)
-                    columns[fld].checks.append(
-                        Check(attr, name=attr_name, error=attr_name, **kw)
-                    )
+                    if regex:
+                        import re as _re
+
+                        targets = [c for c in columns if _re.match(fld, c)]
+                        if not targets:
+                            raise ValueError(
+                                f"@check pattern {fld!r} matches no model column"
+                            )
+                    else:
+                        if fld not in columns:
+                            raise ValueError(
+                                f"@check field {fld!r} not a model column"
+                            )
+                        targets = [fld]
+                    for t in targets:
+                        columns[t].checks.append(
+                            Check(attr, name=attr_name, error=attr_name, **kw_all)
+                        )
             elif callable(attr) and getattr(attr, "__pandera_df_check__", False):
                 kw = dict(attr.__pandera_check_kwargs__)
                 df_checks.append(
                     Check(attr, name=attr_name, error=attr_name, df_level=True, **kw)
                 )
 
-        cfg = cls.Config
+        cfg = cls._config_options()
         schema = DataFrameSchema(
             columns=columns,
             checks=df_checks,
-            coerce=getattr(cfg, "coerce", False),
-            strict=getattr(cfg, "strict", False),
-            ordered=getattr(cfg, "ordered", False),
-            unique=getattr(cfg, "unique", None),
-            unique_column_names=getattr(cfg, "unique_column_names", False),
-            add_missing_columns=getattr(cfg, "add_missing_columns", False),
-            drop_invalid_rows=getattr(cfg, "drop_invalid_rows", False),
-            index_cols=getattr(cfg, "index_cols", None),
-            references=list(getattr(cfg, "references", [])),
-            name=getattr(cfg, "name", cls.__name__),
+            coerce=cfg.get("coerce", False),
+            strict=cfg.get("strict", False),
+            ordered=cfg.get("ordered", False),
+            unique=cfg.get("unique", None),
+            unique_column_names=cfg.get("unique_column_names", False),
+            add_missing_columns=cfg.get("add_missing_columns", False),
+            drop_invalid_rows=cfg.get("drop_invalid_rows", False),
+            index_cols=cfg.get("index_cols", None),
+            references=list(cfg.get("references", [])),
+            name=cfg.get("name", cls.__name__),
         )
         cls.__schema_cache__ = schema
         return schema

@@ -21,12 +21,11 @@ class Product(DataFrameModel):
         strict = True
 
     @check("price", vectorized=True)
-    def price_not_420(cls_or_series, *args):  # receives pd.Series
-        s = cls_or_series if args == () else args[0]
+    def price_not_420(cls, s):  # reference style: (cls, pd.Series)
         return s != 420
 
     @dataframe_check
-    def name_longer_than_category(df):
+    def name_longer_than_category(cls, df):
         return F.length("name") >= F.coalesce(F.length("category"), F.lit(0))
 
 
@@ -136,3 +135,148 @@ class TestDecorators:
         bad = spark.createDataFrame([(-2,)], "a bigint")
         with pytest.raises(SchemaErrors):
             f(bad)
+
+
+class TestModelInheritance:
+    """Mirrors of the reference's DataFrameModel inheritance goldens
+    (tests/core/test_model.py:499-521 field inheritance, :522-576 alias
+    inheritance/reset, :577-608 check override, :384-407 Config option
+    merging)."""
+
+    def test_inherit_fields_and_override_dtype(self):
+        """test_inherit_dataframemodel_fields (:499): columns inherit;
+        a re-annotation in the child overrides the dtype."""
+
+        class Base(DataFrameModel):
+            a: int
+
+        class Mid(Base):
+            b: str
+
+        class Child(Mid):
+            b: int  # override dtype
+
+        schema = Child.to_schema()
+        assert set(schema.columns) == {"a", "b"}
+        assert schema.columns["a"].dtype == "bigint"
+        assert schema.columns["b"].dtype == "bigint"
+        assert schema.name == "Child"
+
+    def test_alias_inheritance_and_reset(self):
+        """test_inherit_dataframemodel_fields_alias (:522): an alias
+        inherits untouched; a bare re-annotation RESETS the Field (alias
+        gone); a new Field replaces the alias; new fields append."""
+
+        class Base(DataFrameModel):
+            a: int
+
+        class Mid(Base):
+            b: str = Field(alias="_b")
+
+        class ChildOverrideAttr(Mid):
+            b: int  # bare re-annotation: alias must drop
+
+        class ChildOverrideAlias(Mid):
+            b: str = Field(alias="new_b")
+
+        class ChildNewAttr(Mid):
+            c: int
+
+        class ChildEmpty(Mid):
+            pass
+
+        assert set(Mid.to_schema().columns) == {"a", "_b"}
+        assert set(ChildOverrideAttr.to_schema().columns) == {"a", "b"}
+        assert ChildOverrideAttr.to_schema().columns["b"].dtype == "bigint"
+        assert set(ChildOverrideAlias.to_schema().columns) == {"a", "new_b"}
+        assert set(ChildNewAttr.to_schema().columns) == {"a", "_b", "c"}
+        assert set(ChildEmpty.to_schema().columns) == {"a", "_b"}
+        for m in (Mid, ChildOverrideAttr, ChildOverrideAlias, ChildNewAttr, ChildEmpty):
+            assert m.to_schema().name == m.__name__
+
+    def test_inherit_and_override_check_method(self, spark):
+        """test_inherit_field_checks (:577): checks inherit; a subclass
+        method of the same NAME replaces the base's."""
+
+        class Base(DataFrameModel):
+            a: int
+            abc: int
+
+            @check("a", vectorized=True)
+            def a_max(cls, s):
+                return s < 100
+
+            @check("a", vectorized=True)
+            def a_min(cls, s):
+                return s > 1
+
+        class Child(Base):
+            @check("a", vectorized=True)
+            def a_max(cls, s):  # noqa: F811 — override
+                return s < 10
+
+        schema = Child.to_schema()
+        assert len(schema.columns["a"].checks) == 2
+        assert len(schema.columns["abc"].checks) == 0
+        df = spark.createDataFrame([(15, 100)], "a bigint, abc bigint")
+        r = schema.validate(df)
+        assert not r.passed
+        failed = {c["check"] for c in r.check_results if not c["passed"]}
+        assert "a_max" in failed  # the CHILD's bound (15 < 10 fails)
+
+    def test_check_regex_targets(self, spark):
+        """test_check_regex (:479): @check('^a', regex=True) applies to
+        every matching column."""
+
+        class M(DataFrameModel):
+            alpha: int
+            abc: int
+            beta: int
+
+            @check("^a", regex=True, vectorized=True)
+            def positive(cls, s):
+                return s >= 0
+
+        schema = M.to_schema()
+        assert len(schema.columns["alpha"].checks) == 1
+        assert len(schema.columns["abc"].checks) == 1
+        assert len(schema.columns["beta"].checks) == 0
+        df = spark.createDataFrame(
+            [(1, -5, -7)], "alpha bigint, abc bigint, beta bigint"
+        )
+        r = schema.validate(df)
+        failed = {
+            c["column"] for c in r.check_results if not c["passed"]
+        }
+        assert failed == {"abc"}  # beta unchecked, alpha passes
+
+        class Bad(DataFrameModel):
+            a: int
+
+            @check("^zzz", regex=True, vectorized=True)
+            def nope(cls, s):
+                return s >= 0
+
+        with pytest.raises(ValueError, match="matches no model column"):
+            Bad.to_schema()
+
+    def test_config_options_merge_across_mro(self):
+        """Config merging (:384-407): a child Config overrides single
+        options and keeps the rest; name is per-class, never inherited."""
+
+        class Base(DataFrameModel):
+            a: int
+
+            class Config:
+                strict = True
+                coerce = True
+
+        class Child(Base):
+            class Config:
+                coerce = False  # override one option only
+
+        base_s, child_s = Base.to_schema(), Child.to_schema()
+        assert base_s.strict is True and base_s.coerce is True
+        assert child_s.strict is True  # inherited
+        assert child_s.coerce is False  # overridden
+        assert base_s.name == "Base" and child_s.name == "Child"
