@@ -19,6 +19,7 @@ from .iceberg_meta import (  # noqa: F401
     read_table_meta,
     write_iceberg_sink,
     write_iceberg_table,
+    write_position_deletes,
 )
 from .sources import (  # noqa: F401
     iceberg_footer_stats,

@@ -114,6 +114,10 @@ class IcebergMeta:
     data_files: list[dict] = field(default_factory=list)
     #: number of row-level DELETE files in the current snapshot
     delete_files: int = 0
+    #: position-delete (content=1) data_file dicts — applied on read
+    position_deletes: list[dict] = field(default_factory=list)
+    #: count of equality-delete (content=2) files — NOT applicable here
+    equality_deletes: int = 0
     #: identity-partition column names, spec order
     partition_cols: list[str] = field(default_factory=list)
 
@@ -231,10 +235,15 @@ def read_table_meta(
             if e.get("status") == 2:  # DELETED entry
                 continue
             df = e.get("data_file") or {}
-            if df.get("content", 0) != 0:
+            content = df.get("content", 0)
+            if content == 1:  # position delete file
                 meta.delete_files += 1
-                continue
-            meta.data_files.append(df)
+                meta.position_deletes.append(df)
+            elif content == 2:  # equality delete file
+                meta.delete_files += 1
+                meta.equality_deletes += 1
+            else:
+                meta.data_files.append(df)
     return meta
 
 
@@ -371,13 +380,56 @@ def read_iceberg(
     as_of_ms: Optional[int] = None,
 ):
     """DataFrame over a snapshot's (pruned) data files — the current one
-    by default, or time-traveled via snapshot_id / as_of_ms."""
-    paths = plan_files(table_dir, partition_filter, snapshot_id, as_of_ms)
+    by default, or time-traveled via snapshot_id / as_of_ms.
+
+    Row-level POSITION deletes (content=1) are applied merge-on-read:
+    Spark's ``_metadata.file_path`` / ``_metadata.row_index`` columns
+    identify each row's (file, position), and a left_anti join against
+    the delete files' (file_path, pos) removes deleted rows — position
+    collisions cannot cross files, so the path+pos key is exact.
+    Equality deletes (content=2) need sequence-number-aware predicate
+    evaluation and are refused rather than silently ignored."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    if meta.equality_deletes:
+        raise RuntimeError(
+            f"{table_dir} carries {meta.equality_deletes} EQUALITY delete "
+            "files — not supported by the metadata-level reader; compact "
+            "the table or read with an Iceberg runtime"
+        )
+    paths = [
+        _localize(dfile["file_path"], table_dir, meta.location)
+        for dfile in meta.data_files
+        if _part_match(dfile.get("partition") or {}, partition_filter)
+    ]
     if not paths:
         raise FileNotFoundError(
             f"no data files match in {table_dir} ({partition_filter=})"
         )
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if meta.position_deletes:
+
+        def norm(c):  # file:/x, file:///x and /x all become /x
+            return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+        del_paths = [
+            _localize(d["file_path"], table_dir, meta.location)
+            for d in meta.position_deletes
+        ]
+        dels = spark.read.parquet(*del_paths).select(
+            norm(F.col("file_path")).alias("__fp__"),
+            F.col("pos").alias("__pos__"),
+        )
+        df = (
+            df.withColumn("__fp__", norm(F.col("_metadata.file_path")))
+            .withColumn("__pos__", F.col("_metadata.row_index"))
+            # delete sets are usually tiny but data-dependent: AQE
+            # decides the join strategy (never force-broadcast)
+            .join(dels, ["__fp__", "__pos__"], "left_anti")
+            .drop("__fp__", "__pos__")
+        )
+    return df
 
 
 def write_iceberg_sink(df, table_dir: str) -> None:
@@ -697,51 +749,86 @@ def write_iceberg_table(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
-    # an append snapshot's manifest list carries the PRIOR snapshot's
-    # manifests plus the new one (manifests are immutable)
-    manifests = [new_manifest]
-    if existing is not None and existing.get("current-snapshot-id"):
-        prev_snap = next(
-            (
-                s
-                for s in existing.get("snapshots", [])
-                if s["snapshot-id"] == existing["current-snapshot-id"]
-            ),
-            None,
-        )
-        if prev_snap:
-            prev_list = _localize(
-                prev_snap["manifest-list"],
-                table_dir,
-                existing.get("location", table_dir),
-            )
-            _, prev_manifests = read_ocf(prev_list)
-            known = {f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]}
-            manifests += [
-                {k: v for k, v in m.items() if k in known}
-                for m in prev_manifests
-            ]
-    mlist_path = os.path.join(
+    _commit_snapshot(
         table_dir,
-        "metadata",
-        f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+        existing,
+        new_manifest,
+        snapshot_id,
+        seq,
+        operation="append",
+        create_md=None
+        if existing is not None
+        else {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": os.path.abspath(table_dir),
+            "last-column-id": max(fids.values()),
+            "schemas": [schema_json],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 if spec_fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+        },
+        schema_id=schema_json.get("schema-id", 0),
+    )
+
+
+def _prior_manifests(table_dir: str, existing: dict) -> list[dict]:
+    """The current snapshot's manifest_file records, trimmed to the
+    fields this writer's schema carries (manifests are immutable — a new
+    snapshot's list references them verbatim)."""
+    if not existing.get("current-snapshot-id"):
+        return []
+    prev_snap = next(
+        (
+            s
+            for s in existing.get("snapshots", [])
+            if s["snapshot-id"] == existing["current-snapshot-id"]
+        ),
+        None,
+    )
+    if not prev_snap:
+        return []
+    prev_list = _localize(
+        prev_snap["manifest-list"], table_dir, existing.get("location", table_dir)
+    )
+    _, prev = read_ocf(prev_list)
+    known = {f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]}
+    return [{k: v for k, v in m.items() if k in known} for m in prev]
+
+
+def _commit_snapshot(
+    table_dir: str,
+    existing: Optional[dict],
+    new_manifest: dict,
+    snapshot_id: int,
+    seq: int,
+    operation: str,
+    create_md: Optional[dict],
+    schema_id: int = 0,
+) -> None:
+    """Write the manifest list (new manifest + prior snapshot's), append
+    the snapshot to history, and bump vN.metadata.json + version hint."""
+    manifests = [new_manifest]
+    if existing is not None:
+        manifests += _prior_manifests(table_dir, existing)
+    mlist_path = os.path.join(
+        table_dir, "metadata", f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
     write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA, manifests)
-
     now_ms = int(time.time() * 1000)
     snapshot_entry = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(mlist_path),
-        "summary": {"operation": "append"},
-        "schema-id": schema_json.get("schema-id", 0),
+        "summary": {"operation": operation},
+        "schema-id": schema_id,
     }
     if existing is not None:
         md = dict(existing)
-        md["last-sequence-number"] = seq
-        md["last-updated-ms"] = now_ms
-        md["current-snapshot-id"] = snapshot_id
         md["snapshots"] = list(existing.get("snapshots", [])) + [snapshot_entry]
         base = os.path.basename(_metadata_path(table_dir)).split(".")[0]
         try:
@@ -752,27 +839,92 @@ def write_iceberg_table(
                 + 1
             )
     else:
-        md = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": os.path.abspath(table_dir),
-            "last-sequence-number": seq,
-            "last-updated-ms": now_ms,
-            "last-column-id": max(fids.values()),
-            "schemas": [schema_json],
-            "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "default-spec-id": 0,
-            "last-partition-id": 1000 if spec_fields else 999,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
-            "current-snapshot-id": snapshot_id,
-            "snapshots": [snapshot_entry],
-        }
+        md = dict(create_md)
+        md["snapshots"] = [snapshot_entry]
         version = 1
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = now_ms
+    md["current-snapshot-id"] = snapshot_id
     with open(
         os.path.join(table_dir, "metadata", f"v{version}.metadata.json"), "w"
     ) as f:
         json.dump(md, f, indent=1)
     with open(os.path.join(table_dir, "metadata", "version-hint.text"), "w") as f:
         f.write(str(version))
+
+
+def write_position_deletes(table_dir: str, deletes: dict[str, list[int]]) -> None:
+    """Commit a row-level DELETE snapshot: ``deletes`` maps data-file
+    paths to the 0-based row positions to remove.  Writes a position
+    delete file (parquet: file_path, pos — spec v2 content=1) plus its
+    manifest, and a snapshot whose list carries every prior manifest;
+    ``read_iceberg`` applies it merge-on-read via _metadata.row_index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    existing = json.load(open(_metadata_path(table_dir)))
+    seq = existing.get("last-sequence-number", 0) + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    fps: list[str] = []
+    poss: list[int] = []
+    for path, positions in sorted(deletes.items()):
+        ap = os.path.abspath(path)
+        for p in sorted(positions):
+            fps.append(ap)
+            poss.append(int(p))
+    if not fps:
+        raise ValueError("write_position_deletes: empty delete set")
+    dpath = os.path.join(table_dir, "data", f"delete-{uuid.uuid4().hex[:12]}.parquet")
+    os.makedirs(os.path.dirname(dpath), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(fps, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": os.path.abspath(dpath),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(fps),
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "value_counts": None,
+            "null_value_counts": [],
+            "nan_value_counts": [],
+            "lower_bounds": [],
+            "upper_bounds": [],
+        },
+    }
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+    )
+    write_ocf(manifest_path, _manifest_entry_schema([]), [entry])
+    new_manifest = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(fps),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    _commit_snapshot(
+        table_dir, existing, new_manifest, snapshot_id, seq,
+        operation="delete", create_md=None,
+        schema_id=existing.get("current-schema-id", 0),
+    )

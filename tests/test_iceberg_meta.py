@@ -349,6 +349,84 @@ class TestIcebergPartitionRunner:
             assert res[p].n_rows == res2[p].n_rows
 
 
+class TestPositionDeletes:
+    def test_merge_on_read(self, spark, tmp_path):
+        """Position deletes apply on read via _metadata.row_index; the
+        pre-delete snapshot still time-travels to the full data; stats
+        refuse (they describe pre-delete files)."""
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "mor")
+        write_iceberg_sink(
+            spark.range(0, 10).coalesce(1).selectExpr("id"), t
+        )
+        meta = read_table_meta(t)
+        pre_snapshot = meta.snapshot_id
+        # delete rows 0 and 2 of the first data file (positions within file)
+        target = _localize_path(meta.data_files[0]["file_path"])
+        write_position_deletes(t, {target: [0, 2]})
+        df = read_iceberg(spark, t)
+        assert df.count() == 8
+        # which ids were deleted depends on file order; verify against
+        # the file's own first/third rows
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(target)
+        removed = {tbl["id"][0].as_py(), tbl["id"][2].as_py()}
+        assert set(r.id for r in df.collect()) == set(range(10)) - removed
+        # pre-delete snapshot unaffected
+        assert read_iceberg(spark, t, snapshot_id=pre_snapshot).count() == 10
+        with pytest.raises(RuntimeError, match="delete"):
+            iceberg_meta_stats(t)
+
+    def test_second_append_after_delete_still_applies(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "mor2")
+        write_iceberg_sink(spark.range(0, 5).selectExpr("id"), t)
+        meta = read_table_meta(t)
+        target = _localize_path(meta.data_files[0]["file_path"])
+        write_position_deletes(t, {target: [0]})
+        write_iceberg_sink(spark.range(5, 8).selectExpr("id"), t)
+        df = read_iceberg(spark, t)
+        assert df.count() == 7  # 5 - 1 + 3
+
+    def test_equality_deletes_refused(self, spark, tmp_path):
+        import shutil
+
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "eq")
+        write_iceberg_sink(spark.range(4).selectExpr("id"), t)
+        mpath = glob.glob(os.path.join(t, "metadata", "*-m0.avro"))[0]
+        schema, entries = read_ocf(mpath)
+        entries[0]["data_file"]["content"] = 2  # equality delete
+        write_ocf(mpath, schema, entries)
+        with pytest.raises(RuntimeError, match="EQUALITY"):
+            read_iceberg(spark, t)
+
+    def test_empty_delete_set_rejected(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "ed")
+        write_iceberg_sink(spark.range(3).selectExpr("id"), t)
+        with pytest.raises(ValueError, match="empty delete set"):
+            write_position_deletes(t, {})
+
+
+def _localize_path(p: str) -> str:
+    return p[len("file://"):] if p.startswith("file://") else p
+
+
 class TestIcebergValidateShortCircuit:
     def test_float_upper_bound_proven_via_nan_proof(
         self, spark, iceberg_table
