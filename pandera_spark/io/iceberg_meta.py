@@ -145,10 +145,12 @@ def _metadata_path(table_dir: str) -> str:
 
 def _localize(path: str, table_dir: str, location: str) -> str:
     """Manifest paths are absolute URIs from the writer's filesystem;
-    re-root them under ``table_dir`` so relocated tables still read."""
-    for prefix in (location, location.rstrip("/")):
-        if prefix and path.startswith(prefix):
-            return table_dir.rstrip("/") + path[len(prefix.rstrip("/")):]
+    re-root them under ``table_dir`` so relocated tables still read.
+    Prefix matching is boundary-aware: '/data/ice' must not capture
+    '/data/iceberg-staging/...'."""
+    loc = (location or "").rstrip("/")
+    if loc and (path == loc or path.startswith(loc + "/")):
+        return table_dir.rstrip("/") + path[len(loc):]
     if path.startswith("file://"):
         return path[len("file://"):]
     return path
@@ -363,8 +365,18 @@ def plan_files(
 ) -> list[str]:
     """Live data-file paths, pruned by identity-partition equality
     BEFORE any filesystem listing — manifest-level partition pruning.
-    ``snapshot_id`` / ``as_of_ms`` time-travel like read_table_meta."""
+    ``snapshot_id`` / ``as_of_ms`` time-travel like read_table_meta.
+
+    Refuses snapshots carrying row-level delete files: a caller scanning
+    the returned paths would read deleted rows back — use
+    ``read_iceberg`` (applies position deletes merge-on-read)."""
     meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    if meta.delete_files:
+        raise RuntimeError(
+            f"{table_dir} carries {meta.delete_files} row-level delete "
+            "files: a raw file list would include deleted rows — read "
+            "through read_iceberg (merge-on-read) instead"
+        )
     return [
         _localize(dfile["file_path"], table_dir, meta.location)
         for dfile in meta.data_files
@@ -409,6 +421,7 @@ def read_iceberg(
         )
     df = spark.read.parquet(*paths)
     if meta.position_deletes:
+        import re as _re
 
         def norm(c):  # file:/x, file:///x and /x all become /x
             return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
@@ -417,8 +430,17 @@ def read_iceberg(
             _localize(d["file_path"], table_dir, meta.location)
             for d in meta.position_deletes
         ]
+        # the file_path VALUES inside delete files are absolute from
+        # write time — re-root them exactly like _localize does for
+        # manifest paths, or a relocated table would anti-join nothing
+        # and silently resurrect deleted rows (review r4)
+        fp = norm(F.col("file_path"))
+        loc = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", (meta.location or "").rstrip("/"))
+        tdir = os.path.abspath(table_dir)
+        if loc and loc != tdir:
+            fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
         dels = spark.read.parquet(*del_paths).select(
-            norm(F.col("file_path")).alias("__fp__"),
+            fp.alias("__fp__"),
             F.col("pos").alias("__pos__"),
         )
         df = (
@@ -445,6 +467,11 @@ def write_iceberg_sink(df, table_dir: str) -> None:
         for p in glob.glob(os.path.join(batch, "*.parquet"))
         if not os.path.basename(p).startswith(("_", "."))
     )
+    if not files:  # legal empty append → documented no-op
+        import shutil
+
+        shutil.rmtree(batch, ignore_errors=True)
+        return
     write_iceberg_table(table_dir, files)
 
 
@@ -564,12 +591,14 @@ def _file_stats(path: str, fids: dict[str, int], types: dict[str, str]) -> dict:
     nans: dict[int, int] = {}
     float_cols = [n for n, t in types.items() if t in ("float", "double")]
     if float_cols:
-        import numpy as np
+        import pyarrow.compute as pc
 
         tbl = pf.read(columns=float_cols)
         for n in float_cols:
-            arr = tbl[n].to_numpy(zero_copy_only=False)
-            nans[fids[n]] = int(np.isnan(arr.astype("float64")).sum())
+            # pc.is_nan propagates nulls and pc.sum skips them — a NULL
+            # is NOT a NaN (to_numpy would render nulls as NaN and
+            # falsely defeat the NaN-absence proof on nullable floats)
+            nans[fids[n]] = int(pc.sum(pc.is_nan(tbl[n])).as_py() or 0)
     lower, upper = [], []
     for name, fid in fids.items():
         if not ok_mm.get(fid, True) or fid not in los:
@@ -611,6 +640,11 @@ def write_iceberg_table(
     import pyarrow.parquet as pq
     import shutil
 
+    if not data_files:
+        raise ValueError(
+            "write_iceberg_table: empty data_files — nothing to commit "
+            "(write_iceberg_sink treats an empty batch as a no-op)"
+        )
     os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
 
@@ -691,13 +725,24 @@ def write_iceberg_table(
     total_rows = 0
     for src in data_files:
         dst = src
-        if not os.path.abspath(src).startswith(os.path.abspath(table_dir)):
-            dst = os.path.join(table_dir, "data", os.path.basename(src))
-            if not os.path.exists(dst):
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
+        # boundary-aware containment ('/a/tbl' must not capture
+        # '/a/tblX/...'); external files get a UNIQUE dst name — hive
+        # output reuses identical basenames across partition dirs, and
+        # colliding on basename would silently duplicate one file's
+        # rows and drop the other's (review r4)
+        inside = os.path.abspath(src).startswith(
+            os.path.abspath(table_dir) + os.sep
+        )
+        if not inside:
+            dst = os.path.join(
+                table_dir,
+                "data",
+                f"{uuid.uuid4().hex[:8]}-{os.path.basename(src)}",
+            )
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
         st = _file_stats(dst, fids, types)
         if st["record_count"] == 0:
             # empty part files (over-parallel writes) are never
@@ -730,6 +775,15 @@ def write_iceberg_table(
             }
         )
 
+    if not entries:
+        # every file was 0-row (Spark writes empty part files for empty
+        # frames): an append commits nothing; a create has no table
+        if existing is not None:
+            return
+        raise ValueError(
+            "write_iceberg_table: all data files are empty — no table "
+            "to create"
+        )
     manifest_path = os.path.join(
         table_dir, "metadata", f"{uuid.uuid4().hex}-m0.avro"
     )

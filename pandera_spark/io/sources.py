@@ -261,15 +261,21 @@ def read_table(
     """
     if fmt == "iceberg" or (fmt == "auto" and "/" not in source and iceberg_available(spark)):
         df = spark.read.format("iceberg").load(source)
-    elif fmt in ("auto", "iceberg-meta") and os.path.isdir(
-        os.path.join(source, "metadata")
-    ) and glob.glob(os.path.join(source, "metadata", "*.metadata.json")):
+    elif fmt in ("auto", "iceberg-meta") and glob.glob(
+        os.path.join(source, "metadata", "*.metadata.json")
+    ):
         # Iceberg TABLE DIRECTORY without a runtime jar: plan the current
         # snapshot's data files from the (pure-Python-read) manifests —
         # see io.iceberg_meta
         from .iceberg_meta import read_iceberg
 
         df = read_iceberg(spark, source)
+    elif fmt == "iceberg-meta":
+        raise FileNotFoundError(
+            f"no Iceberg metadata under {source}/metadata — "
+            "fmt='iceberg-meta' requires a table directory with "
+            "*.metadata.json"
+        )
     elif fmt in ("auto", "parquet"):
         df = spark.read.parquet(source)
     else:

@@ -216,6 +216,7 @@ class DataFrameModel(metaclass=_ModelMeta):
             return cls.__schema_cache__
         hints = typing.get_type_hints(cls)
         columns: dict[str, Column] = {}
+        attr_to_col: dict[str, str] = {}  # field attr name → column key (alias)
         for fname, ann in hints.items():
             if fname.startswith("_"):
                 continue
@@ -224,6 +225,7 @@ class DataFrameModel(metaclass=_ModelMeta):
             if not isinstance(info, FieldInfo):
                 info = FieldInfo()
             colname = info.alias or fname
+            attr_to_col[fname] = colname
             columns[colname] = Column(
                 dtype=dtype,
                 checks=list(info.checks),
@@ -248,20 +250,31 @@ class DataFrameModel(metaclass=_ModelMeta):
                 kw_all = dict(attr.__pandera_check_kwargs__)
                 regex = kw_all.pop("regex", False)
                 for fld in attr.__pandera_check_fields__:
+                    # resolve by FIELD (attribute) name, mapping through
+                    # the alias — @check("b") must find b even when the
+                    # column key is Field(alias="_b") (reference
+                    # _collect_check_infos semantics)
                     if regex:
                         import re as _re
 
-                        targets = [c for c in columns if _re.match(fld, c)]
+                        targets = [
+                            col
+                            for fname, col in attr_to_col.items()
+                            if _re.match(fld, fname)
+                        ]
                         if not targets:
                             raise ValueError(
-                                f"@check pattern {fld!r} matches no model column"
+                                f"@check pattern {fld!r} matches no model field"
                             )
                     else:
-                        if fld not in columns:
+                        if fld in attr_to_col:
+                            targets = [attr_to_col[fld]]
+                        elif fld in columns:  # direct alias reference
+                            targets = [fld]
+                        else:
                             raise ValueError(
                                 f"@check field {fld!r} not a model column"
                             )
-                        targets = [fld]
                     for t in targets:
                         columns[t].checks.append(
                             Check(attr, name=attr_name, error=attr_name, **kw_all)

@@ -119,24 +119,43 @@ def _iceberg_lineitem(sf_dir: str) -> str:
 
     from .io.iceberg_meta import write_iceberg_table
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"pandera_iceberg_li_{key}")
-    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
-        src = f"{sf_dir}/lineitem.parquet"
-        if os.path.isdir(src):
-            files = sorted(
-                p
-                for p in _glob.glob(
-                    os.path.join(src, "**", "*.parquet"), recursive=True
-                )
-                if not any(
-                    part.startswith(("_", "."))
-                    for part in os.path.relpath(p, src).split(os.sep)
-                )
+    src = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(src):
+        files = sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(src, "**", "*.parquet"), recursive=True
             )
-        else:
-            files = [src]
-        write_iceberg_table(tdir, files)
+            if not any(
+                part.startswith(("_", "."))
+                for part in os.path.relpath(p, src).split(os.sep)
+            )
+        )
+    else:
+        files = [src]
+    # cache key covers CONTENT (path + per-file size/mtime): a
+    # regenerated fixture gets a fresh table instead of stale hard links
+    h = hashlib.md5(sf_dir.encode())
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"pandera_iceberg_li_{h.hexdigest()[:12]}"
+    )
+    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
+        # build in a private dir, atomically rename into place — two
+        # concurrent gate runs must not interleave writes
+        import shutil
+        import uuid as _uuid
+
+        tmp = f"{tdir}.build-{_uuid.uuid4().hex[:8]}"
+        write_iceberg_table(tmp, files)
+        # the table's metadata embeds its own location: rewrite via a
+        # relocation-safe read is unnecessary — _localize re-roots paths
+        try:
+            os.rename(tmp, tdir)
+        except OSError:  # lost the race: another process built it
+            shutil.rmtree(tmp, ignore_errors=True)
     return tdir
 
 

@@ -178,8 +178,15 @@ class PartitionedValidationRun:
         if not self.use_file_stats or self.source_desc == "dataframe":
             return None
         # Iceberg table directory: partition-scoped stats straight from
-        # the manifests (null/NaN counts + bounds), no footer walk
-        if os.path.isdir(os.path.join(self.source_desc, "metadata")):
+        # the manifests (null/NaN counts + bounds), no footer walk.
+        # Detection matches io.sources.read_table (metadata.json glob) —
+        # a hive source that merely CONTAINS a 'metadata' subdir falls
+        # through to the partition-dir footer path below
+        import glob as _glob
+
+        if _glob.glob(
+            os.path.join(self.source_desc, "metadata", "*.metadata.json")
+        ):
             try:
                 from ..io.iceberg_meta import iceberg_meta_stats
 

@@ -473,3 +473,91 @@ class TestIcebergValidateShortCircuit:
         res = schema.validate(df, file_stats=st, collect_stats=True)
         assert res.passed
         assert res.stats["y"]["max"] == 0.9
+
+
+class TestReviewRegressions:
+    """Round-4 second-review findings on the Iceberg layer."""
+
+    def test_deletes_survive_relocation(self, spark, tmp_path):
+        """Delete-file path values re-root with the table: a relocated
+        MOR table must NOT resurrect deleted rows."""
+        import shutil
+
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "orig")
+        write_iceberg_sink(spark.range(0, 10).coalesce(1).selectExpr("id"), t)
+        meta = read_table_meta(t)
+        target = _localize_path(meta.data_files[0]["file_path"])
+        write_position_deletes(t, {target: [0, 1, 2]})
+        assert read_iceberg(spark, t).count() == 7
+        moved = str(tmp_path / "moved")
+        shutil.copytree(t, moved)
+        shutil.rmtree(t)  # the original is GONE — stale paths can't hide
+        assert read_iceberg(spark, moved).count() == 7
+
+    def test_same_basename_files_both_committed(self, spark, tmp_path):
+        """Hive output reuses basenames across partition dirs — both
+        files must land with distinct names and all rows preserved."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d0, d1 = tmp_path / "p=0", tmp_path / "p=1"
+        d0.mkdir(), d1.mkdir()
+        pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), str(d0 / "part-00000.parquet"))
+        pq.write_table(pa.table({"id": pa.array([3, 4, 5], pa.int64())}), str(d1 / "part-00000.parquet"))
+        t = str(tmp_path / "tbl")
+        write_iceberg_table(t, [str(d0 / "part-00000.parquet"), str(d1 / "part-00000.parquet")])
+        df = read_iceberg(spark, t)
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
+        st = iceberg_meta_stats(t)
+        assert st["n_rows"] == 5 and st["columns"]["id"]["max"] == 5
+
+    def test_nulls_are_not_nans(self, tmp_path):
+        """A nullable double column with NULLs (but no NaN) must keep
+        its NaN-absence proof — nulls are not NaNs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = str(tmp_path / "n.parquet")
+        pq.write_table(
+            pa.table({"v": pa.array([1.0, None, 3.0, None], pa.float64())}), f
+        )
+        t = str(tmp_path / "tbl")
+        write_iceberg_table(t, [f])
+        st = iceberg_meta_stats(t)
+        v = st["columns"]["v"]
+        assert v["null_count"] == 2
+        assert v["min"] == 1.0 and v["max"] == 3.0  # NaN proof intact
+
+    def test_plan_files_refuses_deletes(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "pf")
+        write_iceberg_sink(spark.range(5).coalesce(1).selectExpr("id"), t)
+        target = _localize_path(read_table_meta(t).data_files[0]["file_path"])
+        write_position_deletes(t, {target: [0]})
+        with pytest.raises(RuntimeError, match="read_iceberg"):
+            plan_files(t)
+
+    def test_empty_sink_is_noop(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "empty")
+        write_iceberg_sink(spark.range(3).selectExpr("id"), t)
+        empty = spark.range(3).filter("id > 99").selectExpr("id")
+        write_iceberg_sink(empty, t)  # no-op, no crash
+        assert read_iceberg(spark, t).count() == 3
+        assert open(os.path.join(t, "metadata", "version-hint.text")).read() == "1"
+
+    def test_fmt_iceberg_meta_clear_error(self, spark, tmp_path):
+        from pandera_spark.io import read_table
+
+        with pytest.raises(FileNotFoundError, match="no Iceberg metadata"):
+            read_table(spark, str(tmp_path / "nope"), fmt="iceberg-meta")

@@ -257,7 +257,7 @@ class TestModelInheritance:
             def nope(cls, s):
                 return s >= 0
 
-        with pytest.raises(ValueError, match="matches no model column"):
+        with pytest.raises(ValueError, match="matches no model field"):
             Bad.to_schema()
 
     def test_config_options_merge_across_mro(self):
@@ -280,3 +280,38 @@ class TestModelInheritance:
         assert child_s.strict is True  # inherited
         assert child_s.coerce is False  # overridden
         assert base_s.name == "Base" and child_s.name == "Child"
+
+
+class TestAliasCheckResolution:
+    """Review r4: @check resolves FIELD (attribute) names through the
+    alias, like the reference's _collect_check_infos."""
+
+    def test_check_on_aliased_field(self, spark):
+        class M(DataFrameModel):
+            b: int = Field(alias="_b")
+
+            @check("b", vectorized=True)
+            def b_small(cls, s):
+                return s < 10
+
+        schema = M.to_schema()
+        assert len(schema.columns["_b"].checks) == 1
+        df = spark.createDataFrame([(50,)], "_b bigint")
+        r = schema.validate(df)
+        assert not r.passed
+        assert any(c["check"] == "b_small" and not c["passed"] for c in r.check_results)
+
+    def test_regex_check_matches_field_names_not_aliases(self):
+        class M(DataFrameModel):
+            alpha: int = Field(alias="renamed totally")
+            beta: int
+
+            @check("^a", regex=True, vectorized=True)
+            def nonneg(cls, s):
+                return s >= 0
+
+        schema = M.to_schema()
+        # the FIELD name alpha matches ^a even though its column key is
+        # the alias; beta does not
+        assert len(schema.columns["renamed totally"].checks) == 1
+        assert len(schema.columns["beta"].checks) == 0
