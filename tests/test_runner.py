@@ -526,3 +526,44 @@ class TestRunnerCLI:
         assert out["partitions"] == 2 and out["ok"] == 2
         assert out["n_rows"] == 40
         assert out["table_profile"]["columns"]["x"]["count"] == 40
+
+    def test_main_over_iceberg_table(self, spark, tmp_path, capsys):
+        """The same CLI pointed at an Iceberg table DIRECTORY: files
+        planned from manifests, per-partition stats from manifest
+        entries — the north rule's Iceberg deployment shape without a
+        runtime jar."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pandera_spark.io.iceberg_meta import write_iceberg_table
+        from pandera_spark.io.serialization import to_json
+        from pandera_spark.runner.__main__ import main
+
+        f0, f1 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({
+            "x": pa.array(range(0, 20), pa.int64()),
+            "part_id": pa.array([0] * 20, pa.int32()),
+        }), f0)
+        pq.write_table(pa.table({
+            "x": pa.array(range(20, 40), pa.int64()),
+            "part_id": pa.array([1] * 20, pa.int32()),
+        }), f1)
+        src = str(tmp_path / "ice")
+        write_iceberg_table(
+            src, [f0, f1], partition_by="part_id",
+            partition_values={f0: 0, f1: 1},
+        )
+        schema = DataFrameSchema(
+            {"x": Column("long", checks=Check.in_range(0, 100), nullable=False)},
+            name="cli_ice",
+        )
+        spath = str(tmp_path / "schema.json")
+        to_json(schema, spath)
+        rc = main([
+            "--schema", spath, "--source", src, "--partition-col", "part_id",
+            "--output", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["partitions"] == 2 and out["ok"] == 2
+        assert out["n_rows"] == 40
