@@ -419,39 +419,69 @@ def read_iceberg(
         raise FileNotFoundError(
             f"no data files match in {table_dir} ({partition_filter=})"
         )
-    df = spark.read.parquet(*paths)
-    if meta.position_deletes:
-        import re as _re
+    if not meta.position_deletes:
+        return spark.read.parquet(*paths)
 
-        def norm(c):  # file:/x, file:///x and /x all become /x
-            return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    import re as _re
 
-        del_paths = [
-            _localize(d["file_path"], table_dir, meta.location)
-            for d in meta.position_deletes
-        ]
-        # the file_path VALUES inside delete files are absolute from
-        # write time — re-root them exactly like _localize does for
-        # manifest paths, or a relocated table would anti-join nothing
-        # and silently resurrect deleted rows (review r4)
-        fp = norm(F.col("file_path"))
-        loc = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", (meta.location or "").rstrip("/"))
-        tdir = os.path.abspath(table_dir)
-        if loc and loc != tdir:
-            fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
-        dels = spark.read.parquet(*del_paths).select(
-            fp.alias("__fp__"),
-            F.col("pos").alias("__pos__"),
+    def norm_py(p: str) -> str:  # file:/x, file:///x and /x → /x
+        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
+
+    def norm(c):
+        return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+    # the file_path VALUES inside delete files are absolute from write
+    # time — re-root them exactly like _localize does for manifest
+    # paths, or a relocated table would anti-join nothing and silently
+    # resurrect deleted rows (review r4)
+    loc = norm_py((meta.location or "").rstrip("/"))
+    tdir = os.path.abspath(table_dir)
+
+    def reroot_py(p: str) -> str:
+        p = norm_py(p)
+        if loc and loc != tdir and (p == loc or p.startswith(loc + "/")):
+            return tdir + p[len(loc):]
+        return p
+
+    del_paths = [
+        _localize(d["file_path"], table_dir, meta.location)
+        for d in meta.position_deletes
+    ]
+    # 100-TB shape: only the FILES actually referenced by delete rows
+    # need the anti-join — delete files are tiny (driver-read via
+    # pyarrow), so split the scan: untouched files stream through with
+    # no _metadata columns and no join at all
+    import pyarrow.parquet as _pq
+
+    affected = set()
+    for dp in del_paths:
+        affected.update(
+            reroot_py(v)
+            for v in _pq.read_table(dp, columns=["file_path"])["file_path"]
+            .to_pylist()
         )
-        df = (
-            df.withColumn("__fp__", norm(F.col("_metadata.file_path")))
-            .withColumn("__pos__", F.col("_metadata.row_index"))
-            # delete sets are usually tiny but data-dependent: AQE
-            # decides the join strategy (never force-broadcast)
-            .join(dels, ["__fp__", "__pos__"], "left_anti")
-            .drop("__fp__", "__pos__")
-        )
-    return df
+    clean = [p for p in paths if norm_py(os.path.abspath(p)) not in affected]
+    dirty = [p for p in paths if norm_py(os.path.abspath(p)) in affected]
+    if not dirty:  # deletes target files outside this snapshot/pruning
+        return spark.read.parquet(*paths)
+    fp = norm(F.col("file_path"))
+    if loc and loc != tdir:
+        fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
+    dels = spark.read.parquet(*del_paths).select(
+        fp.alias("__fp__"), F.col("pos").alias("__pos__")
+    )
+    merged = (
+        spark.read.parquet(*dirty)
+        .withColumn("__fp__", norm(F.col("_metadata.file_path")))
+        .withColumn("__pos__", F.col("_metadata.row_index"))
+        # delete sets are usually tiny but data-dependent: AQE decides
+        # the join strategy (never force-broadcast)
+        .join(dels, ["__fp__", "__pos__"], "left_anti")
+        .drop("__fp__", "__pos__")
+    )
+    if clean:
+        merged = spark.read.parquet(*clean).unionByName(merged)
+    return merged
 
 
 def write_iceberg_sink(df, table_dir: str) -> None:
