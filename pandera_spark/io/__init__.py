@@ -25,5 +25,6 @@ from .sources import (  # noqa: F401
     iceberg_footer_stats,
     parquet_footer_stats,
     read_table,
+    validate_table,
     write_table,
 )

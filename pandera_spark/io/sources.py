@@ -285,6 +285,38 @@ def read_table(
     return df
 
 
+def validate_table(
+    spark: SparkSession,
+    source: str,
+    schema,
+    use_file_stats: bool = True,
+    **validate_kw,
+):
+    """One-call table validation: read ``source`` (Iceberg table dir,
+    catalog table, or parquet path), attach the best available file
+    statistics, and validate.
+
+    Stats resolution: Iceberg table dirs use manifest-level
+    ``iceberg_meta_stats`` (incl. the NaN proof); parquet paths use
+    ``parquet_footer_stats``; anything else (or a stats failure, e.g. a
+    delete-carrying Iceberg snapshot whose statistics describe
+    pre-delete files) falls back to a plain scan — stats are an
+    optimization, never a requirement."""
+    df = read_table(spark, source)
+    fs = None
+    if use_file_stats:
+        try:
+            if glob.glob(os.path.join(source, "metadata", "*.metadata.json")):
+                from .iceberg_meta import iceberg_meta_stats
+
+                fs = iceberg_meta_stats(source)
+            elif os.path.exists(source):
+                fs = parquet_footer_stats(source)
+        except Exception:  # noqa: BLE001 — fall back to the scan
+            fs = None
+    return schema.validate(df, file_stats=fs, **validate_kw)
+
+
 def write_table(
     df: DataFrame,
     target: str,

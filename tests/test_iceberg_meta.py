@@ -561,3 +561,64 @@ class TestReviewRegressions:
 
         with pytest.raises(FileNotFoundError, match="no Iceberg metadata"):
             read_table(spark, str(tmp_path / "nope"), fmt="iceberg-meta")
+
+
+class TestValidateTable:
+    """io.validate_table: one call = read + best-available stats +
+    validate, with graceful fallback to a scan."""
+
+    def test_iceberg_dir_uses_meta_stats(self, spark, iceberg_table):
+        from pandera_spark.io import validate_table
+
+        schema = ps.DataFrameSchema(
+            {"y": ps.Column("double", ps.Check.le(1.0), nullable=False)}
+        )
+        r = validate_table(spark, iceberg_table, schema)
+        assert r.passed
+
+    def test_delete_table_falls_back_to_scan(self, spark, tmp_path):
+        """Stats refuse delete-carrying snapshots; validate_table must
+        fall back to scanning the MERGED view and still be correct."""
+        from pandera_spark.io import validate_table
+        from pandera_spark.io.iceberg_meta import (
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "vt")
+        write_iceberg_sink(
+            spark.range(0, 10).coalesce(1).selectExpr("id"), t
+        )
+        import pyarrow.parquet as pq2  # noqa: F401
+
+        target = _localize_path(read_table_meta(t).data_files[0]["file_path"])
+        # figure out which ids occupy positions 0..4 and delete them
+        import pyarrow.parquet as pqx
+
+        first_ids = pqx.read_table(target)["id"].to_pylist()[:5]
+        write_position_deletes(t, {target: list(range(5))})
+        schema = ps.DataFrameSchema(
+            {"id": ps.Column("long", ps.Check.notin(first_ids))}
+        )
+        r = validate_table(spark, t, schema)
+        assert r.passed  # deleted rows are GONE from the validated view
+        assert r.n_rows == 5
+
+    def test_parquet_path_uses_footer_stats(self, spark, tmp_path):
+        from pandera_spark.io import validate_table
+
+        p = str(tmp_path / "p")
+        spark.range(100).selectExpr("id").coalesce(1).write.parquet(p)
+        schema = ps.DataFrameSchema(
+            {"id": ps.Column("long", ps.Check.in_range(0, 99), nullable=False)}
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = max(tracker.getJobIdsForGroup(None) or [0])
+        r = validate_table(spark, p, schema)
+        after = max(tracker.getJobIdsForGroup(None) or [0])
+        assert r.passed
+        assert r.n_rows == 100  # from the footer, not a count job
+        # at most the read's schema-inference job: the fully-proven
+        # validation itself launches none (zero-job property asserted
+        # in isolation by test_all_proven_runs_zero_jobs)
+        assert after - before <= 1
