@@ -484,25 +484,65 @@ def read_iceberg(
     return merged
 
 
-def write_iceberg_sink(df, table_dir: str) -> None:
+def write_iceberg_sink(
+    df, table_dir: str, partition_by: Optional[str] = None
+) -> None:
     """Spark DataFrame → append snapshot: the batch lands as parquet
     under ``data/batch-<uuid>/`` and a new snapshot references it
     alongside every prior snapshot's files.  The Iceberg counterpart of
     ``write_table(..., mode="append")`` for environments without the
-    runtime jar (violations/metrics sinks, incremental ingest)."""
+    runtime jar (violations/metrics sinks, incremental ingest).
+
+    ``partition_by``: identity-partition the snapshot on a column.  One
+    Spark write: partitionBy consumes a COPY of the column (Iceberg data
+    files keep their partition columns, hive layout strips them), the
+    per-file partition value is recovered from the directory name."""
+    from pyspark.sql import functions as F
+
     batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(batch)
-    files = sorted(
-        p
-        for p in glob.glob(os.path.join(batch, "*.parquet"))
-        if not os.path.basename(p).startswith(("_", "."))
-    )
+    if partition_by:
+        (
+            df.withColumn("__pv__", F.col(partition_by))
+            .write.mode("overwrite")
+            .partitionBy("__pv__")
+            .parquet(batch)
+        )
+        files, pvals = [], {}
+        ptype = dict(df.dtypes).get(partition_by, "string")
+        for p in sorted(
+            glob.glob(os.path.join(batch, "__pv__=*", "*.parquet"))
+        ):
+            if os.path.basename(p).startswith(("_", ".")):
+                continue
+            raw = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                val = None
+            elif ptype in ("int", "bigint", "smallint", "tinyint", "long"):
+                val = int(raw)
+            elif ptype in ("double", "float"):
+                val = float(raw)
+            elif ptype == "boolean":
+                val = raw == "true"
+            else:
+                val = raw
+            files.append(p)
+            pvals[p] = val
+    else:
+        df.write.mode("overwrite").parquet(batch)
+        files = sorted(
+            p
+            for p in glob.glob(os.path.join(batch, "*.parquet"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        pvals = None
     if not files:  # legal empty append → documented no-op
         import shutil
 
         shutil.rmtree(batch, ignore_errors=True)
         return
-    write_iceberg_table(table_dir, files)
+    write_iceberg_table(
+        table_dir, files, partition_by=partition_by, partition_values=pvals
+    )
 
 
 # ----------------------------------------------------------------------- #

@@ -622,3 +622,48 @@ class TestValidateTable:
         # validation itself launches none (zero-job property asserted
         # in isolation by test_all_proven_runs_zero_jobs)
         assert after - before <= 1
+
+
+class TestPartitionedSink:
+    def test_partitioned_sink_prunes_and_runs(self, spark, tmp_path):
+        """write_iceberg_sink(partition_by=...): one Spark write, data
+        files keep the column, manifests carry typed partition values →
+        manifest-level pruning + the partition runner work end-to-end."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+        from pandera_spark.runner.manifest import PartitionedValidationRun
+
+        t = str(tmp_path / "psink")
+        df = spark.range(0, 60).selectExpr(
+            "id", "cast(id % 3 as int) AS part_id"
+        )
+        write_iceberg_sink(df, t, partition_by="part_id")
+        # data files keep the partition column
+        full = read_iceberg(spark, t)
+        assert set(full.columns) == {"id", "part_id"}
+        assert full.count() == 60
+        # manifest-level pruning: only partition 1's files planned
+        p1 = plan_files(t, {"part_id": 1})
+        assert 0 < len(p1) < len(plan_files(t))
+        assert read_iceberg(spark, t, {"part_id": 1}).count() == 20
+        # appends keep the spec
+        write_iceberg_sink(
+            spark.range(60, 66).selectExpr(
+                "id", "cast(id % 3 as int) AS part_id"
+            ),
+            t,
+            partition_by="part_id",
+        )
+        assert read_iceberg(spark, t, {"part_id": 0}).count() == 22
+        # the partition runner consumes it whole
+        schema = ps.DataFrameSchema(
+            {"id": ps.Column("long", ps.Check.ge(0), nullable=False)},
+            name="ps",
+        )
+        run = PartitionedValidationRun(
+            schema, t, "part_id", str(tmp_path / "out"), spark=spark
+        )
+        st = run._partition_file_stats("2")
+        assert st is not None and st["columns"]["id"]["null_count"] == 0
+        res = {r.partition_id: r for r in run.run()}
+        assert set(res) == {"0", "1", "2"}
+        assert all(r.status == "ok" and r.passed for r in res.values())
