@@ -17,6 +17,7 @@ from .iceberg_meta import (  # noqa: F401
     plan_files,
     read_iceberg,
     read_table_meta,
+    write_equality_deletes,
     write_iceberg_sink,
     write_iceberg_table,
     write_position_deletes,

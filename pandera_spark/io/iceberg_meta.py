@@ -116,8 +116,9 @@ class IcebergMeta:
     delete_files: int = 0
     #: position-delete (content=1) data_file dicts — applied on read
     position_deletes: list[dict] = field(default_factory=list)
-    #: count of equality-delete (content=2) files — NOT applicable here
-    equality_deletes: int = 0
+    #: equality-delete (content=2) data_file dicts (each carries its
+    #: equality_ids + '_seq') — applied on read, sequence-aware
+    equality_deletes: list[dict] = field(default_factory=list)
     #: identity-partition column names, spec order
     partition_cols: list[str] = field(default_factory=list)
 
@@ -238,12 +239,19 @@ def read_table_meta(
                 continue
             df = e.get("data_file") or {}
             content = df.get("content", 0)
+            # v2 sequence inheritance: a null entry sequence means the
+            # manifest's own sequence number (spec: added entries)
+            df["_seq"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf.get("sequence_number", 0)
+            )
             if content == 1:  # position delete file
                 meta.delete_files += 1
                 meta.position_deletes.append(df)
             elif content == 2:  # equality delete file
                 meta.delete_files += 1
-                meta.equality_deletes += 1
+                meta.equality_deletes.append(df)
             else:
                 meta.data_files.append(df)
     return meta
@@ -404,23 +412,25 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
-    if meta.equality_deletes:
-        raise RuntimeError(
-            f"{table_dir} carries {meta.equality_deletes} EQUALITY delete "
-            "files — not supported by the metadata-level reader; compact "
-            "the table or read with an Iceberg runtime"
-        )
-    paths = [
-        _localize(dfile["file_path"], table_dir, meta.location)
+    dfiles = [
+        dfile
         for dfile in meta.data_files
         if _part_match(dfile.get("partition") or {}, partition_filter)
+    ]
+    paths = [
+        _localize(dfile["file_path"], table_dir, meta.location)
+        for dfile in dfiles
     ]
     if not paths:
         raise FileNotFoundError(
             f"no data files match in {table_dir} ({partition_filter=})"
         )
-    if not meta.position_deletes:
+    if not meta.position_deletes and not meta.equality_deletes:
         return spark.read.parquet(*paths)
+    if meta.equality_deletes:
+        return _read_with_equality_deletes(
+            spark, table_dir, meta, dfiles, paths
+        )
 
     import re as _re
 
@@ -482,6 +492,74 @@ def read_iceberg(
     if clean:
         merged = spark.read.parquet(*clean).unionByName(merged)
     return merged
+
+
+def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
+    """Sequence-aware merge-on-read for EQUALITY deletes (+ any position
+    deletes in the same snapshot).  Per the spec, an equality delete
+    removes rows from data files whose data sequence number is STRICTLY
+    LESS than the delete's, matching null-safely on the delete file's
+    ``equality_ids`` columns.  Each row gets its file's sequence number
+    via a tiny (path → seq) join; every delete file contributes one
+    left_anti join with the seq predicate folded into the condition."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    def norm_py(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
+
+    def norm(c):
+        return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+    loc = norm_py((meta.location or "").rstrip("/"))
+    tdir = os.path.abspath(table_dir)
+    df = (
+        spark.read.parquet(*paths)
+        .withColumn("__fp__", norm(F.col("_metadata.file_path")))
+        .withColumn("__pos__", F.col("_metadata.row_index"))
+    )
+    if meta.position_deletes:
+        fp = norm(F.col("file_path"))
+        if loc and loc != tdir:
+            fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
+        dels = spark.read.parquet(
+            *[
+                _localize(d["file_path"], table_dir, meta.location)
+                for d in meta.position_deletes
+            ]
+        ).select(fp.alias("__fp__"), F.col("pos").alias("__pos__"))
+        df = df.join(dels, ["__fp__", "__pos__"], "left_anti")
+    # per-row data sequence number from the (tiny) file→seq mapping
+    seq_rows = [
+        (
+            norm_py(os.path.abspath(_localize(d["file_path"], table_dir, meta.location))),
+            int(d.get("_seq") or 0),
+        )
+        for d in dfiles
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "__fp__ string, __seq__ long")
+    df = df.join(seq_df, "__fp__", "left")
+    for d in sorted(meta.equality_deletes, key=lambda x: x.get("_seq") or 0):
+        ids = d.get("equality_ids") or []
+        cols = [meta.field_name(i) for i in ids]
+        if not cols or any(c is None for c in cols):
+            raise RuntimeError(
+                f"equality delete file {d.get('file_path')!r} has "
+                f"unmappable equality_ids {ids} — cannot apply"
+            )
+        dseq = int(d.get("_seq") or 0)
+        ddf = (
+            spark.read.parquet(_localize(d["file_path"], table_dir, meta.location))
+            .select([F.col(c).alias(f"__d_{c}__") for c in cols])
+            .dropDuplicates()
+        )
+        cond = F.col("__seq__") < F.lit(dseq)
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}__"))
+        # delete sets are data-dependent: AQE decides the join strategy
+        df = df.join(ddf, cond, "left_anti")
+    return df.drop("__fp__", "__pos__", "__seq__")
 
 
 def write_iceberg_sink(
@@ -594,6 +672,9 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "nan_value_counts", "type": kvlist("k138_v139", 138, 139, "long"), "default": None},
             {"name": "lower_bounds", "type": kvlist("k126_v127", 126, 127, "bytes"), "default": None},
             {"name": "upper_bounds", "type": kvlist("k129_v130", 129, 130, "bytes"), "default": None},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None},
         ],
     }
     return {
@@ -1044,6 +1125,85 @@ def write_position_deletes(table_dir: str, deletes: dict[str, list[int]]) -> Non
         "existing_files_count": 0,
         "deleted_files_count": 0,
         "added_rows_count": len(fps),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    _commit_snapshot(
+        table_dir, existing, new_manifest, snapshot_id, seq,
+        operation="delete", create_md=None,
+        schema_id=existing.get("current-schema-id", 0),
+    )
+
+
+def write_equality_deletes(
+    table_dir: str, rows: list[dict], equality_cols: list[str]
+) -> None:
+    """Commit an EQUALITY delete snapshot: every data row written
+    BEFORE this snapshot (data sequence number strictly less) whose
+    ``equality_cols`` values match a delete row (null-safely) is removed
+    at read time.  ``rows`` is a list of {col: value} dicts over exactly
+    the equality columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        raise ValueError("write_equality_deletes: empty delete set")
+    existing = json.load(open(_metadata_path(table_dir)))
+    schemas = existing.get("schemas") or []
+    schema_json = next(
+        s
+        for s in schemas
+        if s.get("schema-id", 0) == existing.get("current-schema-id", 0)
+    )
+    fid_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+    unknown = [c for c in equality_cols if c not in fid_by_name]
+    if unknown:
+        raise ValueError(f"equality columns not in table schema: {unknown}")
+    seq = existing.get("last-sequence-number", 0) + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    dpath = os.path.join(
+        table_dir, "data", f"eq-delete-{uuid.uuid4().hex[:12]}.parquet"
+    )
+    os.makedirs(os.path.dirname(dpath), exist_ok=True)
+    pq.write_table(
+        pa.table({c: [r.get(c) for r in rows] for c in equality_cols}), dpath
+    )
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,  # EQUALITY_DELETES
+            "file_path": os.path.abspath(dpath),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "value_counts": None,
+            "null_value_counts": [],
+            "nan_value_counts": [],
+            "lower_bounds": [],
+            "upper_bounds": [],
+            "equality_ids": [fid_by_name[c] for c in equality_cols],
+        },
+    }
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+    )
+    write_ocf(manifest_path, _manifest_entry_schema([]), [entry])
+    new_manifest = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(rows),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }

@@ -397,19 +397,26 @@ class TestPositionDeletes:
         df = read_iceberg(spark, t)
         assert df.count() == 7  # 5 - 1 + 3
 
-    def test_equality_deletes_refused(self, spark, tmp_path):
-        import shutil
-
-        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+    def test_unmappable_equality_ids_raise(self, spark, tmp_path):
+        """An equality delete whose equality_ids reference no known
+        field cannot be applied — raise, never silently ignore."""
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
 
         t = str(tmp_path / "eq")
         write_iceberg_sink(spark.range(4).selectExpr("id"), t)
-        mpath = glob.glob(os.path.join(t, "metadata", "*-m0.avro"))[0]
+        write_equality_deletes(t, [{"id": 1}], ["id"])
+        mpath = sorted(
+            glob.glob(os.path.join(t, "metadata", "*-m0.avro")),
+            key=os.path.getmtime,
+        )[-1]
         schema, entries = read_ocf(mpath)
-        entries[0]["data_file"]["content"] = 2  # equality delete
+        entries[0]["data_file"]["equality_ids"] = [999]  # unknown field
         write_ocf(mpath, schema, entries)
-        with pytest.raises(RuntimeError, match="EQUALITY"):
-            read_iceberg(spark, t)
+        with pytest.raises(RuntimeError, match="unmappable"):
+            read_iceberg(spark, t).count()
 
     def test_empty_delete_set_rejected(self, spark, tmp_path):
         from pandera_spark.io.iceberg_meta import (
@@ -667,3 +674,81 @@ class TestPartitionedSink:
         res = {r.partition_id: r for r in run.run()}
         assert set(res) == {"0", "1", "2"}
         assert all(r.status == "ok" and r.passed for r in res.values())
+
+
+class TestEqualityDeletes:
+    """Equality deletes (content=2) apply sequence-aware merge-on-read:
+    they remove matching rows from data files written BEFORE the delete
+    snapshot, null-safely on the equality columns."""
+
+    def test_removes_older_matches_only(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "eq1")
+        write_iceberg_sink(
+            spark.range(0, 6).selectExpr("id", "id % 3 AS k"), t
+        )
+        write_equality_deletes(t, [{"k": 0}], ["k"])  # kills ids 0, 3
+        assert sorted(
+            r.id for r in read_iceberg(spark, t).collect()
+        ) == [1, 2, 4, 5]
+        # rows appended AFTER the delete survive even when matching
+        write_iceberg_sink(
+            spark.range(6, 9).selectExpr("id", "id % 3 AS k"), t
+        )
+        ids = sorted(r.id for r in read_iceberg(spark, t).collect())
+        assert ids == [1, 2, 4, 5, 6, 7, 8]  # id 6 has k=0 but is newer
+
+    def test_null_safe_matching(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "eq2")
+        write_iceberg_sink(
+            spark.range(0, 4).selectExpr(
+                "id", "CASE WHEN id = 2 THEN NULL ELSE id % 2 END AS k"
+            ),
+            t,
+        )
+        write_equality_deletes(t, [{"k": None}], ["k"])
+        ids = sorted(r.id for r in read_iceberg(spark, t).collect())
+        assert ids == [0, 1, 3]  # the NULL-k row (id 2) is deleted
+
+    def test_mixed_position_and_equality(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "eq3")
+        write_iceberg_sink(
+            spark.range(0, 10).coalesce(1).selectExpr("id", "id % 5 AS k"), t
+        )
+        target = _localize_path(read_table_meta(t).data_files[0]["file_path"])
+        import pyarrow.parquet as pqx
+
+        first_id = pqx.read_table(target)["id"][0].as_py()
+        write_position_deletes(t, {target: [0]})
+        write_equality_deletes(t, [{"k": 4}], ["k"])  # kills ids 4, 9
+        ids = sorted(r.id for r in read_iceberg(spark, t).collect())
+        assert ids == sorted(set(range(10)) - {first_id, 4, 9})
+
+    def test_stats_still_refuse(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "eq4")
+        write_iceberg_sink(spark.range(5).selectExpr("id"), t)
+        write_equality_deletes(t, [{"id": 0}], ["id"])
+        with pytest.raises(RuntimeError, match="delete"):
+            iceberg_meta_stats(t)
+        with pytest.raises(ValueError, match="not in table schema"):
+            write_equality_deletes(t, [{"zzz": 1}], ["zzz"])
