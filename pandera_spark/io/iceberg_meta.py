@@ -144,6 +144,35 @@ def _metadata_path(table_dir: str) -> str:
     return versions[-1]
 
 
+#: scheme prefix of a URI path (file:/x, hdfs://host/x, s3a://b/x)
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+
+
+def _norm_uri_py(p: str) -> str:
+    """file:/x, file:///x and /x all become /x (Python side)."""
+    import re
+
+    return re.sub(_URI_SCHEME_RE, "/", p)
+
+
+def _norm_uri_col(c):
+    """Same normalization as a Spark Column expression."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(c, _URI_SCHEME_RE, "/")
+
+
+def _reroot_py(p: str, loc: str, tdir: str) -> str:
+    """Re-root an absolute path recorded at write time under the current
+    table dir (boundary-aware) — the single source of truth shared by
+    position- and equality-delete application; _localize applies the
+    same rule to manifest paths."""
+    p = _norm_uri_py(p)
+    if loc and loc != tdir and (p == loc or p.startswith(loc + "/")):
+        return tdir + p[len(loc):]
+    return p
+
+
 def _localize(path: str, table_dir: str, location: str) -> str:
     """Manifest paths are absolute URIs from the writer's filesystem;
     re-root them under ``table_dir`` so relocated tables still read.
@@ -402,13 +431,12 @@ def read_iceberg(
     """DataFrame over a snapshot's (pruned) data files — the current one
     by default, or time-traveled via snapshot_id / as_of_ms.
 
-    Row-level POSITION deletes (content=1) are applied merge-on-read:
-    Spark's ``_metadata.file_path`` / ``_metadata.row_index`` columns
-    identify each row's (file, position), and a left_anti join against
-    the delete files' (file_path, pos) removes deleted rows — position
-    collisions cannot cross files, so the path+pos key is exact.
-    Equality deletes (content=2) need sequence-number-aware predicate
-    evaluation and are refused rather than silently ignored."""
+    Row-level deletes are applied merge-on-read: POSITION deletes
+    (content=1) via Spark's ``_metadata.file_path`` / ``row_index``
+    columns — a left_anti join on (file, position), exact since
+    positions cannot collide across files; EQUALITY deletes (content=2)
+    via sequence-aware null-safe anti-joins on their equality_ids
+    columns (see _read_with_equality_deletes)."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
@@ -432,57 +460,54 @@ def read_iceberg(
             spark, table_dir, meta, dfiles, paths
         )
 
-    import re as _re
-
-    def norm_py(p: str) -> str:  # file:/x, file:///x and /x → /x
-        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
-
-    def norm(c):
-        return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-
     # the file_path VALUES inside delete files are absolute from write
-    # time — re-root them exactly like _localize does for manifest
-    # paths, or a relocated table would anti-join nothing and silently
-    # resurrect deleted rows (review r4)
-    loc = norm_py((meta.location or "").rstrip("/"))
+    # time — re-root them like _localize does for manifest paths, or a
+    # relocated table would anti-join nothing and silently resurrect
+    # deleted rows (review r4)
+    loc = _norm_uri_py((meta.location or "").rstrip("/"))
     tdir = os.path.abspath(table_dir)
-
-    def reroot_py(p: str) -> str:
-        p = norm_py(p)
-        if loc and loc != tdir and (p == loc or p.startswith(loc + "/")):
-            return tdir + p[len(loc):]
-        return p
-
     del_paths = [
         _localize(d["file_path"], table_dir, meta.location)
         for d in meta.position_deletes
     ]
-    # 100-TB shape: only the FILES actually referenced by delete rows
-    # need the anti-join — delete files are tiny (driver-read via
-    # pyarrow), so split the scan: untouched files stream through with
-    # no _metadata columns and no join at all
-    import pyarrow.parquet as _pq
-
-    affected = set()
-    for dp in del_paths:
-        affected.update(
-            reroot_py(v)
-            for v in _pq.read_table(dp, columns=["file_path"])["file_path"]
-            .to_pylist()
-        )
-    clean = [p for p in paths if norm_py(os.path.abspath(p)) not in affected]
-    dirty = [p for p in paths if norm_py(os.path.abspath(p)) in affected]
-    if not dirty:  # deletes target files outside this snapshot/pruning
-        return spark.read.parquet(*paths)
-    fp = norm(F.col("file_path"))
-    if loc and loc != tdir:
-        fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
     dels = spark.read.parquet(*del_paths).select(
-        fp.alias("__fp__"), F.col("pos").alias("__pos__")
+        _rerooted_fp_col(F.col("file_path"), loc, tdir).alias("__fp__"),
+        F.col("pos").alias("__pos__"),
     )
+    # 100-TB shape: only the FILES actually referenced by delete rows
+    # need the anti-join — when the delete set is small (record counts
+    # come free from the manifests), read its distinct file_path values
+    # on the driver and split the scan so untouched files stream
+    # through with no _metadata columns and no join; a huge
+    # (CDC-accumulated) delete set skips the driver read and joins
+    # everything Spark-side instead
+    n_del_rows = sum(
+        d.get("record_count") or 0 for d in meta.position_deletes
+    )
+    clean: list[str] = []
+    dirty = paths
+    if n_del_rows <= _POS_DELETE_SPLIT_MAX_ROWS:
+        import pyarrow.parquet as _pq
+
+        affected = set()
+        for dp in del_paths:
+            affected.update(
+                _reroot_py(v, loc, tdir)
+                for v in _pq.read_table(dp, columns=["file_path"])[
+                    "file_path"
+                ].to_pylist()
+            )
+        clean = [
+            p for p in paths if _norm_uri_py(os.path.abspath(p)) not in affected
+        ]
+        dirty = [
+            p for p in paths if _norm_uri_py(os.path.abspath(p)) in affected
+        ]
+        if not dirty:  # deletes target files outside this snapshot/pruning
+            return spark.read.parquet(*paths)
     merged = (
         spark.read.parquet(*dirty)
-        .withColumn("__fp__", norm(F.col("_metadata.file_path")))
+        .withColumn("__fp__", _norm_uri_col(F.col("_metadata.file_path")))
         .withColumn("__pos__", F.col("_metadata.row_index"))
         # delete sets are usually tiny but data-dependent: AQE decides
         # the join strategy (never force-broadcast)
@@ -494,6 +519,25 @@ def read_iceberg(
     return merged
 
 
+#: above this many delete rows the clean/dirty scan split (which reads
+#: delete file_path values onto the driver) is skipped in favor of an
+#: all-Spark anti-join
+_POS_DELETE_SPLIT_MAX_ROWS = 5_000_000
+
+
+def _rerooted_fp_col(c, loc: str, tdir: str):
+    """Column form of _reroot_py: normalize the URI scheme then replace
+    the write-time location prefix with the current table dir."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    out = _norm_uri_col(c)
+    if loc and loc != tdir:
+        out = F.regexp_replace(out, "^" + _re.escape(loc) + "(?=/)", tdir)
+    return out
+
+
 def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
     """Sequence-aware merge-on-read for EQUALITY deletes (+ any position
     deletes in the same snapshot).  Per the spec, an equality delete
@@ -502,38 +546,32 @@ def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
     ``equality_ids`` columns.  Each row gets its file's sequence number
     via a tiny (path → seq) join; every delete file contributes one
     left_anti join with the seq predicate folded into the condition."""
-    import re as _re
-
     from pyspark.sql import functions as F
 
-    def norm_py(p: str) -> str:
-        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
-
-    def norm(c):
-        return F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-
-    loc = norm_py((meta.location or "").rstrip("/"))
+    loc = _norm_uri_py((meta.location or "").rstrip("/"))
     tdir = os.path.abspath(table_dir)
     df = (
         spark.read.parquet(*paths)
-        .withColumn("__fp__", norm(F.col("_metadata.file_path")))
+        .withColumn("__fp__", _norm_uri_col(F.col("_metadata.file_path")))
         .withColumn("__pos__", F.col("_metadata.row_index"))
     )
     if meta.position_deletes:
-        fp = norm(F.col("file_path"))
-        if loc and loc != tdir:
-            fp = F.regexp_replace(fp, "^" + _re.escape(loc) + "(?=/)", tdir)
         dels = spark.read.parquet(
             *[
                 _localize(d["file_path"], table_dir, meta.location)
                 for d in meta.position_deletes
             ]
-        ).select(fp.alias("__fp__"), F.col("pos").alias("__pos__"))
+        ).select(
+            _rerooted_fp_col(F.col("file_path"), loc, tdir).alias("__fp__"),
+            F.col("pos").alias("__pos__"),
+        )
         df = df.join(dels, ["__fp__", "__pos__"], "left_anti")
     # per-row data sequence number from the (tiny) file→seq mapping
     seq_rows = [
         (
-            norm_py(os.path.abspath(_localize(d["file_path"], table_dir, meta.location))),
+            _norm_uri_py(
+                os.path.abspath(_localize(d["file_path"], table_dir, meta.location))
+            ),
             int(d.get("_seq") or 0),
         )
         for d in dfiles
@@ -557,6 +595,13 @@ def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
         cond = F.col("__seq__") < F.lit(dseq)
         for c in cols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}__"))
+        # spec: a PARTITION-SCOPED equality delete applies only within
+        # its partition — for identity transforms the partition value
+        # equals the column value carried in the data rows, so the
+        # scope folds into the join condition (review r4 #3)
+        for k, v in (d.get("partition") or {}).items():
+            if v is not None:
+                cond = cond & F.col(k).eqNullSafe(F.lit(v))
         # delete sets are data-dependent: AQE decides the join strategy
         df = df.join(ddf, cond, "left_anti")
     return df.drop("__fp__", "__pos__", "__seq__")
@@ -577,6 +622,42 @@ def write_iceberg_sink(
     per-file partition value is recovered from the directory name."""
     from pyspark.sql import functions as F
 
+    # inherit the table's partition spec: appending unpartitioned files
+    # to a partitioned table would record partition=None and silently
+    # drop the rows from partition-filtered reads (review r4 #2)
+    try:
+        existing = json.load(open(_metadata_path(table_dir)))
+        specs = existing.get("partition-specs") or []
+        spec = next(
+            (
+                s
+                for s in specs
+                if s.get("spec-id", 0) == existing.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        spec_cols = [
+            f["name"]
+            for f in spec.get("fields", [])
+            if f.get("transform") == "identity"
+        ]
+    except FileNotFoundError:
+        spec_cols = None  # new table: the caller decides
+    if spec_cols is not None:
+        if spec_cols:
+            if partition_by is None:
+                partition_by = spec_cols[0]
+            elif partition_by != spec_cols[0]:
+                raise ValueError(
+                    f"table is partitioned by {spec_cols[0]!r}; cannot "
+                    f"append partitioned by {partition_by!r}"
+                )
+        elif partition_by:
+            raise ValueError(
+                "table is unpartitioned; cannot append partitioned by "
+                f"{partition_by!r}"
+            )
+
     batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
     if partition_by:
         (
@@ -593,6 +674,12 @@ def write_iceberg_sink(
             if os.path.basename(p).startswith(("_", ".")):
                 continue
             raw = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+            # Spark hive-ESCAPES special chars in dir names (':' →
+            # '%3A' etc.); store the real value, not the escaped form
+            # (review r4 #1)
+            from urllib.parse import unquote
+
+            raw = unquote(raw)
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 val = None
             elif ptype in ("int", "bigint", "smallint", "tinyint", "long"):

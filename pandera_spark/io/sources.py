@@ -247,6 +247,15 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def is_iceberg_dir(source: str) -> bool:
+    """True when ``source`` is an Iceberg table DIRECTORY (contains
+    metadata/*.metadata.json) — the shared detection used by
+    read_table, validate_table and the partition runner."""
+    return bool(
+        glob.glob(os.path.join(source, "metadata", "*.metadata.json"))
+    )
+
+
 def read_table(
     spark: SparkSession,
     source: str,
@@ -261,9 +270,7 @@ def read_table(
     """
     if fmt == "iceberg" or (fmt == "auto" and "/" not in source and iceberg_available(spark)):
         df = spark.read.format("iceberg").load(source)
-    elif fmt in ("auto", "iceberg-meta") and glob.glob(
-        os.path.join(source, "metadata", "*.metadata.json")
-    ):
+    elif fmt in ("auto", "iceberg-meta") and is_iceberg_dir(source):
         # Iceberg TABLE DIRECTORY without a runtime jar: plan the current
         # snapshot's data files from the (pure-Python-read) manifests —
         # see io.iceberg_meta
@@ -306,7 +313,7 @@ def validate_table(
     fs = None
     if use_file_stats:
         try:
-            if glob.glob(os.path.join(source, "metadata", "*.metadata.json")):
+            if is_iceberg_dir(source):
                 from .iceberg_meta import iceberg_meta_stats
 
                 fs = iceberg_meta_stats(source)

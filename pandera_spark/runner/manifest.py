@@ -182,11 +182,9 @@ class PartitionedValidationRun:
         # Detection matches io.sources.read_table (metadata.json glob) —
         # a hive source that merely CONTAINS a 'metadata' subdir falls
         # through to the partition-dir footer path below
-        import glob as _glob
+        from ..io.sources import is_iceberg_dir
 
-        if _glob.glob(
-            os.path.join(self.source_desc, "metadata", "*.metadata.json")
-        ):
+        if is_iceberg_dir(self.source_desc):
             try:
                 from ..io.iceberg_meta import iceberg_meta_stats
 

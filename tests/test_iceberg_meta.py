@@ -752,3 +752,94 @@ class TestEqualityDeletes:
             iceberg_meta_stats(t)
         with pytest.raises(ValueError, match="not in table schema"):
             write_equality_deletes(t, [{"zzz": 1}], ["zzz"])
+
+
+class TestSinkReviewRegressions:
+    """Third-review findings on the partitioned sink / delete scoping."""
+
+    def test_hive_escaped_partition_values_unescaped(self, spark, tmp_path):
+        """String partition values with hive-escaped chars (':' →
+        '%3A' in dir names) must be stored and filtered by their REAL
+        value (review r4 #1)."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "esc")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, "a:b"), (3, "plain")], "id long, k string"
+        )
+        write_iceberg_sink(df, t, partition_by="k")
+        assert read_iceberg(spark, t, {"k": "a:b"}).count() == 2
+        assert len(plan_files(t, {"k": "a:b"})) >= 1
+        st = iceberg_meta_stats(t, partition_filter={"k": "a:b"})
+        assert st["n_rows"] == 2
+
+    def test_append_inherits_partition_spec(self, spark, tmp_path):
+        """Appending WITHOUT partition_by to a partitioned table must
+        inherit the spec — not record partition=None and silently drop
+        rows from filtered reads (review r4 #2)."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "inh")
+        write_iceberg_sink(
+            spark.createDataFrame([(1, 0), (2, 1)], "id long, p int"),
+            t, partition_by="p",
+        )
+        write_iceberg_sink(
+            spark.createDataFrame([(3, 0)], "id long, p int"), t
+        )  # partition_by omitted: inherited
+        assert read_iceberg(spark, t, {"p": 0}).count() == 2
+        with pytest.raises(ValueError, match="partitioned by 'p'"):
+            write_iceberg_sink(
+                spark.createDataFrame([(4, 0)], "id long, p int"),
+                t, partition_by="id",
+            )
+
+    def test_unpartitioned_table_rejects_partitioned_append(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "unp")
+        write_iceberg_sink(spark.range(3).selectExpr("id"), t)
+        with pytest.raises(ValueError, match="unpartitioned"):
+            write_iceberg_sink(
+                spark.range(3).selectExpr("id"), t, partition_by="id"
+            )
+
+    def test_partition_scoped_equality_delete(self, spark, tmp_path):
+        """A partition-scoped equality delete applies only within its
+        partition (review r4 #3) — emulated by stamping the partition
+        onto the delete entry."""
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "pse")
+        write_iceberg_sink(
+            spark.createDataFrame(
+                [(1, 0, "x"), (2, 1, "x"), (3, 0, "y")],
+                "id long, p int, k string",
+            ),
+            t, partition_by="p",
+        )
+        write_equality_deletes(t, [{"k": "x"}], ["k"])
+        # scope the delete to partition p=0 by editing its manifest
+        mpath = sorted(
+            glob.glob(os.path.join(t, "metadata", "*-m0.avro")),
+            key=os.path.getmtime,
+        )[-1]
+        schema, entries = read_ocf(mpath)
+        # rewrite with a partition field carrying p=0
+        schema2 = json.loads(json.dumps(schema))
+        for f in schema2["fields"]:
+            if f["name"] == "data_file":
+                for df_f in f["type"]["fields"]:
+                    if df_f["name"] == "partition":
+                        df_f["type"]["fields"] = [
+                            {"name": "p", "type": ["null", "int"], "default": None}
+                        ]
+        entries[0]["data_file"]["partition"] = {"p": 0}
+        write_ocf(mpath, schema2, entries)
+        ids = sorted(r.id for r in read_iceberg(spark, t).collect())
+        # id 1 (p=0, k=x) deleted; id 2 (p=1, k=x) SURVIVES the scoped
+        # delete; id 3 (p=0, k=y) untouched
+        assert ids == [2, 3]
