@@ -30,9 +30,21 @@ def _validated(schema: DataFrameSchema, df: DataFrame) -> DataFrame:
     return res.raise_on_error()
 
 
+def _data_argnames(sig: inspect.Signature) -> list[str]:
+    """Parameter names excluding a leading self/cls — positional
+    obj_getters and the first-argument default count from the first
+    DATA argument, matching the reference's _get_fn_argnames
+    (pandera/decorators.py:60-78)."""
+    names = list(sig.parameters)
+    if names and names[0] in ("self", "cls"):
+        return names[1:]
+    return names
+
+
 def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
     """Validate (and replace with the parsed frame) one input argument:
-    by position, by name, or the first argument (pandera/decorators.py:154)."""
+    by position, by name, or the first data argument — self/cls never
+    counts (pandera/decorators.py:154)."""
     sch = _resolve_schema(schema)
 
     def deco(fn: Callable) -> Callable:
@@ -41,12 +53,13 @@ def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             bound = sig.bind(*args, **kwargs)
+            names = _data_argnames(sig)
             if isinstance(obj_getter, str):
                 target = obj_getter
             elif isinstance(obj_getter, int):
-                target = list(bound.arguments)[obj_getter]
+                target = names[obj_getter]
             else:
-                target = next(iter(bound.arguments))
+                target = names[0]
             bound.arguments[target] = _validated(sch, bound.arguments[target])
             return fn(*bound.args, **bound.kwargs)
 
@@ -55,14 +68,41 @@ def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
     return deco
 
 
-def check_output(schema):
+def check_output(schema, obj_getter: Optional[Union[int, str, Callable]] = None):
+    """Validate the return value (pandera/decorators.py:296).
+
+    ``obj_getter``: None validates (and replaces with) the whole return;
+    an int/str extracts that element of a tuple/list/dict return,
+    validates it, and writes the parsed frame back in place; a callable
+    extracts an arbitrary object for validation WITHOUT write-back —
+    which is why a callable getter on a coercing schema is rejected at
+    decoration time (the coerced frame would be silently discarded)."""
     sch = _resolve_schema(schema)
 
     def deco(fn: Callable) -> Callable:
+        if callable(obj_getter) and (
+            sch.coerce or any(c.coerce for c in sch.columns.values())
+        ):
+            raise ValueError(
+                "Cannot use callable obj_getter when the schema uses coercion"
+            )
+
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             out = fn(*args, **kwargs)
-            return _validated(sch, out)
+            if obj_getter is None:
+                return _validated(sch, out)
+            if callable(obj_getter):
+                _validated(sch, obj_getter(out))
+                return out
+            validated = _validated(sch, out[obj_getter])
+            if isinstance(out, tuple):
+                return tuple(
+                    validated if i == obj_getter else v
+                    for i, v in enumerate(out)
+                )
+            out[obj_getter] = validated
+            return out
 
         return wrapper
 

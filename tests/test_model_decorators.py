@@ -315,3 +315,104 @@ class TestAliasCheckResolution:
         # the alias; beta does not
         assert len(schema.columns["renamed totally"].checks) == 1
         assert len(schema.columns["beta"].checks) == 0
+
+
+class TestDecoratorGoldens:
+    """Mirrors of tests/core/test_decorators.py: obj-getter variants
+    (:199-239), callable-getter coercion refusal (:241-254), and
+    instance-method decorators counting from the first DATA argument
+    (:275-330)."""
+
+    def _in_schema(self):
+        from pandera_spark import Check, Column, DataFrameSchema
+
+        return DataFrameSchema({"column1": Column("bigint", Check.ge(0))})
+
+    def test_check_output_obj_getters(self, spark):
+        from pandera_spark import Column, DataFrameSchema
+
+        out_schema = DataFrameSchema({"column2": Column("bigint")})
+
+        @check_output(out_schema, obj_getter=1)
+        def tuple_getter(df):
+            return None, df.selectExpr("column1 AS column2")
+
+        @check_output(out_schema, obj_getter="key")
+        def dict_getter(df):
+            return {"key": df.selectExpr("column1 AS column2")}
+
+        df = spark.createDataFrame([(1,), (2,)], "column1 bigint")
+        out = tuple_getter(df)
+        assert out[0] is None and out[1].columns == ["column2"]
+        assert dict_getter(df)["key"].count() == 2
+        # failing element raises
+        bad_schema = DataFrameSchema({"zzz": Column("bigint")})
+
+        @check_output(bad_schema, obj_getter=1)
+        def failing(df):
+            return None, df
+
+        with pytest.raises(SchemaErrors):
+            failing(df)
+
+    def test_callable_obj_getter_coercion_refused(self):
+        """Reference :241-254 — verbatim error message."""
+        from pandera_spark import Column, DataFrameSchema
+
+        with pytest.raises(
+            ValueError,
+            match="Cannot use callable obj_getter when the schema uses coercion",
+        ):
+
+            @check_output(
+                DataFrameSchema({"column2": Column("double", coerce=True)}),
+                obj_getter=lambda x: x[0]["key"],
+            )
+            def f(df):
+                ...
+
+    def test_callable_obj_getter_validates_without_writeback(self, spark):
+        from pandera_spark import Column, DataFrameSchema
+
+        schema = DataFrameSchema({"column2": Column("bigint")})
+
+        @check_output(schema, obj_getter=lambda x: x["inner"])
+        def f(df):
+            return {"inner": df.selectExpr("column1 AS column2"), "extra": 1}
+
+        df = spark.createDataFrame([(5,)], "column1 bigint")
+        out = f(df)
+        assert out["extra"] == 1  # original return shape preserved
+
+    def test_instance_method_decorators(self, spark):
+        """Reference :275-330: positional getters and the default first
+        argument count from the first DATA argument — self never."""
+        in_schema = self._in_schema()
+        from pandera_spark import Column, DataFrameSchema
+
+        out_schema = DataFrameSchema({"column2": Column("bigint")})
+
+        class Transformer:
+            @check_input(in_schema)
+            @check_output(out_schema)
+            def first_arg(self, df):
+                return df.selectExpr("column1 AS column2")
+
+            @check_input(in_schema, 1)
+            @check_output(out_schema)
+            def second_arg_by_index(self, x, df):
+                return df.selectExpr("column1 AS column2")
+
+            @check_input(in_schema, "df")
+            @check_output(out_schema)
+            def second_arg_by_name(self, x, df):
+                return df.selectExpr("column1 AS column2")
+
+        tr = Transformer()
+        df = spark.createDataFrame([(3,)], "column1 bigint")
+        assert tr.first_arg(df).columns == ["column2"]
+        assert tr.second_arg_by_index(0, df).count() == 1
+        assert tr.second_arg_by_name(0, df=df).count() == 1
+        bad = spark.createDataFrame([(-3,)], "column1 bigint")
+        with pytest.raises(SchemaErrors):
+            tr.first_arg(bad)
