@@ -97,9 +97,13 @@ def check_output(schema, obj_getter: Optional[Union[int, str, Callable]] = None)
                 return out
             validated = _validated(sch, out[obj_getter])
             if isinstance(out, tuple):
+                # normalize negative indexes or the write-back would
+                # silently miss (enumerate yields non-negative i only)
+                idx = (
+                    obj_getter if obj_getter >= 0 else len(out) + obj_getter
+                )
                 return tuple(
-                    validated if i == obj_getter else v
-                    for i, v in enumerate(out)
+                    validated if i == idx else v for i, v in enumerate(out)
                 )
             out[obj_getter] = validated
             return out

@@ -416,3 +416,16 @@ class TestDecoratorGoldens:
         bad = spark.createDataFrame([(-3,)], "column1 bigint")
         with pytest.raises(SchemaErrors):
             tr.first_arg(bad)
+
+    def test_negative_tuple_obj_getter_writes_back(self, spark):
+        from pandera_spark import Column, DataFrameSchema
+
+        out_schema = DataFrameSchema({"column2": Column("bigint")})
+
+        @check_output(out_schema, obj_getter=-1)
+        def f(df):
+            return "meta", df.selectExpr("column1 AS column2")
+
+        df = spark.createDataFrame([(1,)], "column1 bigint")
+        out = f(df)
+        assert out[0] == "meta" and out[-1].columns == ["column2"]
