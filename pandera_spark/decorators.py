@@ -53,6 +53,10 @@ def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             bound = sig.bind(*args, **kwargs)
+            # a defaulted data argument is absent from bound.arguments
+            # until defaults are applied — without this, leaving the
+            # target to its default raised a bare KeyError (ADVICE r4)
+            bound.apply_defaults()
             names = _data_argnames(sig)
             if isinstance(obj_getter, str):
                 target = obj_getter
@@ -60,6 +64,11 @@ def check_input(schema, obj_getter: Optional[Union[int, str]] = None):
                 target = names[obj_getter]
             else:
                 target = names[0]
+            if target not in bound.arguments:
+                raise ValueError(
+                    f"check_input: argument {target!r} not found among "
+                    f"{fn.__qualname__}'s parameters {list(sig.parameters)}"
+                )
             bound.arguments[target] = _validated(sch, bound.arguments[target])
             return fn(*bound.args, **bound.kwargs)
 

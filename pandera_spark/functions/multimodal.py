@@ -346,8 +346,16 @@ def wav_metadata(df: DataFrame, binary_col: str) -> DataFrame:
         body = F.col(oc) + 8  # first byte of the chunk payload
         byte_rate = (
             F.when(byte_rate.isNotNull(), byte_rate)
-            # fmt body: format(2) channels(2) sample_rate(4) byte_rate(4)
-            .when(F.col(cc) == F.lit(b"fmt "), _le32(body + 8))
+            # fmt body: format(2) channels(2) sample_rate(4) byte_rate(4);
+            # gate on the payload actually covering the 4 bytes read —
+            # a truncation inside the fmt body would otherwise feed
+            # partial bytes to _le32 and yield a garbage byte_rate and
+            # a wrong non-NULL duration (ADVICE r4)
+            .when(
+                (F.col(cc) == F.lit(b"fmt "))
+                & (F.length(bin_) >= body + 11),
+                _le32(body + 8),
+            )
             .otherwise(null_long)
         )
         data_size = (

@@ -121,10 +121,24 @@ class IcebergMeta:
     equality_deletes: list[dict] = field(default_factory=list)
     #: identity-partition column names, spec order
     partition_cols: list[str] = field(default_factory=list)
+    #: schema-id → {column name → field id} for EVERY schema in the
+    #: metadata — the per-file projection resolves a data file's
+    #: physical column names through the schema that was current when
+    #: its snapshot was committed (field-id resolution without opening
+    #: the file)
+    schemas_by_id: dict[int, dict[str, int]] = field(default_factory=dict)
+    #: snapshot-id → schema-id recorded at commit time
+    snapshot_schema_ids: dict[int, int] = field(default_factory=dict)
+    #: current schema carries nested (non-primitive) fields the
+    #: projection layer cannot re-alias — reads fall back to name-based
+    has_nested: bool = False
 
     def field_name(self, fid: int) -> Optional[str]:
         f = self.fields.get(fid)
         return f["name"] if f else None
+
+    def part_types(self) -> dict[str, str]:
+        return {f["name"]: f["type"] for f in self.fields.values()}
 
 
 def _metadata_path(table_dir: str) -> str:
@@ -201,6 +215,25 @@ def read_table_meta(
     location = md.get("location", table_dir)
     schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
     sid = md.get("current-schema-id", 0)
+    snapshots = md.get("snapshots", [])
+    # time travel reads with the SNAPSHOT's schema (spec: a snapshot
+    # records its commit-time schema-id), not today's — an old snapshot
+    # must surface pre-rename column names
+    if snapshot_id is not None or as_of_ms is not None:
+        pinned = None
+        if snapshot_id is not None:
+            pinned = next(
+                (s for s in snapshots if s.get("snapshot-id") == snapshot_id),
+                None,
+            )
+        else:
+            eligible = [
+                s for s in snapshots if s.get("timestamp-ms", 0) <= as_of_ms
+            ]
+            if eligible:
+                pinned = max(eligible, key=lambda s: s.get("timestamp-ms", 0))
+        if pinned is not None and pinned.get("schema-id") is not None:
+            sid = pinned["schema-id"]
     schema = next(
         (s for s in schemas if s.get("schema-id", 0) == sid),
         schemas[0] if schemas else {"fields": []},
@@ -229,8 +262,24 @@ def read_table_meta(
         snapshot_id=md.get("current-snapshot-id"),
         fields=fields,
         partition_cols=partition_cols,
+        schemas_by_id={
+            s.get("schema-id", 0): {
+                f["name"]: f["id"]
+                for f in s.get("fields", [])
+                if isinstance(f.get("type"), str)
+            }
+            for s in schemas
+        },
+        snapshot_schema_ids={
+            s["snapshot-id"]: s["schema-id"]
+            for s in snapshots
+            if s.get("schema-id") is not None
+        },
+        has_nested=any(
+            not isinstance(f.get("type"), str)
+            for f in schema.get("fields", [])
+        ),
     )
-    snapshots = md.get("snapshots", [])
     if snapshot_id is not None:
         snap = next(
             (s for s in snapshots if s.get("snapshot-id") == snapshot_id), None
@@ -275,6 +324,10 @@ def read_table_meta(
                 if e.get("sequence_number") is not None
                 else mf.get("sequence_number", 0)
             )
+            # the adding snapshot keys the file's write-time schema for
+            # field-id column resolution (entries carried forward in
+            # reused manifests keep their ORIGINAL snapshot_id)
+            df["_added_snapshot"] = e.get("snapshot_id")
             if content == 1:  # position delete file
                 meta.delete_files += 1
                 meta.position_deletes.append(df)
@@ -295,14 +348,44 @@ def _kv(entries: Optional[list]) -> dict[int, Any]:
     return {e["key"]: e["value"] for e in entries}
 
 
-def _part_match(part: dict, flt: Optional[dict]) -> bool:
+def _part_render(v: Any, ice_t: Optional[str] = None) -> Optional[str]:
+    """Render a partition value the way SPARK casts it to string — the
+    runner keys partitions by Spark's rendering, and Python's str()
+    diverges exactly where it hurts (True vs 'true'; date/timestamp
+    partition values are stored as epoch ordinals).  A mismatch here
+    silently yields zero matching files, which iceberg_meta_stats used
+    to report as trusted null_count=0 (ADVICE r4 medium)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        if ice_t == "date":  # spec: days from epoch
+            return str(datetime.date(1970, 1, 1) + datetime.timedelta(days=v))
+        if ice_t in ("timestamp", "timestamptz"):  # micros from epoch
+            return str(
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=v)
+            )
+    return str(v)
+
+
+def _part_match(
+    part: dict, flt: Optional[dict], types: Optional[dict] = None
+) -> bool:
     """Identity-partition equality, string-tolerant (the partition
-    runner keys partitions by their string rendering)."""
+    runner keys partitions by their Spark string rendering)."""
     if not flt:
         return True
     for k, v in flt.items():
         got = part.get(k)
-        if got != v and str(got) != str(v):
+        t = (types or {}).get(k)
+        if got is None and v is None:
+            continue
+        # raw equality, bool-strict (True == 1 in Python)
+        if got == v and isinstance(got, bool) == isinstance(v, bool):
+            continue
+        if _part_render(got, t) != _part_render(v, t):
             return False
     return True
 
@@ -338,11 +421,26 @@ def iceberg_meta_stats(
     name_to = {f["name"]: (fid, f) for fid, f in meta.fields.items()}
     wanted = list(columns) if columns is not None else list(name_to)
     if partition_filter:
+        all_files = meta.data_files
         meta.data_files = [
             df
             for df in meta.data_files
-            if _part_match(df.get("partition") or {}, partition_filter)
+            if _part_match(
+                df.get("partition") or {}, partition_filter, meta.part_types()
+            )
         ]
+        if all_files and not meta.data_files:
+            # zero matching files would yield n_rows=0 with TRUSTED
+            # null_count=0 — consumed by the stats short-circuit as a
+            # false not_nullable proof on partitions that do contain
+            # nulls.  A filter that matches nothing on a non-empty
+            # table signals a rendering mismatch: refuse (ADVICE r4).
+            raise ValueError(
+                f"partition_filter {partition_filter!r} matched no data "
+                f"files in {table_dir} (table has {len(all_files)} files;"
+                f" partition columns: {meta.partition_cols}) — refusing "
+                "to emit trusted empty statistics"
+            )
     n_rows = sum(df.get("record_count", 0) for df in meta.data_files)
     cols: dict[str, dict] = {}
     for name in wanted:
@@ -417,8 +515,124 @@ def plan_files(
     return [
         _localize(dfile["file_path"], table_dir, meta.location)
         for dfile in meta.data_files
-        if _part_match(dfile.get("partition") or {}, partition_filter)
+        if _part_match(
+            dfile.get("partition") or {}, partition_filter, meta.part_types()
+        )
     ]
+
+
+#: Iceberg primitive type → Spark DDL (typed NULLs for columns added
+#: after a data file was written; spec: initial-default, null in v2)
+_ICE_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "string": "string", "uuid": "string", "binary": "binary",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+}
+
+
+def _spark_ddl(ice_type: str) -> str:
+    if ice_type in _ICE_TO_SPARK:
+        return _ICE_TO_SPARK[ice_type]
+    if ice_type.startswith("decimal"):
+        return ice_type
+    if ice_type.startswith("fixed"):
+        return "binary"
+    return "string"
+
+
+def _footer_name_to_fid(path: str) -> Optional[dict[str, int]]:
+    """name → field id from the parquet footer's PARQUET:field_id keys
+    (written by Iceberg-aware writers).  None unless EVERY top-level
+    field carries an id — partial ids cannot support projection."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.ParquetFile(path).schema_arrow
+    except Exception:
+        return None
+    out: dict[str, int] = {}
+    for f in sch:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None:
+            return None
+        out[f.name] = int(fid)
+    return out
+
+
+def _file_projection(meta: IcebergMeta, dfile: dict, path: str) -> tuple:
+    """Physical column name (or None when absent at write time) per
+    CURRENT-schema field, for one data file — Iceberg spec column
+    projection resolves by FIELD ID.  Resolution order:
+
+      1. the file's write-time schema, keyed by its adding snapshot's
+         recorded schema-id — METADATA-ONLY, so planning a 100k-file
+         table opens zero footers;
+      2. the parquet footer's own PARQUET:field_id keys (files from
+         runtimes whose snapshot lineage this metadata doesn't carry);
+      3. current names verbatim (legacy id-less files: pre-evolution
+         behavior, still correct while no rename has happened).
+    """
+    era = None
+    sid = meta.snapshot_schema_ids.get(dfile.get("_added_snapshot"))
+    if sid is not None:
+        era = meta.schemas_by_id.get(sid)
+    if era is None:
+        era = _footer_name_to_fid(path)
+    if era is None:
+        return tuple(f["name"] for f in meta.fields.values())
+    by_fid = {fid: n for n, fid in era.items()}
+    return tuple(by_fid.get(fid) for fid in meta.fields)
+
+
+def _read_data_files(
+    spark,
+    meta: IcebergMeta,
+    paths: list[str],
+    by_path: dict[str, dict],
+    with_meta: bool = False,
+):
+    """Read data files with per-file field-id column resolution: files
+    are grouped by projection signature (almost always 1-2 groups —
+    one per schema era) and each group is ONE ``spark.read.parquet``
+    re-aliased to current-schema names, unioned by name.  Missing
+    fields surface as typed NULLs.  ``with_meta`` appends the
+    normalized ``__fp__`` / ``__pos__`` columns the delete-merge joins
+    key on."""
+    from pyspark.sql import functions as F
+
+    cur = list(meta.fields.items())
+    if meta.has_nested or not cur:
+        # nested (struct/map-of-struct) fields cannot be re-aliased by
+        # this layer — name-based read, as before field-id support
+        df = spark.read.parquet(*paths)
+        if with_meta:
+            df = df.withColumn(
+                "__fp__", _norm_uri_col(F.col("_metadata.file_path"))
+            ).withColumn("__pos__", F.col("_metadata.row_index"))
+        return df
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        groups.setdefault(_file_projection(meta, by_path[p], p), []).append(p)
+    meta_cols = (
+        [
+            _norm_uri_col(F.col("_metadata.file_path")).alias("__fp__"),
+            F.col("_metadata.row_index").alias("__pos__"),
+        ]
+        if with_meta
+        else []
+    )
+    out = None
+    for sig, gpaths in groups.items():
+        sel = [
+            F.col(phys).alias(f["name"])
+            if phys is not None
+            else F.lit(None).cast(_spark_ddl(f["type"])).alias(f["name"])
+            for (_, f), phys in zip(cur, sig)
+        ]
+        g = spark.read.parquet(*gpaths).select(*sel, *meta_cols)
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def read_iceberg(
@@ -429,21 +643,28 @@ def read_iceberg(
     as_of_ms: Optional[int] = None,
 ):
     """DataFrame over a snapshot's (pruned) data files — the current one
-    by default, or time-traveled via snapshot_id / as_of_ms.
+    by default, or time-traveled via snapshot_id / as_of_ms (which read
+    with the SNAPSHOT's schema, not today's).
 
-    Row-level deletes are applied merge-on-read: POSITION deletes
-    (content=1) via Spark's ``_metadata.file_path`` / ``row_index``
-    columns — a left_anti join on (file, position), exact since
-    positions cannot collide across files; EQUALITY deletes (content=2)
-    via sequence-aware null-safe anti-joins on their equality_ids
-    columns (see _read_with_equality_deletes)."""
+    Columns are resolved per data file by FIELD ID, not by name (spec
+    column projection): after a rename, old files still carry the old
+    parquet column name, and a name-based multi-file read would return
+    nulls for them (or drop columns added later) — see
+    _read_data_files.  Row-level deletes are applied merge-on-read:
+    POSITION deletes (content=1) via Spark's ``_metadata.file_path`` /
+    ``row_index`` columns — a left_anti join on (file, position), exact
+    since positions cannot collide across files; EQUALITY deletes
+    (content=2) via sequence-aware null-safe anti-joins on their
+    equality_ids columns (see _read_with_equality_deletes)."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
     dfiles = [
         dfile
         for dfile in meta.data_files
-        if _part_match(dfile.get("partition") or {}, partition_filter)
+        if _part_match(
+            dfile.get("partition") or {}, partition_filter, meta.part_types()
+        )
     ]
     paths = [
         _localize(dfile["file_path"], table_dir, meta.location)
@@ -453,11 +674,12 @@ def read_iceberg(
         raise FileNotFoundError(
             f"no data files match in {table_dir} ({partition_filter=})"
         )
+    by_path = dict(zip(paths, dfiles))
     if not meta.position_deletes and not meta.equality_deletes:
-        return spark.read.parquet(*paths)
+        return _read_data_files(spark, meta, paths, by_path)
     if meta.equality_deletes:
         return _read_with_equality_deletes(
-            spark, table_dir, meta, dfiles, paths
+            spark, table_dir, meta, dfiles, paths, by_path
         )
 
     # the file_path VALUES inside delete files are absolute from write
@@ -504,18 +726,18 @@ def read_iceberg(
             p for p in paths if _norm_uri_py(os.path.abspath(p)) in affected
         ]
         if not dirty:  # deletes target files outside this snapshot/pruning
-            return spark.read.parquet(*paths)
+            return _read_data_files(spark, meta, paths, by_path)
     merged = (
-        spark.read.parquet(*dirty)
-        .withColumn("__fp__", _norm_uri_col(F.col("_metadata.file_path")))
-        .withColumn("__pos__", F.col("_metadata.row_index"))
+        _read_data_files(spark, meta, dirty, by_path, with_meta=True)
         # delete sets are usually tiny but data-dependent: AQE decides
         # the join strategy (never force-broadcast)
         .join(dels, ["__fp__", "__pos__"], "left_anti")
         .drop("__fp__", "__pos__")
     )
     if clean:
-        merged = spark.read.parquet(*clean).unionByName(merged)
+        merged = _read_data_files(spark, meta, clean, by_path).unionByName(
+            merged
+        )
     return merged
 
 
@@ -538,23 +760,23 @@ def _rerooted_fp_col(c, loc: str, tdir: str):
     return out
 
 
-def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
+def _read_with_equality_deletes(
+    spark, table_dir, meta, dfiles, paths, by_path
+):
     """Sequence-aware merge-on-read for EQUALITY deletes (+ any position
     deletes in the same snapshot).  Per the spec, an equality delete
     removes rows from data files whose data sequence number is STRICTLY
     LESS than the delete's, matching null-safely on the delete file's
     ``equality_ids`` columns.  Each row gets its file's sequence number
     via a tiny (path → seq) join; every delete file contributes one
-    left_anti join with the seq predicate folded into the condition."""
+    left_anti join with the seq predicate folded into the condition.
+    The field-id projection runs FIRST, so ``equality_ids`` resolve to
+    current-schema names even across renames."""
     from pyspark.sql import functions as F
 
     loc = _norm_uri_py((meta.location or "").rstrip("/"))
     tdir = os.path.abspath(table_dir)
-    df = (
-        spark.read.parquet(*paths)
-        .withColumn("__fp__", _norm_uri_col(F.col("_metadata.file_path")))
-        .withColumn("__pos__", F.col("_metadata.row_index"))
-    )
+    df = _read_data_files(spark, meta, paths, by_path, with_meta=True)
     if meta.position_deletes:
         dels = spark.read.parquet(
             *[
@@ -587,9 +809,23 @@ def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
                 f"unmappable equality_ids {ids} — cannot apply"
             )
         dseq = int(d.get("_seq") or 0)
+        # the delete FILE's physical column names also resolve by field
+        # id (it may have been written under an older schema era)
+        dsid = meta.snapshot_schema_ids.get(d.get("_added_snapshot"))
+        dera = meta.schemas_by_id.get(dsid) if dsid is not None else None
+        if dera:
+            dby_fid = {fid: n for n, fid in dera.items()}
+            phys = [dby_fid.get(i, c) for i, c in zip(ids, cols)]
+        else:
+            phys = cols
         ddf = (
             spark.read.parquet(_localize(d["file_path"], table_dir, meta.location))
-            .select([F.col(c).alias(f"__d_{c}__") for c in cols])
+            .select(
+                [
+                    F.col(p).alias(f"__d_{c}__")
+                    for p, c in zip(phys, cols)
+                ]
+            )
             .dropDuplicates()
         )
         cond = F.col("__seq__") < F.lit(dseq)
@@ -601,7 +837,10 @@ def _read_with_equality_deletes(spark, table_dir, meta, dfiles, paths):
         # scope folds into the join condition (review r4 #3)
         for k, v in (d.get("partition") or {}).items():
             if v is not None:
-                cond = cond & F.col(k).eqNullSafe(F.lit(v))
+                kk = k  # partition key name, era → current via field id
+                if dera and k in dera:
+                    kk = meta.field_name(dera[k]) or k
+                cond = cond & F.col(kk).eqNullSafe(F.lit(v))
         # delete sets are data-dependent: AQE decides the join strategy
         df = df.join(ddf, cond, "left_anti")
     return df.drop("__fp__", "__pos__", "__seq__")
@@ -1122,27 +1361,107 @@ def _commit_snapshot(
     if existing is not None:
         md = dict(existing)
         md["snapshots"] = list(existing.get("snapshots", [])) + [snapshot_entry]
-        base = os.path.basename(_metadata_path(table_dir)).split(".")[0]
-        try:
-            version = int(base.lstrip("v")) + 1
-        except ValueError:  # externally-named (<uuid>.metadata.json)
-            version = (
-                len(glob.glob(os.path.join(table_dir, "metadata", "*.metadata.json")))
-                + 1
-            )
     else:
         md = dict(create_md)
         md["snapshots"] = [snapshot_entry]
-        version = 1
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = now_ms
     md["current-snapshot-id"] = snapshot_id
-    with open(
-        os.path.join(table_dir, "metadata", f"v{version}.metadata.json"), "w"
-    ) as f:
+    _write_metadata(table_dir, md)
+
+
+def _next_version(table_dir: str) -> int:
+    """max existing vN + 1 — count-of-files would collide with (and
+    silently overwrite) an existing vN when external writers left
+    gapped or uuid-named metadata files (ADVICE r4)."""
+    vmax = 0
+    for p in glob.glob(os.path.join(table_dir, "metadata", "v*.metadata.json")):
+        stem = os.path.basename(p).split(".")[0].lstrip("v")
+        if stem.isdigit():
+            vmax = max(vmax, int(stem))
+    return vmax + 1
+
+
+def _write_metadata(table_dir: str, md: dict) -> None:
+    """Publish a new vN.metadata.json + version hint.  Both land via
+    temp-file + os.rename so a reader never sees a torn file.  This
+    writer assumes a SINGLE committer per table (no compare-and-swap
+    catalog); concurrent commits need the runtime catalog."""
+    mdir = os.path.join(table_dir, "metadata")
+    version = _next_version(table_dir)
+    final = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         json.dump(md, f, indent=1)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text"), "w") as f:
+    os.rename(tmp, final)
+    hint = os.path.join(mdir, "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         f.write(str(version))
+    os.rename(tmp, hint)
+
+
+def evolve_schema(
+    table_dir: str,
+    renames: Optional[dict[str, str]] = None,
+    add_columns: Optional[dict[str, str]] = None,
+) -> int:
+    """Commit a schema evolution — renames {old: new} and/or
+    add_columns {name: iceberg type} — as a NEW schema-id (spec:
+    schemas are immutable; evolution appends one and moves
+    current-schema-id).  Field ids are preserved across renames and
+    freshly assigned past last-column-id for adds, which is what makes
+    the per-file projection in _read_data_files able to read pre-rename
+    data files correctly.  Metadata-only: no snapshot is committed.
+    Returns the new schema-id."""
+    renames = dict(renames or {})
+    add_columns = dict(add_columns or {})
+    if not renames and not add_columns:
+        raise ValueError("evolve_schema: nothing to change")
+    md = json.load(open(_metadata_path(table_dir)))
+    schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
+    cur = next(
+        s
+        for s in schemas
+        if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+    )
+    names = {f["name"] for f in cur["fields"]}
+    missing = set(renames) - names
+    if missing:
+        raise ValueError(f"evolve_schema: no such column(s) {sorted(missing)}")
+    fields = []
+    for f in cur["fields"]:
+        nf = dict(f)
+        if f["name"] in renames:
+            nf["name"] = renames[f["name"]]
+        fields.append(nf)
+    last_col = md.get(
+        "last-column-id", max((f["id"] for f in cur["fields"]), default=0)
+    )
+    for name, ice_t in add_columns.items():
+        if not isinstance(ice_t, str):
+            raise ValueError(
+                f"evolve_schema: column {name!r} needs an Iceberg "
+                f"primitive type string, got {ice_t!r}"
+            )
+        last_col += 1
+        fields.append(
+            {"id": last_col, "name": name, "required": False, "type": ice_t}
+        )
+    new_names = [f["name"] for f in fields]
+    if len(set(new_names)) != len(new_names):
+        dupes = sorted(n for n in set(new_names) if new_names.count(n) > 1)
+        raise ValueError(f"evolve_schema: duplicate column name(s) {dupes}")
+    new_sid = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    md["schemas"] = schemas + [
+        {"type": "struct", "schema-id": new_sid, "fields": fields}
+    ]
+    md.pop("schema", None)  # v1-style single-schema key, if present
+    md["current-schema-id"] = new_sid
+    md["last-column-id"] = last_col
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(table_dir, md)
+    return new_sid
 
 
 def write_position_deletes(table_dir: str, deletes: dict[str, list[int]]) -> None:

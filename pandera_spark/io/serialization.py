@@ -56,8 +56,6 @@ def _check_from_dict(d: dict) -> Check:
         return factory(stats["forbidden_values"], **opts)
     if d["name"] == "unique_values_eq":
         return factory(stats["values"], **opts)
-    if "ignore_na" in opts:
-        pass
     return factory(**stats, **opts)
 
 

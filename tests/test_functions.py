@@ -629,3 +629,20 @@ class TestNonAsciiOracleParity:
         by_id = dict(got)
         assert by_id[1] == by_id[2]
         assert by_id[1] != by_id[3]
+
+
+class TestAdviceR4Regressions:
+    def test_wav_truncated_inside_fmt_body_is_null(self, spark):
+        """ADVICE r4: a payload cut INSIDE the fmt chunk body used to
+        feed partial bytes to the byte_rate read, yielding a garbage
+        rate and a wrong non-NULL duration — it must be NULL."""
+        from pandera_spark.functions import multimodal
+
+        base = _make_wav(seconds=0.5)
+        # canonical layout: fmt body starts at 20; byte_rate at 28..31.
+        # Cut mid-byte_rate: the fmt id+size are intact, the body isn't.
+        trunc = base[:30]
+        df = spark.createDataFrame([(1, trunc)], "id int, payload binary")
+        df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
+        out = multimodal.wav_metadata(df, "payload").collect()[0]
+        assert out["media_meta"]["duration_ms"] is None

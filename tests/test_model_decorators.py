@@ -429,3 +429,25 @@ class TestDecoratorGoldens:
         df = spark.createDataFrame([(1,)], "column1 bigint")
         out = f(df)
         assert out[0] == "meta" and out[-1].columns == ["column2"]
+
+
+class TestCheckInputDefaultedArg:
+    def test_defaulted_data_argument_validates_default(self, spark):
+        """ADVICE r4: a data parameter left to its default was absent
+        from bound.arguments and raised a bare KeyError — defaults are
+        applied before the lookup now."""
+        default_df = spark.createDataFrame([(1,)], "a bigint")
+
+        @check_input(SimpleModel)
+        def fn(df=default_df):
+            return df.count()
+
+        assert fn() == 1
+
+    def test_unknown_target_names_decorator(self, spark):
+        @check_input(SimpleModel, "nope")
+        def fn(df):
+            return df
+
+        with pytest.raises(ValueError, match="check_input.*nope"):
+            fn(spark.createDataFrame([(1,)], "a bigint"))
