@@ -35,6 +35,12 @@ def main(argv=None) -> int:
         "--profile", action="store_true",
         help="also print the merged whole-table column profile",
     )
+    ap.add_argument(
+        "--manifest-format", choices=["parquet", "iceberg"],
+        default="parquet",
+        help="sink format for the manifest + violations tables "
+        "(iceberg: append snapshots with time travel)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,6 +53,7 @@ def main(argv=None) -> int:
     run = PartitionedValidationRun(
         schema, args.source, args.partition_col, args.output, spark=spark,
         use_file_stats=not args.no_file_stats,
+        manifest_format=args.manifest_format,
     )
     run.run(
         resume=not args.no_resume,

@@ -11,6 +11,14 @@ run resumes at partition granularity.  Idempotence (SURVEY.md §7.4.8):
   - violations are written to ``violations/partition_id=<p>/`` with
     per-partition overwrite — a re-run never double-counts.
 
+``manifest_format="iceberg"`` upgrades both sinks from parquet-dir
+conventions to real Iceberg v2 tables (io/iceberg_meta): each manifest
+attempt is an append SNAPSHOT (the single-row parquet file is committed
+in place — no Spark job), and the violations table is
+identity-partitioned on partition_id with re-runs made idempotent via an
+equality delete on the partition before the fresh append — so resume
+rides snapshots and both sinks get time travel for free.
+
 At cluster scale the driver loop issues one validation job per partition
 with partition-pruned scans (``.where(col = value)`` reaches the source);
 independent partitions can be dispatched from a thread pool since Spark
@@ -73,7 +81,13 @@ class PartitionedValidationRun:
         collect_stats: bool = True,
         run_id: Optional[str] = None,
         use_file_stats: bool = True,
+        manifest_format: str = "parquet",
     ):
+        if manifest_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                "manifest_format must be 'parquet' or 'iceberg', got "
+                f"{manifest_format!r}"
+            )
         self.schema = schema
         self.partition_col = partition_col
         self.output_dir = output_dir
@@ -82,6 +96,14 @@ class PartitionedValidationRun:
         self.collect_stats = collect_stats
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.use_file_stats = use_file_stats
+        self.manifest_format = manifest_format
+        if manifest_format == "iceberg":
+            import threading
+
+            # the metadata-level Iceberg writer is single-committer;
+            # parallel partition dispatch serializes its (tiny,
+            # driver-side) snapshot commits here
+            self._commit_lock = threading.Lock()
         if isinstance(df_or_source, str):
             from ..io.sources import read_table
 
@@ -103,14 +125,39 @@ class PartitionedValidationRun:
         )
         return sorted(r["p"] for r in rows)
 
+    def _manifest_exists(self) -> bool:
+        if self.manifest_format == "iceberg":
+            return os.path.isdir(os.path.join(self.manifest_dir, "metadata"))
+        return os.path.isdir(self.manifest_dir) and bool(
+            os.listdir(self.manifest_dir)
+        )
+
     def completed_partitions(self) -> set[str]:
-        if not os.path.isdir(self.manifest_dir) or not os.listdir(self.manifest_dir):
+        if not self._manifest_exists():
             return set()
         latest = self._latest_attempts().filter(F.col("status") == "ok")
         return {r["partition_id"] for r in latest.select("partition_id").collect()}
 
-    def read_manifest(self) -> DataFrame:
+    def read_manifest(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """The manifest as a DataFrame.  Iceberg mode supports time
+        travel (``snapshot_id``) — every attempt is one snapshot."""
+        if self.manifest_format == "iceberg":
+            from ..io.iceberg_meta import read_iceberg
+
+            return read_iceberg(
+                self.spark, self.manifest_dir, snapshot_id=snapshot_id
+            )
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires manifest_format='iceberg'")
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
+
+    def read_violations(self) -> DataFrame:
+        """The violations sink as a DataFrame (both formats)."""
+        if self.manifest_format == "iceberg":
+            from ..io.iceberg_meta import read_iceberg
+
+            return read_iceberg(self.spark, self.violations_dir)
+        return self.spark.read.parquet(self.violations_dir)
 
     def _latest_attempts(self) -> DataFrame:
         """One manifest row per partition: the most recent attempt (the
@@ -158,6 +205,19 @@ class PartitionedValidationRun:
             else:
                 arrays.append(pa.array([v], type=pa.string()))
         table = pa.Table.from_arrays(arrays, names=names)
+        if self.manifest_format == "iceberg":
+            from ..io.iceberg_meta import write_iceberg_table
+
+            # the row file lands under the table's data/ dir so the
+            # commit references it in place; each attempt is one append
+            # snapshot — resume state rides real Iceberg history
+            ddir = os.path.join(self.manifest_dir, "data")
+            os.makedirs(ddir, exist_ok=True)
+            path = os.path.join(ddir, f"attempt-{attempt}.parquet")
+            pq.write_table(table, path)
+            with self._commit_lock:
+                write_iceberg_table(self.manifest_dir, [path])
+            return
         pq.write_table(
             table, os.path.join(self.manifest_dir, f"attempt-{attempt}.parquet")
         )
@@ -204,6 +264,39 @@ class PartitionedValidationRun:
         except Exception:  # noqa: BLE001 — stats are an optimization only
             return None
 
+    def _sink_violations_iceberg(self, p: str, violations) -> int:
+        """Violations → identity-partitioned Iceberg table.  Re-run
+        idempotence without directory overwrites: a prior attempt's rows
+        for this partition are removed by an EQUALITY delete on
+        partition_id (sequence-aware, so the fresh append that follows —
+        a higher sequence number — survives), then the new rows land as
+        an append snapshot.  Readers merge-on-read via read_iceberg."""
+        from ..io.iceberg_meta import (
+            read_iceberg,
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        exists = os.path.isdir(os.path.join(self.violations_dir, "metadata"))
+        if exists:
+            with self._commit_lock:
+                write_equality_deletes(
+                    self.violations_dir, [{"partition_id": p}], ["partition_id"]
+                )
+        if violations is None:
+            return 0
+        out = violations.withColumn("partition_id", F.lit(p))
+        # the commit (driver-side metadata) is serialized; the Spark
+        # write inside the sink rides along — violations are the rare
+        # path, and partition dispatch stays parallel for the scans
+        with self._commit_lock:
+            write_iceberg_sink(
+                out, self.violations_dir, partition_by="partition_id"
+            )
+        return read_iceberg(
+            self.spark, self.violations_dir, partition_filter={"partition_id": p}
+        ).count()
+
     def run_partition(self, p: str) -> PartitionResult:
         t0 = time.time()
         started = datetime.datetime.now()
@@ -227,19 +320,27 @@ class PartitionedValidationRun:
                     pdf, collect_stats=self.collect_stats,
                     collect_failure_cases=True, file_stats=None,
                 )
-            n_viol = 0
-            viol_path = os.path.join(self.violations_dir, f"partition_id={p}")
-            if res.violations is not None:
-                out = res.violations.withColumn("partition_id", F.lit(p))
-                out.drop("partition_id").write.mode("overwrite").parquet(viol_path)
-                n_viol = self.spark.read.parquet(viol_path).count()
-            elif os.path.isdir(viol_path):
-                # a prior attempt left violation rows but this attempt is
-                # clean — remove them so downstream readers of the
-                # violations sink never double-count (idempotent re-run)
-                import shutil
+            if self.manifest_format == "iceberg":
+                n_viol = self._sink_violations_iceberg(p, res.violations)
+            else:
+                n_viol = 0
+                viol_path = os.path.join(
+                    self.violations_dir, f"partition_id={p}"
+                )
+                if res.violations is not None:
+                    out = res.violations.withColumn("partition_id", F.lit(p))
+                    out.drop("partition_id").write.mode("overwrite").parquet(
+                        viol_path
+                    )
+                    n_viol = self.spark.read.parquet(viol_path).count()
+                elif os.path.isdir(viol_path):
+                    # a prior attempt left violation rows but this
+                    # attempt is clean — remove them so downstream
+                    # readers of the violations sink never double-count
+                    # (idempotent re-run)
+                    import shutil
 
-                shutil.rmtree(viol_path, ignore_errors=True)
+                    shutil.rmtree(viol_path, ignore_errors=True)
             metrics = {
                 "stats": _jsonable(res.stats),
                 "check_results": res.check_results,

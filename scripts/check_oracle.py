@@ -42,7 +42,7 @@ def multiset(rows, colnames):
     )
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: str = "") -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
@@ -60,6 +60,9 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        pats = [p for p in only.split(",") if p]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -106,4 +109,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    raise SystemExit(main(sf))
+    # optional 2nd arg: comma-separated key substrings to run a subset
+    raise SystemExit(main(sf, sys.argv[2] if len(sys.argv) > 2 else ""))

@@ -383,3 +383,55 @@ class TestStatsProfile:
         assert not schema.columns["id"].nullable
         # inferred schema validates its own source data
         assert schema.validate(df).passed
+
+
+class TestCategoricalCap:
+    """VERDICT r4 "wrong" #1: categorical drift must stay bounded on a
+    mistyped high-cardinality column — top-K by count + overflow bucket,
+    never an unbounded collect."""
+
+    def test_psi_high_cardinality_stays_bounded(self, spark):
+        base = spark.range(0, 5000).selectExpr(
+            "concat('id-', id) AS k"
+        )
+        cand = spark.range(2500, 7500).selectExpr(
+            "concat('id-', id) AS k"
+        )
+        r = drift.psi_categorical(base, cand, "k", max_categories=100)
+        # 100 top categories + the overflow bucket per side; the result
+        # is finite and the bucket list small — not 5000 driver rows
+        assert len(r.per_bucket) <= 201
+        assert any(b["bucket"] == "__OTHER__" for b in r.per_bucket)
+        assert math.isfinite(r.psi)
+
+    def test_psi_uncapped_below_limit_unchanged(self, spark):
+        base = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 50, "role string"
+        )
+        cand = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 50, "role string"
+        )
+        full = drift.psi_categorical(base, cand, "role")
+        capped = drift.psi_categorical(base, cand, "role", max_categories=100)
+        assert full.psi == capped.psi
+        assert not any(
+            b["bucket"] == "__OTHER__" for b in capped.per_bucket
+        )
+
+    def test_chi2_high_cardinality_stays_bounded(self, spark):
+        d1 = spark.range(0, 3000).selectExpr("concat('u-', id) AS cat")
+        d2 = spark.range(0, 3000).selectExpr("concat('u-', id) AS cat")
+        r = drift.chi2_2samp_categorical(d1, d2, "cat", max_categories=50)
+        assert r.n1 == 3000 and r.n2 == 3000  # totals stay exact
+        assert r.dof <= 101
+        assert math.isfinite(r.statistic)
+
+    def test_chi2_same_distribution_capped_accepts(self, spark):
+        import random
+
+        random.seed(7)
+        vals = [("c%d" % random.randint(0, 20),) for _ in range(2000)]
+        d1 = spark.createDataFrame(vals[:1000], "cat string")
+        d2 = spark.createDataFrame(vals[1000:], "cat string")
+        r = drift.chi2_2samp_categorical(d1, d2, "cat", max_categories=10)
+        assert r.pvalue > 0.001  # coarsened but still a sane test

@@ -567,3 +567,106 @@ class TestRunnerCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["partitions"] == 2 and out["ok"] == 2
         assert out["n_rows"] == 40
+
+
+class TestIcebergManifestSink:
+    """manifest_format='iceberg' (VERDICT r4 Next #2): manifest attempts
+    are append snapshots, violations an identity-partitioned Iceberg
+    table with equality-delete idempotence, resume rides snapshots, and
+    the manifest gets time travel."""
+
+    def test_kill_resume_over_iceberg_manifest(
+        self, spark, partitioned_df, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out,
+            run_id="first", manifest_format="iceberg",
+        )
+        first = run.run(max_partitions=2)
+        assert len(first) == 2
+        # the manifest IS an Iceberg table: snapshots, metadata, hint
+        assert os.path.isdir(os.path.join(out, "manifest", "metadata"))
+        # a new process resumes from the snapshot state
+        run2 = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out,
+            run_id="second", manifest_format="iceberg",
+        )
+        rest = run2.run(resume=True)
+        assert len(rest) == 2
+        assert {r.partition_id for r in first}.isdisjoint(
+            {r.partition_id for r in rest}
+        )
+        s = run2.summary()
+        assert s["partitions"] == 4 and s["ok"] == 4
+        assert s["n_rows"] == partitioned_df.count()
+        # time travel: the manifest after 2 partitions had 2 rows
+        from pandera_spark.io.iceberg_meta import read_table_meta
+
+        meta = read_table_meta(os.path.join(out, "manifest"))
+        md = json.load(
+            open(os.path.join(out, "manifest", "metadata",
+                              "v%s.metadata.json" % open(os.path.join(
+                                  out, "manifest", "metadata",
+                                  "version-hint.text")).read()))
+        )
+        snap2 = md["snapshots"][1]["snapshot-id"]
+        assert run2.read_manifest(snapshot_id=snap2).count() == 2
+        assert run2.read_manifest().count() == 4
+        assert meta.snapshot_id == md["current-snapshot-id"]
+
+    def test_iceberg_violations_rerun_idempotent(
+        self, spark, partitioned_df, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out,
+            manifest_format="iceberg",
+        )
+        run.run()
+        v1 = run.read_violations()
+        n1 = v1.count()
+        assert n1 > 0  # corrupted fixture
+        assert "partition_id" in v1.columns
+        s1 = run.summary()
+        # full re-run: equality delete supersedes, no double count
+        run.run(resume=False)
+        assert run.read_violations().count() == n1
+        s2 = run.summary()
+        assert s1["n_violations"] == s2["n_violations"]
+
+    def test_iceberg_clean_rerun_clears_stale_violations(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        bad = spark.createDataFrame([(1, -5), (2, 7)], "part_id int, x int")
+        schema = DataFrameSchema(
+            {"x": Column("int", checks=Check.ge(0))}, index_cols=["part_id"]
+        )
+        run1 = PartitionedValidationRun(
+            schema, bad, "part_id", out, manifest_format="iceberg"
+        )
+        run1.run()
+        assert run1.read_violations().where("partition_id = '1'").count() == 1
+        good = spark.createDataFrame([(1, 5), (2, 7)], "part_id int, x int")
+        run2 = PartitionedValidationRun(
+            schema, good, "part_id", out, manifest_format="iceberg"
+        )
+        run2.run(resume=False)
+        assert run2.read_violations().where("partition_id = '1'").count() == 0
+        assert run2.summary()["n_violations"] == 0
+
+    def test_iceberg_parallel_dispatch(self, spark, partitioned_df, tmp_path):
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "out"),
+            manifest_format="iceberg",
+        )
+        results = run.run(parallelism=4)
+        assert len(results) == 4
+        assert all(r.status == "ok" for r in results)
+        assert run.summary()["partitions"] == 4
+
+    def test_bad_format_rejected(self, spark, partitioned_df, tmp_path):
+        with pytest.raises(ValueError, match="manifest_format"):
+            PartitionedValidationRun(
+                make_schema(), partitioned_df, "part_id",
+                str(tmp_path / "o"), manifest_format="csv",
+            )
