@@ -295,6 +295,97 @@ def bench_iceberg_transcripts(spark):
     return r.n_rows
 
 
+def ensure_skewed_transcripts(spark) -> str:
+    """Transcript table with a DEGENERATE conv_id distribution: ~50% of
+    all turns funneled into 1% of the convs (hot keys) — the skew shape
+    a real transcript corpus shows when a few agent runs dominate.
+    Built once from the cached bench table and cached alongside it."""
+    path = ensure_transcripts(spark)
+    out = os.path.join(CACHE, f"transcripts_skew_{N_CONVS}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        n_hot = max(N_CONVS // 100, 1)
+        df = spark.read.parquet(path)
+        hot = F.pmod(F.crc32(F.col("conv_id")), F.lit(100)) < 50
+        remap = F.concat(
+            F.lit("conv-"),
+            F.lpad(
+                F.pmod(F.crc32(F.col("conv_id")), F.lit(n_hot)).cast("string"),
+                8,
+                "0",
+            ),
+        )
+        df.withColumn(
+            "conv_id", F.when(hot, remap).otherwise(F.col("conv_id"))
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def bench_skew_stress(spark):
+    """VERDICT r4 Next #6: the full uniqueness + contiguity pass over
+    the skewed table — evidence for the map-side-combine skew argument
+    (backend/unique.py): partial aggregation collapses each hot key's
+    turns to one row per partition BEFORE the shuffle, so the hot keys
+    cost map time, not a straggler reducer."""
+    from pandera_spark import Contiguity, DataFrameSchema
+
+    df = spark.read.parquet(ensure_skewed_transcripts(spark))
+    schema = DataFrameSchema(
+        {},
+        unique=["conv_id", "turn_idx"],
+        references=[Contiguity(partition_by="conv_id", order_col="turn_idx")],
+        index_cols=["conv_id", "turn_idx"],
+        name="transcripts_skew",
+    )
+    r = schema.validate(df, collect_stats=False, collect_failure_cases=False)
+    return r.n_rows
+
+
+def bench_iceberg_deletes(spark):
+    """VERDICT r4 Next #8: iceberg_transcripts with ~1% row-level
+    deletes (position + equality) applied merge-on-read — records the
+    anti-join cost as a number instead of a design argument.  File
+    stats are (correctly) refused on delete-carrying snapshots, so this
+    is a full validation scan through the merge path."""
+    import glob as _glob
+
+    from pandera_spark.io import read_iceberg, write_iceberg_table
+    from pandera_spark.io.iceberg_meta import (
+        read_table_meta,
+        write_equality_deletes,
+        write_position_deletes,
+    )
+
+    path = ensure_transcripts(spark)
+    tdir = path + "_iceberg_del"
+    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
+        files = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        write_iceberg_table(tdir, files)
+        meta = read_table_meta(tdir)
+        # position deletes: first ~0.5% of rows in the 4 largest files
+        dels = {}
+        for dfile in sorted(
+            meta.data_files, key=lambda d: -(d.get("record_count") or 0)
+        )[:4]:
+            k = max((dfile.get("record_count") or 0) // 200, 1)
+            dels[dfile["file_path"]] = list(range(k))
+        write_position_deletes(tdir, dels)
+        # equality deletes: ~0.5% of convs by natural key
+        write_equality_deletes(
+            tdir,
+            [{"conv_id": f"conv-{i:08d}"} for i in range(0, N_CONVS, 200)],
+            ["conv_id"],
+        )
+    df = read_iceberg(spark, tdir)
+    schema = make_transcript_schema()
+    r = schema.validate(df, collect_stats=False, collect_failure_cases=False)
+    return r.n_rows
+
+
 def bench_streaming_pipeline(spark):
     """Structured Streaming path at bench scale: the cached transcript
     table replayed as a bounded file stream (availableNow, several files
@@ -415,6 +506,8 @@ WORKLOADS = {
     "text_quality": bench_text_quality,
     "streaming_pipeline": bench_streaming_pipeline,
     "iceberg_transcripts": bench_iceberg_transcripts,
+    "iceberg_deletes": bench_iceberg_deletes,
+    "skew_stress": bench_skew_stress,
 }
 
 

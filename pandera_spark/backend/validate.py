@@ -672,9 +672,21 @@ def _compile_checks(schema, df, coerce_checks):
             cid += 1
 
     # column value checks
+    from ..checks import enforce_accepted_datatypes
+
     for name, col in schema.columns.items():
         for t in col.matched_columns(df.columns):
             for i, chk in enumerate(col.checks):
+                # builtin × dtype admissibility — the reference's
+                # TypeError verbatim, raised before any job runs
+                # (pandera/backends/pyspark/decorators.py:25-62);
+                # frictionless-imported constraints are exempt (they
+                # come through the reference's pandas engine, where
+                # string comparison is legal)
+                if not getattr(chk, "_skip_dtype_check", False):
+                    enforce_accepted_datatypes(
+                        chk.name, df.schema[t].dataType
+                    )
                 if chk.groupby or getattr(chk, "agg_impl", None):
                     grouped.append((t, chk))
                     continue
@@ -1180,7 +1192,14 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
 
     df_cols = set(df.columns)
     for colname, chk in grouped:
-        needed = list(chk.groupby or []) + ([colname] if colname else [])
+        gcols = chk.groupby
+        if callable(gcols):
+            # reference parity: groupby=lambda df: df.groupby("col2")
+            # (tests/core/test_checks.py:44-51)
+            gcols = _resolve_groupby_callable(gcols, df)
+        elif isinstance(gcols, str):
+            gcols = [gcols]
+        needed = list(gcols or []) + ([colname] if colname else [])
         missing = [c for c in needed if c not in df_cols]
         if missing:
             handler.collect_error(
@@ -1226,7 +1245,6 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
                     )
                 )
             continue
-        gcols = chk.groupby
         target = colname
         fn = chk.fn
         groups = chk.groups
@@ -1234,26 +1252,32 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
         cap = MAX_GROUP_SAMPLE_ROWS
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            key = tuple(pdf[g].iloc[0] for g in gcols)
-            if len(key) == 1:
-                key = key[0]
             if len(pdf) > cap:
+                key = tuple(pdf[g].iloc[0] for g in gcols)
                 raise ValueError(
                     f"grouped-sample cap exceeded: check '{check_label}' "
                     f"would collect {len(pdf)} rows for group {key!r} "
                     f"(cap {cap})"
                 )
-            return pd.DataFrame(
-                {"__group__": [str(key)], "__series__": [pdf[target].tolist()]}
-            )
+            out = {g: [pdf[g].iloc[0]] for g in gcols}
+            out["__series__"] = [pdf[target].tolist()]
+            return pd.DataFrame(out)
 
+        # group-key columns come back TYPED (not stringified) so the
+        # dict-of-series keys match the reference contract exactly:
+        # scalar key for a single groupby column, tuple for several
+        # (pandera/backends/pandas/checks.py:45-78)
+        series_t = (
+            "array<double>" if _is_numeric_col(df, target) else "array<string>"
+        )
+        key_ddl = ", ".join(
+            f"`{g}` {df.schema[g].dataType.simpleString()}" for g in gcols
+        )
         try:
             gdf = (
                 df.groupBy(*gcols)
                 .applyInPandas(
-                    run_group, schema="__group__ string, __series__ array<double>"
-                    if _is_numeric_col(df, target)
-                    else "__group__ string, __series__ array<string>",
+                    run_group, schema=f"{key_ddl}, __series__ {series_t}"
                 )
                 .collect()
             )
@@ -1270,18 +1294,64 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
                     "pandera_spark.backend.validate.MAX_GROUP_SAMPLE_ROWS."
                 ) from None
             raise
-        sample_dict = {r["__group__"]: pd.Series(r["__series__"]) for r in gdf}
-        if groups is not None:
-            missing = [g for g in groups if str(g) not in sample_dict]
-            if missing:
-                raise KeyError(f"groups {missing} not found in {gcols}")
-            sample_dict = {str(g): sample_dict[str(g)] for g in groups}
-            if len(groups) == 1:
-                passed = bool(fn(sample_dict[str(groups[0])]))
+        sample_dict = {}
+        for r in gdf:
+            key = tuple(r[g] for g in gcols)
+            if len(key) == 1:
+                key = key[0]
+            sample_dict[key] = pd.Series(r["__series__"])
+        # check-fn execution is PROTECTED: any exception (KeyError on a
+        # missing group, arbitrary fn bugs) becomes a CHECK_ERROR with
+        # the reference's message verbatim
+        # (pandera/backends/pandas/components.py:253-271)
+        try:
+            if groups is not None:
+                invalid_groups = [g for g in groups if g not in sample_dict]
+                if invalid_groups:
+                    # pandera/backends/pandas/checks.py:65-70 verbatim
+                    raise KeyError(
+                        f"groups {invalid_groups} provided in `groups` "
+                        "argument not a valid group key. Valid group "
+                        f"keys: {set(sample_dict)}"
+                    )
+                # the reference hands the RESTRICTED DICT to the fn even
+                # for a single group (lambda s: s["foo"] > 10 with
+                # groups="foo" — tests/core/test_checks.py:140-146)
+                out = fn({g: sample_dict[g] for g in groups})
             else:
-                passed = bool(fn(sample_dict))
-        else:
-            passed = bool(fn(sample_dict))
+                out = fn(sample_dict)
+            # a Series-returning fn (e.g. lambda s: s["foo"] > 10)
+            # aggregates like the reference's check-output postprocess
+            passed = bool(out.all()) if isinstance(out, pd.Series) else bool(out)
+        except Exception as err:  # noqa: BLE001 — reference CHECK_ERROR wrap
+            import traceback
+
+            err_msg = f'"{err.args[0]}"' if len(err.args) > 0 else ""
+            err_str = f"{err.__class__.__name__}({err_msg})"
+            handler.collect_error(
+                SchemaErrorRecord(
+                    reason_code=SchemaErrorReason.CHECK_ERROR,
+                    schema_context="Column" if colname else "DataFrameSchema",
+                    column=target,
+                    check=check_label,
+                    message=(
+                        f"Error while executing check function: {err_str}\n"
+                        + traceback.format_exc()
+                    ),
+                    schema_name=schema_name,
+                )
+            )
+            check_results.append(
+                {
+                    "column": target,
+                    "check": check_label,
+                    "check_number": None,
+                    "n_violations": 1,
+                    "n_rows": None,
+                    "passed": False,
+                }
+            )
+            continue
         rec = {
             "column": target,
             "check": chk.error or chk.name,
@@ -1305,6 +1375,49 @@ def _run_grouped_checks(schema, df, grouped, handler, schema_name, check_results
                     schema_name=schema_name,
                 )
             )
+
+
+def _resolve_groupby_callable(gb, df) -> list[str]:
+    """Resolve a CALLABLE groupby to column names.  The reference
+    accepts ``groupby=lambda df: df.groupby("col2")``
+    (tests/core/test_checks.py:44-51); Spark's GroupedData does not
+    expose its grouping columns, so the callable is first invoked
+    against a recorder whose ``.groupby()/.groupBy()`` captures the
+    requested names — the reference's exact lambda works verbatim.  A
+    callable that returns column name(s) when given the real DataFrame
+    also works."""
+
+    class _Recorder:
+        cols: Optional[list] = None
+
+        def groupby(self, *cols):
+            flat: list = []
+            for c in cols:
+                if isinstance(c, (list, tuple)):
+                    flat.extend(c)
+                else:
+                    flat.append(c)
+            self.cols = [str(c) for c in flat]
+            return self
+
+        groupBy = groupby
+
+    rec = _Recorder()
+    try:
+        gb(rec)
+    except Exception:  # noqa: BLE001 — recorder probe only
+        pass
+    if rec.cols:
+        return rec.cols
+    out = gb(df)
+    if isinstance(out, str):
+        return [out]
+    if isinstance(out, (list, tuple)) and all(isinstance(c, str) for c in out):
+        return list(out)
+    raise TypeError(
+        "callable groupby must call .groupby(<columns>) on its argument "
+        f"or return column name(s); got {type(out).__name__}"
+    )
 
 
 def _is_numeric_col(df, name) -> bool:

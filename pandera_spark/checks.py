@@ -447,6 +447,66 @@ class Check:
 
 
 # ---------------------------------------------------------------------- #
+# per-builtin accepted datatypes
+# (pandera/backends/pyspark/builtin_checks.py:15-27 ALL_NUMERIC_TYPE /
+#  ALL_DATE_TYPE / STRING / BINARY / BOLEAN_TYPE registrations;
+#  enforcement + error string: pandera/backends/pyspark/decorators.py:
+#  25-62 register_input_datatypes).  Enforced at compile time so a check
+#  applied to a nonsense dtype raises the reference's TypeError verbatim
+#  instead of Spark's analyzer producing a confusing message (or quietly
+#  comparing across types).
+# ---------------------------------------------------------------------- #
+
+_NUMERIC_TYPENAMES = (
+    "long", "integer", "byte", "short", "double", "decimal", "float",
+)
+_DATE_TYPENAMES = ("date", "timestamp")
+
+ACCEPTED_DATATYPES: dict[str, tuple[str, ...]] = {
+    "equal_to": _NUMERIC_TYPENAMES
+    + _DATE_TYPENAMES
+    + ("string", "binary", "boolean"),
+    "not_equal_to": _NUMERIC_TYPENAMES
+    + _DATE_TYPENAMES
+    + ("string", "binary", "boolean"),
+    "greater_than": _NUMERIC_TYPENAMES + _DATE_TYPENAMES,
+    "greater_than_or_equal_to": _NUMERIC_TYPENAMES + _DATE_TYPENAMES,
+    "less_than": _NUMERIC_TYPENAMES + _DATE_TYPENAMES,
+    "less_than_or_equal_to": _NUMERIC_TYPENAMES + _DATE_TYPENAMES,
+    "in_range": _NUMERIC_TYPENAMES + _DATE_TYPENAMES,
+    "isin": _NUMERIC_TYPENAMES + _DATE_TYPENAMES + ("string", "binary"),
+    "notin": _NUMERIC_TYPENAMES + _DATE_TYPENAMES + ("string", "binary"),
+    # the reference's pyspark backend stops at str_endswith; the
+    # remaining string checks and unique_values_eq take the same
+    # policies their semantics imply
+    "str_contains": ("string",),
+    "str_startswith": ("string",),
+    "str_endswith": ("string",),
+    "str_matches": ("string",),
+    "str_length": ("string",),
+    "unique_values_eq": _NUMERIC_TYPENAMES
+    + _DATE_TYPENAMES
+    + ("string", "binary", "boolean"),
+}
+
+
+def enforce_accepted_datatypes(check_name: str, spark_type: T.DataType) -> None:
+    """Raise the reference's TypeError when ``check_name`` is a builtin
+    applied to a Spark type outside its accepted list.  Unknown (custom)
+    check names pass through."""
+    accepted = ACCEPTED_DATATYPES.get(check_name)
+    if accepted is None:
+        return
+    tname = spark_type.typeName()
+    if tname in accepted:
+        return
+    raise TypeError(
+        f'The check with name "{check_name}" only supports the following '
+        f'datatypes {list(accepted)} and not the given "{tname}" datatype'
+    )
+
+
+# ---------------------------------------------------------------------- #
 # custom check registration (pandera/api/extensions.py:137-312 analogue)
 # ---------------------------------------------------------------------- #
 

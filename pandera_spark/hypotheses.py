@@ -72,7 +72,14 @@ class Hypothesis(Check):
         def fn(groups_or_series):
             if isinstance(groups_or_series, dict):
                 keys = sample_keys or sorted(groups_or_series, key=repr)
-                series = [groups_or_series[str(k)] for k in keys]
+                # group keys are typed (not stringified) since the
+                # dict-of-series parity upgrade — accept either form
+                series = [
+                    groups_or_series[k]
+                    if k in groups_or_series
+                    else groups_or_series[str(k)]
+                    for k in keys
+                ]
             else:
                 series = [groups_or_series]
             out = test_fn(*series, **kwargs_)

@@ -98,6 +98,15 @@ class FrictionlessFieldParser:
                 out.append(Check.str_matches(rf"^{value}$"))
             elif key == "enum":
                 out.append(Check.isin(value))
+        # frictionless date/time fields carry formatted-STRING bounds
+        # (e.g. minimum '20201231' on a string column) — the reference
+        # routes frictionless through its pandas engine where string
+        # comparison is legal, so the pyspark-backend dtype
+        # admissibility gate (checks.enforce_accepted_datatypes) must
+        # not apply to imported constraints; Spark compares strings
+        # lexicographically, same as pandas
+        for chk in out:
+            chk._skip_dtype_check = True
         return out
 
     @property

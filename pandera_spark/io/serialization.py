@@ -38,6 +38,10 @@ def _check_to_dict(chk: Check) -> dict:
             "raise_warning": chk.raise_warning,
             "n_failure_cases": chk.n_failure_cases,
             "error": chk.error,
+            # frictionless-imported constraints are exempt from the
+            # dtype admissibility gate — keep that across round-trips
+            "skip_dtype_check": getattr(chk, "_skip_dtype_check", False)
+            or None,
         },
     }
 
@@ -49,14 +53,19 @@ def _check_from_dict(d: dict) -> Check:
     stats = dict(d.get("statistics") or {})
     opts = {k: v for k, v in (d.get("options") or {}).items() if v is not None}
     opts.pop("ignore_na_default", None)
+    skip_dtype = opts.pop("skip_dtype_check", False)
     # isin/notin/unique_values_eq take one iterable positional
     if d["name"] == "isin":
-        return factory(stats["allowed_values"], **opts)
-    if d["name"] == "notin":
-        return factory(stats["forbidden_values"], **opts)
-    if d["name"] == "unique_values_eq":
-        return factory(stats["values"], **opts)
-    return factory(**stats, **opts)
+        chk = factory(stats["allowed_values"], **opts)
+    elif d["name"] == "notin":
+        chk = factory(stats["forbidden_values"], **opts)
+    elif d["name"] == "unique_values_eq":
+        chk = factory(stats["values"], **opts)
+    else:
+        chk = factory(**stats, **opts)
+    if skip_dtype:
+        chk._skip_dtype_check = True
+    return chk
 
 
 def _column_to_dict(col: Column) -> dict:

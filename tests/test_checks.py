@@ -333,3 +333,80 @@ class TestRegisterKeywordBinding:
         ).validate(df)
         rec = [c for c in r.check_results if c["check"].startswith("pos_only")][0]
         assert rec["n_violations"] == 1
+
+
+class TestAcceptedDatatypes:
+    """Builtin × dtype admissibility matrix (VERDICT r4 Next #3):
+    each builtin declares its accepted Spark types and raises the
+    reference's TypeError verbatim at compile time
+    (/root/reference/pandera/backends/pyspark/decorators.py:25-62,
+    builtin_checks.py:15-27; asserted in
+    tests/pyspark/test_pyspark_check.py:410, :542, ...)."""
+
+    # (check factory call, column DDL it must REJECT)
+    REJECTS = [
+        (lambda: Check.equal_to(1), "array<int>"),
+        (lambda: Check.not_equal_to(1), "map<string,int>"),
+        (lambda: Check.greater_than(0), "string"),
+        (lambda: Check.greater_than_or_equal_to(0), "boolean"),
+        (lambda: Check.less_than(10), "string"),
+        (lambda: Check.less_than_or_equal_to(10), "binary"),
+        (lambda: Check.in_range(0, 10), "string"),
+        (lambda: Check.isin([1, 2]), "boolean"),
+        (lambda: Check.notin([1, 2]), "boolean"),
+        (lambda: Check.str_contains("x"), "int"),
+        (lambda: Check.str_startswith("x"), "int"),
+        (lambda: Check.str_endswith("x"), "int"),
+        (lambda: Check.str_matches("^x"), "double"),
+        (lambda: Check.str_length(1, 3), "date"),
+        (lambda: Check.unique_values_eq([1]), "array<int>"),
+    ]
+    ACCEPTS = [
+        (lambda: Check.equal_to(True), "boolean", [(True,)]),
+        (lambda: Check.greater_than(0), "decimal(10,2)", [(1,)]),
+        (lambda: Check.less_than_or_equal_to(10.5), "float", [(1.0,)]),
+        (lambda: Check.isin(["a"]), "string", [("a",)]),
+        (lambda: Check.str_startswith("a"), "string", [("ab",)]),
+        (lambda: Check.in_range(0, 10), "short", [(5,)]),
+    ]
+
+    @pytest.mark.parametrize(
+        "factory,bad_ddl", REJECTS,
+        ids=[f.__code__.co_consts and str(i) for i, (f, _) in enumerate(REJECTS)],
+    )
+    def test_unaccepted_datatype_raises(self, spark, factory, bad_ddl):
+        chk = factory()
+        df = spark.createDataFrame([], f"v {bad_ddl}")
+        schema = DataFrameSchema({"v": Column(checks=[chk])})
+        with pytest.raises(TypeError, match="only supports the following"):
+            schema.validate(df)
+
+    def test_error_string_verbatim(self, spark):
+        """Byte-for-byte the reference's message
+        (tests/pyspark/test_pyspark_check.py:149)."""
+        df = spark.createDataFrame([], "v int")
+        schema = DataFrameSchema({"v": Column(checks=[Check.str_startswith("B")])})
+        with pytest.raises(TypeError) as ei:
+            schema.validate(df)
+        assert str(ei.value) == (
+            'The check with name "str_startswith" only supports the '
+            "following datatypes ['string'] and not the given \"integer\" "
+            "datatype"
+        )
+
+    @pytest.mark.parametrize("factory,ddl,rows", ACCEPTS)
+    def test_accepted_datatype_validates(self, spark, factory, ddl, rows):
+        import decimal
+
+        if ddl.startswith("decimal"):
+            rows = [(decimal.Decimal(v[0]),) for v in rows]
+        df = spark.createDataFrame(rows, f"v {ddl}")
+        res = DataFrameSchema({"v": Column(checks=[factory()])}).validate(df)
+        assert res.passed
+
+    def test_custom_check_names_exempt(self, spark):
+        df = spark.createDataFrame([([1],)], "v array<int>")
+        res = DataFrameSchema(
+            {"v": Column(checks=[Check(lambda c: F.size(c) > 0, name="nonempty")])}
+        ).validate(df)
+        assert res.passed

@@ -385,3 +385,198 @@ class TestValidationDepthGating:
         schema = DataFrameSchema({"a": Column("int", checks=Check.ge(0))})
         r = schema.validate(df)
         assert r.passed and r.report == {}
+
+
+class TestGroupbyCheckGolden:
+    """Mirror of the groupby-check golden matrix
+    (tests/core/test_checks.py:36-133 test_check_groupby /
+    test_check_groupby_multiple_columns, :135-222 test_check_groups):
+    dict-of-series shape with TYPED group keys, callable groupby,
+    `groups` restriction, and the CHECK_ERROR wrap
+    'Error while executing check function: KeyError(...)'
+    (pandera/backends/pandas/components.py:253-271)."""
+
+    def _df_pass(self, spark):
+        return spark.createDataFrame(
+            list(zip([7, 8, 9, 11, 12, 13],
+                     ["bar"] * 3 + ["foo"] * 3,
+                     [1, 2, 3, 4, 5, 6])),
+            "col1 int, col2 string, data_id int",
+        )
+
+    def _schema(self):
+        # the reference's four grouped-check forms verbatim, including
+        # the callable groupby lambda (tests/core/test_checks.py:39-55)
+        return DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [
+                        Check(lambda s: s["foo"] > 10, groupby="col2"),
+                        Check(lambda s: s["bar"] < 10, groupby=["col2"]),
+                        Check(
+                            lambda s: s["foo"] > 10,
+                            groupby=lambda df: df.groupby("col2"),
+                        ),
+                        Check(
+                            lambda s: s["bar"] < 10,
+                            groupby=lambda df: df.groupby("col2"),
+                        ),
+                    ],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+            },
+            index_cols=["data_id"],
+        )
+
+    def test_check_groupby_pass(self, spark):
+        res = self._schema().validate(self._df_pass(spark))
+        assert res.passed, res.report
+
+    @pytest.mark.parametrize(
+        "col1",
+        [
+            [7, 8, 20, 11, 12, 13],  # fails 'bar' < 10
+            [7, 8, 9, 11, 1, 13],    # fails 'foo' > 10
+        ],
+    )
+    def test_check_groupby_fail(self, spark, col1):
+        df = spark.createDataFrame(
+            list(zip(col1, ["bar"] * 3 + ["foo"] * 3, range(1, 7))),
+            "col1 int, col2 string, data_id int",
+        )
+        res = self._schema().validate(df)
+        assert not res.passed
+
+    def test_check_groupby_missing_column_raises(self, spark):
+        from pandera_spark.errors import SchemaError
+
+        df = spark.createDataFrame(
+            [(7, 1), (11, 2)], "col1 int, data_id int"
+        )
+        with pytest.raises(SchemaError):
+            self._schema().validate(df, lazy=False)
+
+    def test_check_groupby_multiple_columns_tuple_keys(self, spark):
+        """Typed TUPLE group keys (tests/core/test_checks.py:101-133):
+        s[("bar", True)].sum() == 16."""
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [
+                        Check(
+                            lambda s: s[("bar", True)].sum() == 16,  # 7 + 9
+                            groupby=["col2", "col3"],
+                        ),
+                    ],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+                "col3": Column("boolean"),
+            }
+        )
+        df = spark.createDataFrame(
+            list(zip([7, 8, 9, 11, 12, 13],
+                     ["bar"] * 3 + ["foo"] * 3,
+                     [True, False, True, False, True, False])),
+            "col1 int, col2 string, col3 boolean",
+        )
+        res = schema.validate(df)
+        assert res.passed, res.report
+
+    def test_check_groups_restriction(self, spark):
+        """groups=list / groups=str restrict the dict
+        (tests/core/test_checks.py:135-164)."""
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [
+                        Check(lambda s: s["foo"] > 10, groupby="col2",
+                              groups=["foo"]),
+                        Check(lambda s: s["foo"] > 10, groupby="col2",
+                              groups="foo"),
+                    ],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+            }
+        )
+        res = schema.validate(self._df_pass(spark))
+        assert res.passed, res.report
+
+    def test_check_groups_keyerror_wrapped(self, spark):
+        """fn reaching for a group outside `groups` raises the
+        reference's wrapped message verbatim
+        (tests/core/test_checks.py:166-184)."""
+        from pandera_spark.errors import SchemaError
+
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [Check(lambda s: s["bar"] > 10, groupby="col2",
+                           groups="foo")],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+            }
+        )
+        with pytest.raises(
+            SchemaError,
+            match=r'Error while executing check function: KeyError\("bar"\)',
+        ):
+            schema.validate(self._df_pass(spark), lazy=False)
+
+    def test_check_groups_nonexistent_key_in_fn(self, spark):
+        from pandera_spark.errors import SchemaError
+
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [Check(lambda s: s["baz"] > 10, groupby="col2",
+                           groups=["foo"])],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+            }
+        )
+        with pytest.raises(
+            SchemaError,
+            match=r'Error while executing check function: KeyError\("baz"\)',
+        ):
+            schema.validate(self._df_pass(spark), lazy=False)
+
+    def test_check_groups_nonexistent_group_in_groups(self, spark):
+        """groups=['baz'] names a group absent from the data
+        (tests/core/test_checks.py:207-222; KeyError text from
+        pandera/backends/pandas/checks.py:65-70)."""
+        from pandera_spark.errors import SchemaError
+
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [Check(lambda s: s["foo"] > 10, groupby="col2",
+                           groups=["baz"])],
+                ),
+                "col2": Column("string", Check.isin(["foo", "bar"])),
+            }
+        )
+        with pytest.raises(SchemaError, match="not a valid group key"):
+            schema.validate(self._df_pass(spark), lazy=False)
+
+    def test_lazy_collects_check_error(self, spark):
+        """In lazy mode the wrapped KeyError lands in the report as a
+        CHECK_ERROR instead of raising."""
+        schema = DataFrameSchema(
+            {
+                "col1": Column(
+                    "int",
+                    [Check(lambda s: s["baz"] > 10, groupby="col2")],
+                ),
+                "col2": Column("string"),
+            }
+        )
+        res = schema.validate(self._df_pass(spark))
+        assert not res.passed
+        flat = str(res.report)
+        assert 'Error while executing check function: KeyError("baz")' in flat
