@@ -897,6 +897,30 @@ def write_iceberg_sink(
                 f"{partition_by!r}"
             )
 
+    # stamp each column with its Iceberg field id so Spark's parquet
+    # writer records PARQUET:field_id in the file schema
+    # (spark.sql.parquet.fieldId.write.enabled, default true) — new
+    # files then resolve by id everywhere, including in runtimes whose
+    # metadata doesn't carry this table's snapshot lineage.  Appends
+    # reuse the table's ids; a CREATE pre-assigns 1..n in column order,
+    # exactly what write_iceberg_table will register.
+    try:
+        if spec_cols is not None:  # existing table
+            schemas = existing.get("schemas") or []
+            cur = next(
+                s
+                for s in schemas
+                if s.get("schema-id", 0) == existing.get("current-schema-id", 0)
+            )
+            fid_by_name = {f["name"]: f["id"] for f in cur["fields"]}
+        else:
+            fid_by_name = {c: i + 1 for i, c in enumerate(df.columns)}
+        for c in df.columns:
+            if c in fid_by_name:
+                df = df.withMetadata(c, {"parquet.field.id": fid_by_name[c]})
+    except Exception:  # noqa: BLE001 — ids are an upgrade, never a blocker
+        pass
+
     batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
     if partition_by:
         (

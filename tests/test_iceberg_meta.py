@@ -1030,3 +1030,46 @@ class TestPartitionStatsRendering:
     def test_plan_files_bool_rendering(self, spark, tmp_path):
         t = self._bool_tbl(spark, tmp_path)
         assert len(plan_files(t, partition_filter={"flag": "false"})) == 1
+
+
+class TestFieldIdWrites:
+    def test_sink_stamps_parquet_field_ids(self, spark, tmp_path):
+        """write_iceberg_sink stamps parquet.field.id column metadata so
+        Spark's writer records PARQUET:field_id — new files resolve by
+        id even in runtimes without this table's snapshot lineage."""
+        from pandera_spark.io.iceberg_meta import (
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "fid")
+        write_iceberg_sink(
+            spark.range(0, 4).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        meta = read_table_meta(t)
+        path = meta.data_files[0]["file_path"]
+        sch = pq.ParquetFile(path).schema_arrow
+        fids = {
+            f.name: int((f.metadata or {}).get(b"PARQUET:field_id", -1))
+            for f in sch
+        }
+        assert fids == {"id": 1, "v": 2}
+        # append after a rename carries the SAME id under the new name
+        evolve_schema(t, renames={"v": "value"})
+        write_iceberg_sink(
+            spark.range(4, 6).selectExpr("id", "cast(id as double) AS value"),
+            t,
+        )
+        meta2 = read_table_meta(t)
+        top_seq = max(d["_seq"] for d in meta2.data_files)
+        newest = [d for d in meta2.data_files if d["_seq"] == top_seq]
+        sch2 = pq.ParquetFile(newest[-1]["file_path"]).schema_arrow
+        fids2 = {
+            f.name: int((f.metadata or {}).get(b"PARQUET:field_id", -1))
+            for f in sch2
+        }
+        assert fids2 == {"id": 1, "value": 2}
+        # and the footer-fallback resolver reads them
+        from pandera_spark.io.iceberg_meta import _footer_name_to_fid
+
+        assert _footer_name_to_fid(newest[-1]["file_path"]) == fids2
