@@ -13,6 +13,7 @@ from .serialization import (  # noqa: F401
     to_yaml,
 )
 from .iceberg_meta import (  # noqa: F401
+    compact_table,
     evolve_schema,
     iceberg_meta_stats,
     plan_files,

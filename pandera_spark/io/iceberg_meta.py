@@ -624,8 +624,15 @@ def _read_data_files(
     )
     out = None
     for sig, gpaths in groups.items():
+        # cast every projected column to the CURRENT schema type: after
+        # a type promotion (int→long, float→double, decimal widening —
+        # evolve_schema(promote=...)) old data files still carry the
+        # old physical type, and an uncast union would either misreport
+        # the dtype (single-era reads) or rely on union coercion.  The
+        # cast is widening-only by construction, so never lossy; Spark
+        # elides it when the types already match.
         sel = [
-            F.col(phys).alias(f["name"])
+            F.col(phys).cast(_spark_ddl(f["type"])).alias(f["name"])
             if phys is not None
             else F.lit(None).cast(_spark_ddl(f["type"])).alias(f["name"])
             for (_, f), phys in zip(cur, sig)
@@ -921,6 +928,24 @@ def write_iceberg_sink(
     except Exception:  # noqa: BLE001 — ids are an upgrade, never a blocker
         pass
 
+    files, pvals, batch = _write_batch(df, table_dir, partition_by)
+    if not files:  # legal empty append → documented no-op
+        import shutil
+
+        shutil.rmtree(batch, ignore_errors=True)
+        return
+    write_iceberg_table(
+        table_dir, files, partition_by=partition_by, partition_values=pvals
+    )
+
+
+def _write_batch(df, table_dir: str, partition_by: Optional[str]):
+    """Land ``df`` as parquet under ``data/batch-<uuid>/`` (hive-
+    partitioned on a COPY of ``partition_by`` when given) and return
+    (data file paths, {path: typed partition value} or None, batch
+    dir).  Shared by the append sink and compaction."""
+    from pyspark.sql import functions as F
+
     batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
     if partition_by:
         (
@@ -963,14 +988,68 @@ def write_iceberg_sink(
             if not os.path.basename(p).startswith(("_", "."))
         )
         pvals = None
-    if not files:  # legal empty append → documented no-op
-        import shutil
+    return files, pvals, batch
 
-        shutil.rmtree(batch, ignore_errors=True)
-        return
+
+def compact_table(
+    spark, table_dir: str, num_files: Optional[int] = None
+) -> dict:
+    """Rewrite the CURRENT snapshot's merge-on-read state — data files
+    minus row-level deletes, projected to the current schema by field
+    id — into fresh data files committed as a REPLACE snapshot that
+    references only them.  This is the metadata-level counterpart of
+    Iceberg's rewrite_data_files maintenance action.
+
+    Why compact: a delete-carrying snapshot pays the (file, position) /
+    equality anti-joins on every read AND (correctly) disqualifies
+    manifest-stats short-circuits — the measured iceberg_deletes bench
+    penalty is ~2.8x.  Compaction retires position + equality deletes,
+    collapses schema eras (pre-rename / pre-promotion files re-land
+    under current names and types, so subsequent reads are a single
+    era-group), and restores trusted per-file stats.  Prior snapshots
+    remain time-travelable: their manifest lists are immutable and this
+    commit touches none of them.
+
+    ``num_files``: optional coalesce target for the rewrite (per
+    partition value when the table is partitioned).  Returns a summary
+    dict {files_before, files_after, deletes_retired, rows,
+    snapshot_id}.
+    """
+    meta = read_table_meta(table_dir)
+    if meta.snapshot_id is None:
+        raise ValueError(f"compact_table: {table_dir} has no snapshot")
+    before_files = len(meta.data_files)
+    before_deletes = meta.delete_files
+    df = read_iceberg(spark, table_dir)
+    partition_by = meta.partition_cols[0] if meta.partition_cols else None
+    if num_files:
+        df = (
+            df.repartition(num_files, partition_by)
+            if partition_by
+            else df.repartition(num_files)
+        )
+    # stamp current-schema field ids so the rewritten files carry
+    # PARQUET:field_id (same upgrade the append sink applies)
+    fid_by_name = {f["name"]: fid for fid, f in meta.fields.items()}
+    for c in df.columns:
+        if c in fid_by_name:
+            df = df.withMetadata(c, {"parquet.field.id": fid_by_name[c]})
+    files, pvals, _ = _write_batch(df, table_dir, partition_by)
     write_iceberg_table(
-        table_dir, files, partition_by=partition_by, partition_values=pvals
+        table_dir,
+        files,
+        partition_by=partition_by,
+        partition_values=pvals,
+        replace=True,
     )
+    after = read_table_meta(table_dir)
+    return {
+        "files_before": before_files,
+        "files_after": len(after.data_files),
+        "deletes_retired": before_deletes,
+        "rows": sum(d.get("record_count") or 0 for d in after.data_files),
+        "snapshot_id": after.snapshot_id,
+    }
 
 
 # ----------------------------------------------------------------------- #
@@ -1128,6 +1207,7 @@ def write_iceberg_table(
     data_files: list[str],
     partition_by: Optional[str] = None,
     partition_values: Optional[dict[str, Any]] = None,
+    replace: bool = False,
 ) -> None:
     """Create a spec-v2 Iceberg table over existing parquet files.
 
@@ -1137,11 +1217,17 @@ def write_iceberg_table(
     counts, NaN counts, bounds) land in the manifest.  Identity
     partitioning: ``partition_by`` + per-file ``partition_values``
     {path: value}.
+
+    ``replace=True`` (compaction): the snapshot references ONLY these
+    files — prior data AND delete files leave the current table state
+    (still time-travelable through older snapshots).  An empty
+    ``data_files`` is legal here: it commits an empty table (every row
+    was deleted).
     """
     import pyarrow.parquet as pq
     import shutil
 
-    if not data_files:
+    if not data_files and not replace:
         raise ValueError(
             "write_iceberg_table: empty data_files — nothing to commit "
             "(write_iceberg_sink treats an empty batch as a no-op)"
@@ -1177,13 +1263,18 @@ def write_iceberg_table(
         # append schema guard: files whose column set diverges from the
         # table schema would silently drop/NULL columns at read time
         # (the planner reads them as plain parquet) — refuse instead
-        got = set(pq.ParquetFile(data_files[0]).schema_arrow.names)
-        if got != set(names):
-            raise ValueError(
-                f"appended files' columns {sorted(got)} do not match the "
-                f"table schema {sorted(names)} — schema evolution is not "
-                "supported by this metadata-level writer"
-            )
+        if data_files:
+            got = set(pq.ParquetFile(data_files[0]).schema_arrow.names)
+            if got != set(names):
+                raise ValueError(
+                    f"appended files' columns {sorted(got)} do not match "
+                    f"the table schema {sorted(names)} — schema evolution "
+                    "is not supported by this metadata-level writer"
+                )
+    elif replace:
+        raise ValueError(
+            "write_iceberg_table: replace=True requires an existing table"
+        )
     else:
         # schema from the first file; field ids 1..n in order
         arrow_schema = pq.ParquetFile(data_files[0]).schema_arrow
@@ -1276,7 +1367,7 @@ def write_iceberg_table(
             }
         )
 
-    if not entries:
+    if not entries and not replace:
         # every file was 0-row (Spark writes empty part files for empty
         # frames): an append commits nothing; a create has no table
         if existing is not None:
@@ -1310,7 +1401,8 @@ def write_iceberg_table(
         new_manifest,
         snapshot_id,
         seq,
-        operation="append",
+        operation="replace" if replace else "append",
+        carry_prior=not replace,
         create_md=None
         if existing is not None
         else {
@@ -1363,11 +1455,15 @@ def _commit_snapshot(
     operation: str,
     create_md: Optional[dict],
     schema_id: int = 0,
+    carry_prior: bool = True,
 ) -> None:
     """Write the manifest list (new manifest + prior snapshot's), append
-    the snapshot to history, and bump vN.metadata.json + version hint."""
-    manifests = [new_manifest]
-    if existing is not None:
+    the snapshot to history, and bump vN.metadata.json + version hint.
+    ``carry_prior=False`` makes the snapshot reference ONLY the new
+    manifest (a REPLACE: prior files leave the table but stay readable
+    through older snapshots' immutable manifest lists)."""
+    manifests = [new_manifest] if new_manifest is not None else []
+    if existing is not None and carry_prior:
         manifests += _prior_manifests(table_dir, existing)
     mlist_path = os.path.join(
         table_dir, "metadata", f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
@@ -1425,22 +1521,51 @@ def _write_metadata(table_dir: str, md: dict) -> None:
     os.rename(tmp, hint)
 
 
+def _promotion_ok(old: str, new: str) -> bool:
+    """Iceberg spec v2 primitive type promotions: int → long,
+    float → double, decimal(P, S) → decimal(P', S) with P' >= P."""
+    if old == new:
+        return True
+    if (old, new) in (("int", "long"), ("float", "double")):
+        return True
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        try:
+            op, osc = map(int, old[8:-1].split(","))
+            np_, nsc = map(int, new[8:-1].split(","))
+        except ValueError:
+            return False
+        return nsc == osc and np_ >= op
+    return False
+
+
 def evolve_schema(
     table_dir: str,
     renames: Optional[dict[str, str]] = None,
     add_columns: Optional[dict[str, str]] = None,
+    promote: Optional[dict[str, str]] = None,
+    drop_columns: Optional[list] = None,
 ) -> int:
-    """Commit a schema evolution — renames {old: new} and/or
-    add_columns {name: iceberg type} — as a NEW schema-id (spec:
-    schemas are immutable; evolution appends one and moves
-    current-schema-id).  Field ids are preserved across renames and
-    freshly assigned past last-column-id for adds, which is what makes
-    the per-file projection in _read_data_files able to read pre-rename
-    data files correctly.  Metadata-only: no snapshot is committed.
-    Returns the new schema-id."""
+    """Commit a schema evolution — renames {old: new}, add_columns
+    {name: iceberg type}, promote {name: wider iceberg type}, and/or
+    drop_columns [name, ...] — as a NEW schema-id (spec: schemas are
+    immutable; evolution appends one and moves current-schema-id).
+    Field ids are preserved across renames/promotions and freshly
+    assigned past last-column-id for adds, which is what makes the
+    per-file projection in _read_data_files able to read pre-evolution
+    data files correctly (promoted columns are cast to the current
+    type on read; dropped columns simply leave the projection).
+
+    Promotions are spec-limited to the lossless widenings (int→long,
+    float→double, decimal(P,S)→decimal(P',S) with P'>=P) — anything
+    else raises.  Drops are refused for columns referenced by the
+    current partition spec or by live equality-delete files (whose
+    equality_ids could no longer be resolved).  Metadata-only: no
+    snapshot is committed.  Returns the new schema-id."""
     renames = dict(renames or {})
     add_columns = dict(add_columns or {})
-    if not renames and not add_columns:
+    promote = dict(promote or {})
+    drop_columns = list(drop_columns or [])
+    if not renames and not add_columns and not promote and not drop_columns:
         raise ValueError("evolve_schema: nothing to change")
     md = json.load(open(_metadata_path(table_dir)))
     schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
@@ -1450,12 +1575,65 @@ def evolve_schema(
         if s.get("schema-id", 0) == md.get("current-schema-id", 0)
     )
     names = {f["name"] for f in cur["fields"]}
-    missing = set(renames) - names
+    missing = (set(renames) | set(promote) | set(drop_columns)) - names
     if missing:
         raise ValueError(f"evolve_schema: no such column(s) {sorted(missing)}")
+    overlap = set(drop_columns) & (set(renames) | set(promote))
+    if overlap:
+        raise ValueError(
+            f"evolve_schema: cannot both drop and rename/promote "
+            f"{sorted(overlap)}"
+        )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    for col, new_t in promote.items():
+        old_t = by_name[col]["type"]
+        if not isinstance(old_t, str) or not _promotion_ok(old_t, new_t):
+            raise ValueError(
+                f"evolve_schema: cannot change column type: {col}: "
+                f"{old_t} -> {new_t} (spec allows int->long, "
+                f"float->double, decimal precision widening)"
+            )
+    if drop_columns:
+        drop_ids = {by_name[c]["id"] for c in drop_columns}
+        spec = next(
+            (
+                s
+                for s in md.get("partition-specs") or []
+                if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        part_src = {
+            pf.get("source-id") for pf in spec.get("fields", [])
+        } & drop_ids
+        if part_src:
+            bad = sorted(c for c in drop_columns if by_name[c]["id"] in part_src)
+            raise ValueError(
+                f"evolve_schema: cannot drop partition source column(s) "
+                f"{bad} — they are referenced by the current partition spec"
+            )
+        # live equality-delete files match on field ids; dropping a
+        # referenced column would make those deletes unresolvable at
+        # read time (RuntimeError in _read_with_equality_deletes)
+        live = read_table_meta(table_dir)
+        eq_ref = set()
+        for d in live.equality_deletes:
+            eq_ref.update(d.get("equality_ids") or [])
+        eq_bad = eq_ref & drop_ids
+        if eq_bad:
+            bad = sorted(c for c in drop_columns if by_name[c]["id"] in eq_bad)
+            raise ValueError(
+                f"evolve_schema: cannot drop column(s) {bad} — live "
+                f"equality-delete files match on them; compact the "
+                f"table first (compact_table) to retire the deletes"
+            )
     fields = []
     for f in cur["fields"]:
+        if f["name"] in drop_columns:
+            continue
         nf = dict(f)
+        if f["name"] in promote:
+            nf["type"] = promote[f["name"]]
         if f["name"] in renames:
             nf["name"] = renames[f["name"]]
         fields.append(nf)
@@ -1472,6 +1650,8 @@ def evolve_schema(
         fields.append(
             {"id": last_col, "name": name, "required": False, "type": ice_t}
         )
+    if not fields:
+        raise ValueError("evolve_schema: cannot drop every column")
     new_names = [f["name"] for f in fields]
     if len(set(new_names)) != len(new_names):
         dupes = sorted(n for n in set(new_names) if new_names.count(n) > 1)

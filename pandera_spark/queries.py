@@ -196,6 +196,75 @@ def q_iceberg_verdicts_lineitem(spark, sf_dir):
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
 
+def q_compact_roundtrip_lineitem(spark, sf_dir):
+    """Compaction correctness in the gate: a fresh Iceberg v2 table
+    over the lineitem fixture gets an equality-delete snapshot (four
+    order keys), is compacted (compact_table — merge-on-read state
+    rewritten as a REPLACE snapshot, deletes retired, manifest stats
+    trusted again), and the post-compact scan is aggregated.  The
+    DuckDB oracle computes the same aggregate over lineitem WHERE
+    l_orderkey NOT IN the deleted set — if compaction dropped, kept,
+    or duplicated a single row, the group counts/sums diverge.  Sums
+    use l_quantity (integral doubles: fp-exact under any addition
+    order)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .io.iceberg_meta import (
+        compact_table,
+        read_iceberg,
+        read_table_meta,
+        write_equality_deletes,
+        write_iceberg_table,
+    )
+
+    src = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(src):
+        files = sorted(
+            p
+            for p in glob.glob(
+                os.path.join(src, "**", "*.parquet"), recursive=True
+            )
+            if not any(
+                part.startswith(("_", "."))
+                for part in os.path.relpath(p, src).split(os.sep)
+            )
+        )
+    else:
+        files = [src]
+    tdir = tempfile.mkdtemp(prefix="pandera_compact_li_")
+    t = os.path.join(tdir, "tbl")
+    try:
+        write_iceberg_table(t, files)
+        keys = [1, 7, 32, 134]
+        write_equality_deletes(
+            t, [{"l_orderkey": k} for k in keys], ["l_orderkey"]
+        )
+        res = compact_table(spark, t)
+        meta = read_table_meta(t)
+        if meta.delete_files or res["deletes_retired"] != 1:
+            raise RuntimeError(f"compaction failed to retire deletes: {res}")
+        out = (
+            read_iceberg(spark, t)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_quantity").alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # materialize before the temp table is removed (tiny: one row
+        # per return flag) — the heavy scan/agg still ran in Spark
+        rows = [(r.l_returnflag, r.n_rows, float(r.sum_qty)) for r in out.collect()]
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n_rows bigint, sum_qty double"
+    )
+
+
 def q_violation_rows_lineitem(spark, sf_dir):
     """Canonical failure-case rows (value checks) on lineitem."""
     li = _t(spark, sf_dir, "lineitem")
@@ -776,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_verdicts_orders": q_check_verdicts_orders,
         "footer_verdicts_lineitem": q_footer_verdicts_lineitem,
         "iceberg_verdicts_lineitem": q_iceberg_verdicts_lineitem,
+        "compact_roundtrip_lineitem": q_compact_roundtrip_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
         "joint_unique_lineitem": q_joint_unique_lineitem,
@@ -1598,4 +1668,16 @@ def oracle_sql() -> dict[str, str]:
     # parquet footer variant (only the proof source differs), so the
     # scan-based oracle is shared verbatim
     d["iceberg_verdicts_lineitem"] = d["footer_verdicts_lineitem"]
+    # compaction round-trip: Spark side equality-deletes four order
+    # keys then compacts (merge-on-read state rewritten, deletes
+    # retired); the oracle filters the same keys from the raw fixture
+    d["compact_roundtrip_lineitem"] = """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey NOT IN (1, 7, 32, 134)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
     return d

@@ -1073,3 +1073,285 @@ class TestFieldIdWrites:
         from pandera_spark.io.iceberg_meta import _footer_name_to_fid
 
         assert _footer_name_to_fid(newest[-1]["file_path"]) == fids2
+
+
+class TestTypePromotionAndDrops:
+    """evolve_schema(promote=..., drop_columns=...): Iceberg spec v2
+    type promotion (int->long, float->double, decimal widening) and
+    column drops.  Old data files keep their physical type/columns —
+    reads cast by the CURRENT schema (per-era projection), and drops
+    simply leave the projection; re-adding a name gets a FRESH field id
+    so old values never leak back."""
+
+    def _tbl(self, spark, tmp_path, name="promo"):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / name)
+        write_iceberg_sink(
+            spark.range(0, 10).selectExpr(
+                "cast(id as int) AS i",
+                "cast(id as float) AS f",
+                "cast(id as double) AS v",
+            ),
+            t,
+        )
+        return t
+
+    def test_promote_int_to_long_reads_both_eras(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = self._tbl(spark, tmp_path)
+        evolve_schema(t, promote={"i": "long", "f": "double"})
+        # append a value only a LONG can hold, under the new schema
+        write_iceberg_sink(
+            spark.createDataFrame(
+                [(5_000_000_000, 1.5, 1.5)], "i long, f double, v double"
+            ),
+            t,
+        )
+        df = read_iceberg(spark, t)
+        dt = dict(df.dtypes)
+        assert dt["i"] == "bigint" and dt["f"] == "double"
+        vals = sorted(r.i for r in df.collect())
+        assert vals == list(range(10)) + [5_000_000_000]
+
+    def test_promote_single_era_dtype_is_current(self, spark, tmp_path):
+        """Even with ONLY old (int-typed) files, the read surfaces the
+        promoted dtype — the per-group cast, not union coercion."""
+        from pandera_spark.io.iceberg_meta import evolve_schema
+
+        t = self._tbl(spark, tmp_path)
+        evolve_schema(t, promote={"i": "long"})
+        df = read_iceberg(spark, t)
+        assert dict(df.dtypes)["i"] == "bigint"
+        assert sorted(r.i for r in df.collect()) == list(range(10))
+
+    def test_promote_invalid_raises(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import evolve_schema
+
+        t = self._tbl(spark, tmp_path)
+        # narrowing and cross-family changes are not promotions
+        for col, bad in [("i", "string"), ("v", "float"), ("v", "int")]:
+            with pytest.raises(ValueError, match="cannot change column type"):
+                evolve_schema(t, promote={col: bad})
+
+    def test_promoted_bounds_never_misdecode(self, spark, tmp_path):
+        """Old manifests encode int bounds in 4 bytes; decoding them as
+        the promoted 8-byte type must yield UNTRUSTED (None), never a
+        garbage number."""
+        from pandera_spark.io.iceberg_meta import evolve_schema
+
+        t = self._tbl(spark, tmp_path)
+        evolve_schema(t, promote={"i": "long"})
+        st = iceberg_meta_stats(t)
+        assert st["columns"]["i"]["min"] is None
+        assert st["columns"]["i"]["max"] is None
+        assert st["columns"]["i"]["null_count"] == 0  # counts still fine
+
+    def test_drop_column(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = self._tbl(spark, tmp_path)
+        evolve_schema(t, drop_columns=["f"])
+        df = read_iceberg(spark, t)
+        assert df.columns == ["i", "v"]
+        # appends under the new schema need not carry the dropped column
+        write_iceberg_sink(
+            spark.createDataFrame([(100, 1.0)], "i int, v double"), t
+        )
+        assert read_iceberg(spark, t).count() == 11
+
+    def test_drop_then_readd_does_not_leak_old_values(self, spark, tmp_path):
+        """Re-adding a dropped name assigns a FRESH field id: old files'
+        physical column (old id) must surface as NULL, not old data."""
+        from pandera_spark.io.iceberg_meta import evolve_schema
+
+        t = self._tbl(spark, tmp_path)
+        evolve_schema(t, drop_columns=["f"])
+        evolve_schema(t, add_columns={"f": "double"})
+        rows = read_iceberg(spark, t).collect()
+        assert all(r.f is None for r in rows)
+
+    def test_drop_partition_column_refused(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "part")
+        write_iceberg_sink(
+            spark.range(0, 6).selectExpr(
+                "id", "cast(id % 2 as int) AS bucket"
+            ),
+            t,
+            partition_by="bucket",
+        )
+        with pytest.raises(ValueError, match="partition source"):
+            evolve_schema(t, drop_columns=["bucket"])
+
+    def test_drop_equality_delete_column_refused(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            evolve_schema,
+            write_equality_deletes,
+        )
+
+        t = self._tbl(spark, tmp_path)
+        write_equality_deletes(t, [{"v": 3.0}], ["v"])
+        with pytest.raises(ValueError, match="equality-delete"):
+            evolve_schema(t, drop_columns=["v"])
+        # compaction retires the delete; the drop then succeeds
+        compact_table(spark, t)
+        evolve_schema(t, drop_columns=["v"])
+        assert read_iceberg(spark, t).columns == ["i", "f"]
+
+    def test_drop_errors(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import evolve_schema
+
+        t = self._tbl(spark, tmp_path)
+        with pytest.raises(ValueError, match="both drop and rename"):
+            evolve_schema(t, renames={"v": "x"}, drop_columns=["v"])
+        with pytest.raises(ValueError, match="every column"):
+            evolve_schema(t, drop_columns=["i", "f", "v"])
+
+
+class TestCompaction:
+    """compact_table: rewrite merge-on-read state as a REPLACE snapshot
+    — retires row-level deletes (restoring manifest-stats trust),
+    collapses schema eras, keeps prior snapshots time-travelable."""
+
+    def _tbl_with_deletes(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "cmp")
+        write_iceberg_sink(
+            spark.range(0, 20).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        meta = read_table_meta(t)
+        f0 = meta.data_files[0]["file_path"]
+        write_position_deletes(t, {f0: [0]})
+        write_equality_deletes(t, [{"v": 7.0}, {"v": 9.0}], ["v"])
+        return t
+
+    def test_compact_retires_deletes_and_restores_stats(
+        self, spark, tmp_path
+    ):
+        from pandera_spark.io.iceberg_meta import compact_table
+
+        t = self._tbl_with_deletes(spark, tmp_path)
+        before = sorted(r.id for r in read_iceberg(spark, t).collect())
+        with pytest.raises(RuntimeError, match="delete"):
+            iceberg_meta_stats(t)
+        res = compact_table(spark, t)
+        assert res["deletes_retired"] == 2
+        assert res["rows"] == len(before)
+        meta = read_table_meta(t)
+        assert meta.delete_files == 0
+        after = sorted(r.id for r in read_iceberg(spark, t).collect())
+        assert after == before
+        st = iceberg_meta_stats(t)  # trusted again
+        assert st["n_rows"] == len(before)
+        assert st["columns"]["v"]["null_count"] == 0
+
+    def test_compact_preserves_time_travel(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import compact_table
+
+        t = self._tbl_with_deletes(spark, tmp_path)
+        pre_snap = read_table_meta(t).snapshot_id
+        pre_rows = sorted(r.id for r in read_iceberg(spark, t).collect())
+        compact_table(spark, t)
+        old = read_iceberg(spark, t, snapshot_id=pre_snap)
+        assert sorted(r.id for r in old.collect()) == pre_rows
+
+    def test_compact_partitioned(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            write_iceberg_sink,
+            write_position_deletes,
+        )
+
+        t = str(tmp_path / "cmpp")
+        write_iceberg_sink(
+            spark.range(0, 12).selectExpr(
+                "id", "cast(id % 3 as int) AS bucket"
+            ),
+            t,
+            partition_by="bucket",
+        )
+        meta = read_table_meta(t)
+        f0 = meta.data_files[0]["file_path"]
+        write_position_deletes(t, {f0: [0]})
+        compact_table(spark, t)
+        meta2 = read_table_meta(t)
+        assert meta2.partition_cols == ["bucket"]
+        assert all(
+            d["partition"].get("bucket") is not None
+            for d in meta2.data_files
+        )
+        assert read_iceberg(
+            spark, t, partition_filter={"bucket": 1}
+        ).count() == 4
+        assert read_iceberg(spark, t).count() == 11
+
+    def test_compact_collapses_schema_eras(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "cmpe")
+        write_iceberg_sink(
+            spark.range(0, 5).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        evolve_schema(t, renames={"v": "value"}, promote={"id": "long"})
+        compact_table(spark, t, num_files=1)
+        meta = read_table_meta(t)
+        assert len(meta.data_files) == 1
+        # the rewritten file physically carries CURRENT names + ids
+        sch = pq.ParquetFile(meta.data_files[0]["file_path"]).schema_arrow
+        assert [f.name for f in sch] == ["id", "value"]
+        fids = {
+            f.name: int((f.metadata or {}).get(b"PARQUET:field_id", -1))
+            for f in sch
+        }
+        assert fids == {"id": 1, "value": 2}
+        # and manifest stats are decodable again under the current type
+        st = iceberg_meta_stats(t)
+        assert st["columns"]["value"] == {
+            "null_count": 0, "min": 0.0, "max": 4.0,
+        }
+
+    def test_compact_to_empty_table(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "cmp0")
+        write_iceberg_sink(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"), t
+        )
+        write_equality_deletes(t, [{"v": 1.0}], ["v"])
+        res = compact_table(spark, t)
+        assert res["files_after"] == 0 and res["rows"] == 0
+        assert read_table_meta(t).delete_files == 0
+        with pytest.raises(FileNotFoundError):
+            read_iceberg(spark, t)
+
+    def test_compact_requires_snapshot(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import compact_table
+
+        with pytest.raises((ValueError, FileNotFoundError)):
+            compact_table(spark, str(tmp_path / "nope"))
