@@ -341,15 +341,14 @@ def bench_skew_stress(spark):
     return r.n_rows
 
 
-def bench_iceberg_deletes(spark):
-    """VERDICT r4 Next #8: iceberg_transcripts with ~1% row-level
-    deletes (position + equality) applied merge-on-read — records the
-    anti-join cost as a number instead of a design argument.  File
-    stats are (correctly) refused on delete-carrying snapshots, so this
-    is a full validation scan through the merge path."""
+def ensure_iceberg_deletes(spark) -> str:
+    """Iceberg transcript table carrying ~1% row-level deletes
+    (position over the 4 largest files + equality on 0.5% of convs),
+    built once and cached — shared by iceberg_deletes (merge-on-read
+    cost) and iceberg_compact (rewrite that retires them)."""
     import glob as _glob
 
-    from pandera_spark.io import read_iceberg, write_iceberg_table
+    from pandera_spark.io import write_iceberg_table
     from pandera_spark.io.iceberg_meta import (
         read_table_meta,
         write_equality_deletes,
@@ -380,10 +379,56 @@ def bench_iceberg_deletes(spark):
             [{"conv_id": f"conv-{i:08d}"} for i in range(0, N_CONVS, 200)],
             ["conv_id"],
         )
+    return tdir
+
+
+def bench_iceberg_deletes(spark):
+    """VERDICT r4 Next #8: iceberg_transcripts with ~1% row-level
+    deletes (position + equality) applied merge-on-read — records the
+    anti-join cost as a number instead of a design argument.  File
+    stats are (correctly) refused on delete-carrying snapshots, so this
+    is a full validation scan through the merge path."""
+    from pandera_spark.io import read_iceberg
+
+    tdir = ensure_iceberg_deletes(spark)
     df = read_iceberg(spark, tdir)
     schema = make_transcript_schema()
     r = schema.validate(df, collect_stats=False, collect_failure_cases=False)
     return r.n_rows
+
+
+def bench_iceberg_compact(spark):
+    """The maintenance move the iceberg_deletes number argues for:
+    compact_table rewrites the delete-carrying table (hard-linked copy
+    of the cached one) into clean files as a REPLACE snapshot, then
+    validates WITH manifest stats — the timed path is pay-once
+    compaction + the restored stats-short-circuit validation, to set
+    against iceberg_deletes' every-read merge cost."""
+    import shutil
+    import tempfile
+
+    from pandera_spark.io import (
+        compact_table,
+        iceberg_meta_stats,
+        read_iceberg,
+    )
+
+    src = ensure_iceberg_deletes(spark)
+    work = tempfile.mkdtemp(prefix="bench_cmp_")
+    tdir = os.path.join(work, "tbl")
+    # hard-link copy: data files are immutable, only metadata diverges
+    shutil.copytree(src, tdir, copy_function=os.link)
+    try:
+        compact_table(spark, tdir)
+        st = iceberg_meta_stats(tdir)  # trusted again post-compact
+        df = read_iceberg(spark, tdir)
+        schema = make_transcript_schema()
+        r = schema.validate(
+            df, collect_stats=True, collect_failure_cases=False, file_stats=st
+        )
+        return r.n_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_streaming_pipeline(spark):
@@ -507,6 +552,7 @@ WORKLOADS = {
     "streaming_pipeline": bench_streaming_pipeline,
     "iceberg_transcripts": bench_iceberg_transcripts,
     "iceberg_deletes": bench_iceberg_deletes,
+    "iceberg_compact": bench_iceberg_compact,
     "skew_stress": bench_skew_stress,
 }
 

@@ -15,6 +15,7 @@ from .serialization import (  # noqa: F401
 from .iceberg_meta import (  # noqa: F401
     compact_table,
     evolve_schema,
+    expire_snapshots,
     iceberg_meta_stats,
     plan_files,
     read_iceberg,

@@ -1052,6 +1052,134 @@ def compact_table(
     }
 
 
+def _snapshot_files(table_dir: str, location: str, snap: dict):
+    """(manifest-list path, manifest paths, data/delete file paths)
+    referenced by one snapshot — all localized absolute paths."""
+    mlist = _localize(snap["manifest-list"], table_dir, location)
+    manifests, dfiles = [], []
+    try:
+        _, mrecs = read_ocf(mlist)
+    except (FileNotFoundError, OSError):
+        return mlist, manifests, dfiles  # already vacuumed
+    for mf in mrecs:
+        mpath = _localize(mf["manifest_path"], table_dir, location)
+        manifests.append(mpath)
+        try:
+            _, entries = read_ocf(mpath)
+        except (FileNotFoundError, OSError):
+            continue
+        for e in entries:
+            df = e.get("data_file") or {}
+            if df.get("file_path"):
+                dfiles.append(
+                    _localize(df["file_path"], table_dir, location)
+                )
+    return mlist, manifests, dfiles
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: Optional[int] = None,
+    older_than_ms: Optional[int] = None,
+    delete_orphans: bool = True,
+) -> dict:
+    """Expire old snapshots and (optionally) vacuum the files only they
+    reference — the metadata-level counterpart of Iceberg's
+    expireSnapshots maintenance action, and the other half of the
+    10^12-turn table-hygiene story next to compact_table: the runner's
+    Iceberg manifest sink commits one append snapshot per partition
+    attempt, and compaction strands every pre-compact data file behind
+    an old snapshot — without expiry both metadata and storage grow
+    without bound.
+
+    A snapshot expires when it is not the CURRENT one and it fails both
+    retention rules given: ``keep_last`` retains the N most recent by
+    timestamp; ``older_than_ms`` retains anything committed at or after
+    that epoch-millis cutoff (a snapshot survives if EITHER rule keeps
+    it, matching Iceberg's retainLast/olderThan semantics).  At least
+    one rule is required.
+
+    ``delete_orphans``: physically delete manifest lists, manifests,
+    and data/delete files referenced ONLY by expired snapshots —
+    resolved against what every retained snapshot still references, so
+    shared manifests (append snapshots carry priors forward) are never
+    touched.  Only paths inside ``table_dir`` are ever deleted.
+    Single-writer assumption, like every commit in this layer.
+
+    Returns {"expired", "retained", "deleted_files"}."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError(
+            "expire_snapshots: give keep_last and/or older_than_ms"
+        )
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    md = json.load(open(_metadata_path(table_dir)))
+    location = md.get("location", table_dir)
+    snaps = list(md.get("snapshots", []))
+    if not snaps:
+        return {"expired": 0, "retained": 0, "deleted_files": 0}
+    current_id = md.get("current-snapshot-id")
+    by_ts = sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
+    keep_ids = {current_id}
+    if keep_last is not None:
+        keep_ids.update(s["snapshot-id"] for s in by_ts[-keep_last:])
+    if older_than_ms is not None:
+        keep_ids.update(
+            s["snapshot-id"]
+            for s in by_ts
+            if s.get("timestamp-ms", 0) >= older_than_ms
+        )
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {
+            "expired": 0, "retained": len(retained), "deleted_files": 0,
+        }
+
+    deleted = 0
+    if delete_orphans:
+        live: set = set()
+        for s in retained:
+            mlist, manifests, dfiles = _snapshot_files(
+                table_dir, location, s
+            )
+            live.add(mlist)
+            live.update(manifests)
+            live.update(dfiles)
+        dead: set = set()
+        for s in expired:
+            mlist, manifests, dfiles = _snapshot_files(
+                table_dir, location, s
+            )
+            dead.add(mlist)
+            dead.update(manifests)
+            dead.update(dfiles)
+        troot = os.path.abspath(table_dir) + os.sep
+        for p in sorted(dead - live):
+            if not os.path.abspath(p).startswith(troot):
+                continue  # never delete outside the table directory
+            try:
+                os.remove(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+
+    md["snapshots"] = retained
+    if "snapshot-log" in md:
+        md["snapshot-log"] = [
+            e
+            for e in md["snapshot-log"]
+            if e.get("snapshot-id") in keep_ids
+        ]
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(table_dir, md)
+    return {
+        "expired": len(expired),
+        "retained": len(retained),
+        "deleted_files": deleted,
+    }
+
+
 # ----------------------------------------------------------------------- #
 # writing (append snapshots; spec v2)
 # ----------------------------------------------------------------------- #

@@ -41,7 +41,15 @@ def main(argv=None) -> int:
         help="sink format for the manifest + violations tables "
         "(iceberg: append snapshots with time travel)",
     )
+    ap.add_argument(
+        "--expire-keep-last", type=int, default=None, metavar="N",
+        help="after the run, expire all but the N newest snapshots of "
+        "the Iceberg manifest + violations tables (compacting the "
+        "violations table first) — requires --manifest-format iceberg",
+    )
     args = ap.parse_args(argv)
+    if args.expire_keep_last is not None and args.manifest_format != "iceberg":
+        ap.error("--expire-keep-last requires --manifest-format iceberg")
 
     from pyspark.sql import SparkSession
 
@@ -61,6 +69,10 @@ def main(argv=None) -> int:
         parallelism=args.parallelism,
     )
     out = run.summary()
+    if args.expire_keep_last is not None:
+        out["maintenance"] = run.expire_history(
+            keep_last=args.expire_keep_last, compact_violations=True
+        )
     if args.profile:
         out["table_profile"] = run.table_profile()
     print(json.dumps(out, default=str))

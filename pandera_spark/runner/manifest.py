@@ -420,6 +420,44 @@ class PartitionedValidationRun:
                 results.append(r)
         return results
 
+    def expire_history(
+        self, keep_last: int, compact_violations: bool = False
+    ) -> dict:
+        """Iceberg-mode maintenance after a healthy run: every attempt
+        commits one snapshot to the manifest table and each re-run adds
+        an equality-delete + append pair to the violations table, so a
+        10^12-turn run's history grows with the partition count.
+        ``expire_history(keep_last=N)`` expires all but the N newest
+        snapshots of BOTH tables (vacuuming orphaned metadata/files);
+        ``compact_violations=True`` first rewrites the violations table
+        (compact_table) so its re-run equality deletes are retired and
+        the pre-compact files become reclaimable.  Time travel within
+        the kept window still works."""
+        if self.manifest_format != "iceberg":
+            raise ValueError(
+                "expire_history requires manifest_format='iceberg' "
+                "(parquet-dir sinks keep only latest-attempt files)"
+            )
+        from ..io.iceberg_meta import compact_table, expire_snapshots
+
+        out: dict = {}
+        if compact_violations and os.path.isdir(
+            os.path.join(self.violations_dir, "metadata")
+        ):
+            with self._commit_lock:
+                out["violations_compaction"] = compact_table(
+                    self.spark, self.violations_dir
+                )
+        for name, tdir in (
+            ("manifest", self.manifest_dir),
+            ("violations", self.violations_dir),
+        ):
+            if not os.path.isdir(os.path.join(tdir, "metadata")):
+                continue
+            with self._commit_lock:
+                out[name] = expire_snapshots(tdir, keep_last=keep_last)
+        return out
+
     def summary(self) -> dict:
         """Aggregate manifest view: latest attempt per partition."""
         rows = self._latest_attempts().collect()

@@ -1355,3 +1355,116 @@ class TestCompaction:
 
         with pytest.raises((ValueError, FileNotFoundError)):
             compact_table(spark, str(tmp_path / "nope"))
+
+
+class TestSnapshotExpiry:
+    """expire_snapshots: retention (keep_last / older_than_ms, current
+    always kept) + orphan vacuum resolved against every retained
+    snapshot's references — shared manifests survive, compaction's
+    stranded pre-compact files are reclaimed."""
+
+    def _tbl(self, spark, tmp_path, appends=3):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "exp")
+        for i in range(appends):
+            write_iceberg_sink(
+                spark.range(i * 10, i * 10 + 10).selectExpr(
+                    "id", "cast(id as double) AS v"
+                ),
+                t,
+            )
+        return t
+
+    def test_keep_last_expires_and_reads_survive(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import expire_snapshots
+
+        t = self._tbl(spark, tmp_path, appends=3)
+        res = expire_snapshots(t, keep_last=1)
+        assert res["expired"] == 2 and res["retained"] == 1
+        # append snapshots carry prior manifests forward: every data
+        # file is still referenced by the current snapshot — full reads
+        assert read_iceberg(spark, t).count() == 30
+        # expired snapshots are gone from history
+        from pandera_spark.io.iceberg_meta import _metadata_path
+
+        md = json.load(open(_metadata_path(t)))
+        assert len(md["snapshots"]) == 1
+        assert md["snapshots"][0]["snapshot-id"] == md["current-snapshot-id"]
+
+    def test_expired_time_travel_raises(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import expire_snapshots
+
+        t = self._tbl(spark, tmp_path, appends=2)
+        md = json.load(open(os.path.join(t, "metadata", "v2.metadata.json")))
+        first = next(  # the non-current (earlier) snapshot — ids are random
+            s["snapshot-id"]
+            for s in md["snapshots"]
+            if s["snapshot-id"] != md["current-snapshot-id"]
+        )
+        expire_snapshots(t, keep_last=1)
+        with pytest.raises(ValueError, match="not in"):
+            read_iceberg(spark, t, snapshot_id=first)
+
+    def test_shared_manifests_survive_vacuum(self, spark, tmp_path):
+        """Orphan deletion must not remove manifests/data files the
+        retained snapshots still reference."""
+        from pandera_spark.io.iceberg_meta import expire_snapshots
+
+        t = self._tbl(spark, tmp_path, appends=3)
+        before = sorted(r.id for r in read_iceberg(spark, t).collect())
+        res = expire_snapshots(t, keep_last=1, delete_orphans=True)
+        # only the two superseded manifest LISTS become orphans — every
+        # manifest + data file is carried forward by the current snapshot
+        assert res["deleted_files"] == 2
+        assert sorted(r.id for r in read_iceberg(spark, t).collect()) == before
+
+    def test_compact_then_expire_reclaims_storage(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            expire_snapshots,
+            write_equality_deletes,
+        )
+
+        t = self._tbl(spark, tmp_path, appends=2)
+        write_equality_deletes(t, [{"v": 3.0}], ["v"])
+        rows = sorted(r.id for r in read_iceberg(spark, t).collect())
+        compact_table(spark, t, num_files=1)
+        n_parquet_before = len(
+            glob.glob(os.path.join(t, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        res = expire_snapshots(t, keep_last=1)
+        # pre-compact data files + the delete file + old manifests/lists
+        assert res["expired"] == 3 and res["deleted_files"] > 0
+        n_parquet_after = len(
+            glob.glob(os.path.join(t, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        assert n_parquet_after < n_parquet_before
+        assert sorted(r.id for r in read_iceberg(spark, t).collect()) == rows
+        meta = read_table_meta(t)
+        assert len(meta.data_files) == 1 and meta.delete_files == 0
+
+    def test_older_than_keeps_recent(self, spark, tmp_path):
+        import time as _time
+
+        from pandera_spark.io.iceberg_meta import expire_snapshots
+
+        t = self._tbl(spark, tmp_path, appends=2)
+        cutoff = int(_time.time() * 1000) + 10_000  # everything is older
+        res = expire_snapshots(t, older_than_ms=cutoff)
+        # current snapshot is ALWAYS retained even past the cutoff
+        assert res["retained"] == 1 and res["expired"] == 1
+        assert read_iceberg(spark, t).count() == 20
+
+    def test_expire_errors_and_noop(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import expire_snapshots
+
+        t = self._tbl(spark, tmp_path, appends=2)
+        with pytest.raises(ValueError, match="keep_last and/or"):
+            expire_snapshots(t)
+        with pytest.raises(ValueError, match=">= 1"):
+            expire_snapshots(t, keep_last=0)
+        assert expire_snapshots(t, keep_last=5)["expired"] == 0
+        assert read_iceberg(spark, t).count() == 20

@@ -670,3 +670,53 @@ class TestIcebergManifestSink:
                 make_schema(), partitioned_df, "part_id",
                 str(tmp_path / "o"), manifest_format="csv",
             )
+
+
+class TestRunnerMaintenance:
+    """expire_history (iceberg mode): per-attempt snapshot history is
+    bounded after the run — old snapshots expire, violations compact
+    (re-run equality deletes retired), results unchanged."""
+
+    def test_expire_history_bounds_snapshots(
+        self, spark, partitioned_df, tmp_path
+    ):
+        import json as _json
+
+        from pandera_spark.io.iceberg_meta import (
+            _metadata_path,
+            read_table_meta,
+        )
+
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", out,
+            manifest_format="iceberg",
+        )
+        run.run()
+        run.run(resume=False)  # re-run: more snapshots + equality deletes
+        s_before = run.summary()
+        mdir = os.path.join(out, "manifest")
+        n_snaps = len(_json.load(open(_metadata_path(mdir)))["snapshots"])
+        assert n_snaps == 8  # 4 partitions x 2 runs
+        assert read_table_meta(
+            os.path.join(out, "violations")
+        ).delete_files > 0
+        res = run.expire_history(keep_last=2, compact_violations=True)
+        assert res["manifest"]["retained"] == 2
+        assert res["violations_compaction"]["deletes_retired"] > 0
+        assert len(_json.load(open(_metadata_path(mdir)))["snapshots"]) == 2
+        # the run's view is unchanged: latest attempts + violations
+        s_after = run.summary()
+        assert s_after == s_before
+        assert read_table_meta(
+            os.path.join(out, "violations")
+        ).delete_files == 0
+
+    def test_expire_history_requires_iceberg(
+        self, spark, partitioned_df, tmp_path
+    ):
+        run = PartitionedValidationRun(
+            make_schema(), partitioned_df, "part_id", str(tmp_path / "o"),
+        )
+        with pytest.raises(ValueError, match="manifest_format='iceberg'"):
+            run.expire_history(keep_last=1)
