@@ -83,6 +83,7 @@ def _column_to_dict(col: Column) -> dict:
         "default": col.default,
         "title": col.title,
         "description": col.description,
+        "metadata": col.metadata,
     }
 
 
@@ -99,6 +100,7 @@ def _column_from_dict(name: str, d: dict) -> Column:
         default=d.get("default"),
         title=d.get("title"),
         description=d.get("description"),
+        metadata=d.get("metadata"),
         name=name,
     )
 
@@ -163,6 +165,9 @@ def schema_to_dict(schema: DataFrameSchema) -> dict:
         "drop_invalid_rows": schema.drop_invalid_rows,
         "index_cols": schema.index_cols,
         "references": [_reference_to_dict(r) for r in schema.references],
+        "title": schema.title,
+        "description": schema.description,
+        "metadata": schema.metadata,
     }
 
 
@@ -182,6 +187,9 @@ def from_dict(d: dict) -> DataFrameSchema:
         index_cols=d.get("index_cols"),
         references=[_reference_from_dict(r) for r in d.get("references", [])],
         name=d.get("name"),
+        title=d.get("title"),
+        description=d.get("description"),
+        metadata=d.get("metadata"),
     )
 
 

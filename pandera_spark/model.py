@@ -33,6 +33,7 @@ class FieldInfo:
         alias: Optional[str] = None,
         title: Optional[str] = None,
         description: Optional[str] = None,
+        metadata: Optional[dict] = None,
         checks: Optional[list[Check]] = None,
         **check_kwargs: Any,
     ):
@@ -46,6 +47,7 @@ class FieldInfo:
         self.alias = alias
         self.title = title
         self.description = description
+        self.metadata = metadata
         self.checks = list(checks or [])
         # builtin-check shorthands: Field(ge=0, isin={"a","b"}, ...)
         shorthand = {
@@ -238,6 +240,7 @@ class DataFrameModel(metaclass=_ModelMeta):
                 report_duplicates=info.report_duplicates,
                 title=info.title,
                 description=info.description,
+                metadata=info.metadata,
                 name=colname,
             )
         # custom check methods (dir() walks the MRO: inherited methods
@@ -299,6 +302,9 @@ class DataFrameModel(metaclass=_ModelMeta):
             index_cols=cfg.get("index_cols", None),
             references=list(cfg.get("references", [])),
             name=cfg.get("name", cls.__name__),
+            title=cfg.get("title", None),
+            description=cfg.get("description", None),
+            metadata=cfg.get("metadata", None),
         )
         cls.__schema_cache__ = schema
         return schema
@@ -306,6 +312,14 @@ class DataFrameModel(metaclass=_ModelMeta):
     @classmethod
     def validate(cls, df, **kw):
         return cls.to_schema().validate(df, **kw)
+
+    @classmethod
+    def get_metadata(cls) -> Optional[dict]:
+        """Column- and schema-level metadata keyed by Config.name —
+        shape verbatim from the reference
+        (pandera/api/pyspark/model.py:513-525, golden
+        tests/pyspark/test_pyspark_model.py:198-240)."""
+        return cls.to_schema().get_metadata()
 
     @classmethod
     def to_structtype(cls):

@@ -166,6 +166,17 @@ class DataFrameSchema:
         self.index_cols = index_cols
         self.references = list(references or [])
 
+    def get_metadata(self) -> Optional[dict]:
+        """Column- and schema-level metadata, keyed by schema name —
+        shape verbatim from the reference
+        (pandera/api/pyspark/container.py:203-213, golden
+        tests/pyspark/test_pyspark_container.py:99-134)."""
+        res: dict = {"columns": {}}
+        for k, col in self.columns.items():
+            res["columns"][k] = col.metadata
+        res["dataframe"] = self.metadata
+        return {self.name: res}
+
     # ------------------------------------------------------------------ #
     # validation entry point
     # ------------------------------------------------------------------ #

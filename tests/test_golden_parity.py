@@ -580,3 +580,89 @@ class TestGroupbyCheckGolden:
         assert not res.passed
         flat = str(res.report)
         assert 'Error while executing check function: KeyError("baz")' in flat
+
+
+class TestMetadataGolden:
+    """Mirror of tests/pyspark/test_pyspark_container.py:99-134 and
+    tests/pyspark/test_pyspark_model.py:198-240: get_metadata() returns
+    column- and schema-level metadata keyed by schema name, absent
+    metadata as None."""
+
+    def test_schema_get_metadata(self):
+        schema = DataFrameSchema(
+            columns={
+                "product": Column(
+                    "string",
+                    checks=Check.str_startswith("B"),
+                    metadata={
+                        "usecase": "product_pricing",
+                        "type": ["t1", "t2"],
+                    },
+                ),
+                "price": Column("int", checks=Check.gt(5)),
+            },
+            name="product_schema",
+            description="schema for product info",
+            title="ProductSchema",
+            metadata={"category": "product"},
+        )
+        assert schema.get_metadata() == {
+            "product_schema": {
+                "columns": {
+                    "product": {
+                        "usecase": "product_pricing",
+                        "type": ["t1", "t2"],
+                    },
+                    "price": None,
+                },
+                "dataframe": {"category": "product"},
+            }
+        }
+
+    def test_model_get_metadata(self):
+        from pandera_spark.model import DataFrameModel, Field
+
+        class PanderaSchema(DataFrameModel):
+            id: int = Field(
+                gt=5,
+                metadata={
+                    "usecase": ["telco", "retail"],
+                    "category": "product_pricing",
+                },
+            )
+            product_name: str = Field(str_startswith="B")
+            price: float = Field()
+
+            class Config:
+                name = "product_info"
+                strict = True
+                coerce = True
+                metadata = {"category": "product-details"}
+
+        assert PanderaSchema.get_metadata() == {
+            "product_info": {
+                "columns": {
+                    "id": {
+                        "usecase": ["telco", "retail"],
+                        "category": "product_pricing",
+                    },
+                    "product_name": None,
+                    "price": None,
+                },
+                "dataframe": {"category": "product-details"},
+            }
+        }
+
+    def test_metadata_serialization_roundtrip(self):
+        from pandera_spark.io.serialization import from_yaml, to_yaml
+
+        schema = DataFrameSchema(
+            {"a": Column("int", metadata={"pii": False, "tags": ["x"]})},
+            name="s",
+            metadata={"owner": "data-eng"},
+            title="T",
+            description="D",
+        )
+        back = from_yaml(to_yaml(schema))
+        assert back.get_metadata() == schema.get_metadata()
+        assert back.title == "T" and back.description == "D"
