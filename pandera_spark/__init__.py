@@ -7,15 +7,23 @@ checks — designed for 10^12-row tables on multi-executor clusters.
 """
 
 from .checks import Check, register_check_method  # noqa: F401
-from .config import CONFIG, Config, ValidationDepth, reset_config_from_env  # noqa: F401
+from .config import (  # noqa: F401
+    CONFIG,
+    Config,
+    ValidationDepth,
+    config_context,
+    reset_config_from_env,
+)
 from .dtypes import dtype_equal, dtype_str, resolve_dtype  # noqa: F401
 from .errors import (  # noqa: F401
     FAILURE_CASE_COLUMNS,
     ErrorHandler,
+    SchemaDefinitionError,
     SchemaError,
     SchemaErrorReason,
     SchemaErrorRecord,
     SchemaErrors,
+    SchemaInitError,
 )
 from .schema import Column, DataFrameSchema, Parser  # noqa: F401
 from .backend.validate import ValidationResult, validate  # noqa: F401
@@ -34,8 +42,10 @@ __all__ = [
     "DataFrameSchema",
     "Parser",
     "ValidationResult",
+    "SchemaDefinitionError",
     "SchemaError",
     "SchemaErrors",
+    "SchemaInitError",
     "SchemaErrorReason",
     "ForeignKey",
     "Contiguity",

@@ -170,6 +170,19 @@ def validate(
     df, coerce_checks = _parse_coerce(schema, df, handler, schema_name)
     df = _apply_custom_parsers(schema, df)
 
+    # unique columns must exist — raises even in lazy mode, like the
+    # reference pyspark backend
+    # (pandera/backends/pyspark/container.py:528-535)
+    if schema.unique and _config.CONFIG.data_checks_active:
+        missing_unique = set(schema.unique) - set(df.columns)
+        if missing_unique:
+            from ..errors import SchemaDefinitionError
+
+            raise SchemaDefinitionError(
+                "Specified `unique` columns are missing in the "
+                f"dataframe: {sorted(missing_unique)}"
+            )
+
     if _config.CONFIG.schema_checks_active and not _should_coerce(schema):
         _check_dtypes(schema, df, handler, schema_name)
     elif _config.CONFIG.schema_checks_active:

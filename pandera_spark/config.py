@@ -67,3 +67,43 @@ def reset_config_from_env() -> Config:
     global CONFIG
     CONFIG = Config.from_env()
     return CONFIG
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def config_context(
+    validation_enabled: bool | None = None,
+    validation_depth: "ValidationDepth | str | None" = None,
+    cache_dataframe: bool | None = None,
+    keep_cached_dataframe: bool | None = None,
+):
+    """Temporarily override config options (pandera/config.py:69-99):
+
+        with config_context(cache_dataframe=True):
+            schema.validate(df)   # df persisted across validation passes
+    """
+    saved = (
+        CONFIG.validation_enabled,
+        CONFIG.validation_depth,
+        CONFIG.cache_dataframe,
+        CONFIG.keep_cached_dataframe,
+    )
+    try:
+        if validation_enabled is not None:
+            CONFIG.validation_enabled = validation_enabled
+        if validation_depth is not None:
+            CONFIG.validation_depth = ValidationDepth(validation_depth)
+        if cache_dataframe is not None:
+            CONFIG.cache_dataframe = cache_dataframe
+        if keep_cached_dataframe is not None:
+            CONFIG.keep_cached_dataframe = keep_cached_dataframe
+        yield CONFIG
+    finally:
+        (
+            CONFIG.validation_enabled,
+            CONFIG.validation_depth,
+            CONFIG.cache_dataframe,
+            CONFIG.keep_cached_dataframe,
+        ) = saved

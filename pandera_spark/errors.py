@@ -101,6 +101,15 @@ class SchemaErrorRecord:
         return VALIDATION_SCOPE[self.reason_code]
 
 
+class SchemaInitError(Exception):
+    """Raised when schema initialization fails (pandera/errors.py:71)."""
+
+
+class SchemaDefinitionError(Exception):
+    """Raised when schema definition is invalid on object validation
+    (pandera/errors.py:75)."""
+
+
 class SchemaError(Exception):
     """Eager (lazy=False) single-error exception.
 

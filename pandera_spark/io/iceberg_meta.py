@@ -415,7 +415,8 @@ def iceberg_meta_stats(
         raise RuntimeError(
             f"{table_dir} carries {meta.delete_files} row-level delete "
             "files: file statistics describe pre-delete data and cannot "
-            "prove checks — compact/rewrite the table or validate with "
+            "prove checks — compact the table (compact_table) or "
+            "validate with "
             "a scan"
         )
     name_to = {f["name"]: (fid, f) for fid, f in meta.fields.items()}

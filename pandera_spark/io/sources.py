@@ -208,7 +208,8 @@ def iceberg_footer_stats(
         raise RuntimeError(
             f"{table} carries {row['__del__']} row-level delete files: "
             "file statistics describe pre-delete data and cannot prove "
-            "checks — compact/rewrite the table or validate with a scan"
+            "checks — compact the table (io.compact_table) or validate "
+            "with a scan"
         )
     n_files = row["__f__"]
     cols = {}

@@ -224,7 +224,19 @@ class DataFrameModel(metaclass=_ModelMeta):
                 continue
             dtype, nullable_from_ann = _annotation_to_dtype(ann)
             info = getattr(cls, fname, None)
-            if not isinstance(info, FieldInfo):
+            if info is not None and not isinstance(info, FieldInfo):
+                # reference parity (api/pyspark/model.py:398-402 via
+                # tests/pyspark/test_pyspark_model.py:480-492): an
+                # annotated field assigned anything but Field() is a
+                # definition bug — silently dropping the value would
+                # validate a schema the user didn't write
+                from .errors import SchemaInitError
+
+                raise SchemaInitError(
+                    f"'{fname}' can only be assigned a 'Field', "
+                    f"not a '{type(info)}'."
+                )
+            if info is None:
                 info = FieldInfo()
             colname = info.alias or fname
             attr_to_col[fname] = colname

@@ -203,19 +203,35 @@ class DataFrameSchema:
         the backend prove not_nullable and monotone value checks from
         file metadata without scanning those columns.
         """
+        from . import config as _config
         from .backend.validate import validate as _validate
 
-        return _validate(
-            self,
-            df,
-            head=head,
-            sample=sample,
-            random_state=random_state,
-            lazy=lazy,
-            collect_stats=collect_stats,
-            collect_failure_cases=collect_failure_cases,
-            file_stats=file_stats,
-        )
+        # cache_dataframe (pandera/config.py:43-44 + the pyspark
+        # backend's cache_check_obj decorator): validation issues
+        # several passes over ``df`` (fused aggregate, failure-case
+        # extraction, uniqueness/contiguity shuffles) — persisting
+        # across them trades memory for re-reading the source each
+        # pass.  keep_cached_dataframe leaves the frame cached for the
+        # caller's downstream work.
+        cached = False
+        if _config.CONFIG.cache_dataframe and not df.isStreaming:
+            df = df.persist()
+            cached = True
+        try:
+            return _validate(
+                self,
+                df,
+                head=head,
+                sample=sample,
+                random_state=random_state,
+                lazy=lazy,
+                collect_stats=collect_stats,
+                collect_failure_cases=collect_failure_cases,
+                file_stats=file_stats,
+            )
+        finally:
+            if cached and not _config.CONFIG.keep_cached_dataframe:
+                df.unpersist()
 
     def __call__(self, df: DataFrame, **kw):
         return self.validate(df, **kw)

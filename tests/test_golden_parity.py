@@ -666,3 +666,89 @@ class TestMetadataGolden:
         back = from_yaml(to_yaml(schema))
         assert back.get_metadata() == schema.get_metadata()
         assert back.title == "T" and back.description == "D"
+
+
+class TestDefinitionErrorsGolden:
+    """Mirror of tests/pyspark/test_pyspark_model.py:320-341 (unique
+    over a missing column raises SchemaDefinitionError even in lazy
+    mode) and :480-492 (an annotated field assigned a non-Field raises
+    SchemaInitError), error text verbatim from
+    pandera/backends/pyspark/container.py:528-535 and
+    api/pyspark/model.py:398-402."""
+
+    def test_unique_missing_column_raises(self, spark):
+        from pandera_spark.errors import SchemaDefinitionError
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        schema = DataFrameSchema(
+            {"a": Column("int"), "b": Column("int")}, unique=["x", "a"]
+        )
+        with pytest.raises(
+            SchemaDefinitionError,
+            match=r"Specified `unique` columns are missing in the "
+            r"dataframe: \['x'\]",
+        ):
+            schema.validate(df)
+
+    def test_model_config_unique_missing_column_raises(self, spark):
+        from pandera_spark.errors import SchemaDefinitionError
+        from pandera_spark.model import DataFrameModel, Field
+
+        class UniqueMultipleColumns(DataFrameModel):
+            a: int = Field()
+            b: int = Field()
+
+            class Config:
+                unique = "c"
+
+        df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        with pytest.raises(SchemaDefinitionError):
+            UniqueMultipleColumns.validate(df)
+
+    def test_invalid_field_assignment_raises(self):
+        from pandera_spark.errors import SchemaInitError
+        from pandera_spark.model import DataFrameModel
+
+        class Schema(DataFrameModel):
+            a: int = 0  # type: ignore[assignment]
+
+        with pytest.raises(
+            SchemaInitError, match="'a' can only be assigned a 'Field'"
+        ):
+            Schema.to_schema()
+
+
+class TestCacheDataframe:
+    """Mirror of tests/pyspark/test_pyspark_decorators.py:82-150:
+    cache_dataframe persists the frame across validation passes,
+    keep_cached_dataframe leaves it cached afterwards."""
+
+    def _schema(self):
+        return DataFrameSchema(
+            {"a": Column("bigint", Check.ge(0)), "b": Column("string")},
+            unique=["a"],
+        )
+
+    def test_cache_and_unpersist(self, spark):
+        from pandera_spark.config import config_context
+
+        df = spark.range(100).selectExpr("id AS a", "'x' AS b")
+        with config_context(cache_dataframe=True):
+            res = self._schema().validate(df)
+        assert res.passed
+        assert df.storageLevel.useMemory is False  # unpersisted after
+
+    def test_keep_cached(self, spark):
+        from pandera_spark.config import config_context
+
+        df = spark.range(100).selectExpr("id AS a", "'x' AS b")
+        with config_context(cache_dataframe=True, keep_cached_dataframe=True):
+            res = self._schema().validate(df)
+        assert res.passed
+        assert df.storageLevel.useMemory is True  # still cached
+        df.unpersist()
+
+    def test_disabled_by_default(self, spark):
+        df = spark.range(10).selectExpr("id AS a", "'x' AS b")
+        self._schema().validate(df)
+        assert df.storageLevel.useMemory is False
