@@ -33,9 +33,11 @@ file-level implementation of the same contracts.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -121,6 +123,10 @@ class IcebergMeta:
     equality_deletes: list[dict] = field(default_factory=list)
     #: identity-partition column names, spec order
     partition_cols: list[str] = field(default_factory=list)
+    #: partition field name → (transform, param, source column name,
+    #: source iceberg type) for EVERY field of the default spec —
+    #: identity and transformed alike
+    part_spec: dict[str, tuple] = field(default_factory=dict)
     #: schema-id → {column name → field id} for EVERY schema in the
     #: metadata — the per-file projection resolves a data file's
     #: physical column names through the schema that was current when
@@ -136,6 +142,18 @@ class IcebergMeta:
     def field_name(self, fid: int) -> Optional[str]:
         f = self.fields.get(fid)
         return f["name"] if f else None
+
+    def partition_spec_str(self) -> Optional[str]:
+        """The default spec as the sink's canonical string ('day(ts)',
+        'bucket(16, c)', identity name), or None when unpartitioned."""
+        if not self.part_spec:
+            return None
+        _name, (t, prm, src, _st) = next(iter(self.part_spec.items()))
+        if t == "identity":
+            return src
+        if t in ("bucket", "truncate"):
+            return f"{t}({prm}, {src})"
+        return f"{t}({src})"
 
     def part_types(self) -> dict[str, str]:
         return {f["name"]: f["type"] for f in self.fields.values()}
@@ -257,11 +275,27 @@ def read_table_meta(
         for pf in spec.get("fields", [])
         if pf.get("transform") == "identity"
     ]
+    fields_by_id = {
+        f["id"]: f
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+    part_spec = {}
+    for pf in spec.get("fields", []):
+        tname, param = _parse_meta_transform(pf.get("transform", "identity"))
+        src = fields_by_id.get(pf.get("source-id"))
+        part_spec[pf["name"]] = (
+            tname,
+            param,
+            src["name"] if src else pf["name"],
+            src["type"] if src else None,
+        )
     meta = IcebergMeta(
         location=location,
         snapshot_id=md.get("current-snapshot-id"),
         fields=fields,
         partition_cols=partition_cols,
+        part_spec=part_spec,
         schemas_by_id={
             s.get("schema-id", 0): {
                 f["name"]: f["id"]
@@ -348,6 +382,298 @@ def _kv(entries: Optional[list]) -> dict[int, Any]:
     return {e["key"]: e["value"] for e in entries}
 
 
+# --------------------------------------------------------------------- #
+# partition transforms (spec: identity, bucket[N], truncate[W],
+# year / month / day / hour) — the shapes a 10^12-turn transcript table
+# actually uses: day(ts) temporal layout, bucket(N, conv_id) to spread
+# hot ingest.  Transform math follows the Iceberg spec's Partition
+# Transforms section; bucket hashing is murmur3_x86_32 seed 0 over the
+# spec serialization (Appendix B test vectors in TestBucketHash).
+# --------------------------------------------------------------------- #
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain algorithm), signed int32 result."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
+    """Spec Appendix B serialization for bucket hashing: int/long/date/
+    time/timestamp hash as the 8-byte little-endian long, strings as
+    UTF-8, binary as-is."""
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for booleans")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        return struct.pack(
+            "<q", int((value - epoch).total_seconds() * 1_000_000)
+        )
+    if isinstance(value, datetime.date):
+        return struct.pack("<q", (value - _EPOCH_DATE).days)
+    raise ValueError(
+        f"bucket transform: unsupported value type {type(value).__name__}"
+    )
+
+
+def iceberg_bucket(value: Any, n: int, ice_type: Optional[str] = None) -> Optional[int]:
+    """spec bucket[N]: (murmur3(serialize(v)) & Int.MAX) % N; null → null."""
+    if value is None:
+        return None
+    return (_murmur3_32(_bucket_bytes(value, ice_type)) & 0x7FFFFFFF) % n
+
+
+def _parse_transform(spec: str):
+    """'day(ts)' / 'bucket(16, conv_id)' / 'truncate(8, c)' / bare
+    column name → (transform, param, source_col).  Also accepts the
+    metadata-file forms 'day' + source-id (handled by the caller) and
+    'bucket[16]' / 'truncate[8]'."""
+    s = spec.strip()
+    m = re.match(r"^(year|month|day|hour)\s*\(\s*([A-Za-z0-9_.]+)\s*\)$", s)
+    if m:
+        return m.group(1), None, m.group(2)
+    m = re.match(
+        r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_.]+)\s*\)$", s
+    )
+    if m:
+        return m.group(1), int(m.group(2)), m.group(3)
+    if re.match(r"^[A-Za-z0-9_.]+$", s):
+        return "identity", None, s
+    raise ValueError(
+        f"unsupported partition transform spec {spec!r} — expected a "
+        "column name, day/month/year/hour(col), bucket(N, col) or "
+        "truncate(W, col)"
+    )
+
+
+def _transform_name(transform: str, param: Optional[int]) -> str:
+    """Metadata-file transform string (spec: 'bucket[16]', 'day', ...)."""
+    if transform in ("bucket", "truncate"):
+        return f"{transform}[{param}]"
+    return transform
+
+
+def _parse_meta_transform(t: str):
+    """Inverse of _transform_name for metadata read: 'bucket[16]' →
+    ('bucket', 16); 'day' → ('day', None); 'identity' → ..."""
+    m = re.match(r"^(bucket|truncate)\[(\d+)\]$", t)
+    if m:
+        return m.group(1), int(m.group(2))
+    return t, None
+
+
+def _py_transform(transform: str, param: Optional[int], v: Any,
+                  source_type: Optional[str] = None) -> Any:
+    """Apply a partition transform to a PYTHON value (used to
+    canonicalize filter values and to type partition metadata).  Input
+    may be a raw source value (date/datetime/str/int) or an
+    already-transformed ordinal — the result is always the stored form."""
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform == "bucket":
+        # an int is taken as the bucket id itself ONLY when it is in
+        # range — everything else hashes
+        if isinstance(v, int) and not isinstance(v, bool) and 0 <= v < param:
+            return v
+        return iceberg_bucket(v, param, source_type)
+    if transform == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)[:param]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (v % param)  # floor toward -inf, spec
+        raise ValueError(f"truncate: unsupported value {v!r}")
+    # temporal transforms → int ordinal from epoch
+    if isinstance(v, bool):
+        raise ValueError(f"{transform}: unsupported value {v!r}")
+    if isinstance(v, int):
+        return v  # already an ordinal
+    if isinstance(v, str):
+        v = _parse_temporal_str(transform, v)
+        if isinstance(v, int):
+            return v
+    if isinstance(v, datetime.datetime):
+        if transform == "year":
+            return v.year - 1970
+        if transform == "month":
+            return (v.year - 1970) * 12 + (v.month - 1)
+        if transform == "day":
+            return (v.date() - _EPOCH_DATE).days
+        if transform == "hour":
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() // 3600)
+    if isinstance(v, datetime.date):
+        if transform == "year":
+            return v.year - 1970
+        if transform == "month":
+            return (v.year - 1970) * 12 + (v.month - 1)
+        if transform == "day":
+            return (v - _EPOCH_DATE).days
+        if transform == "hour":
+            return (v - _EPOCH_DATE).days * 24
+    raise ValueError(f"{transform}: unsupported value {v!r}")
+
+
+def _parse_temporal_str(transform: str, s: str):
+    """Human forms for temporal partition filters: '2026' (year),
+    '2026-08' (month), '2026-08-17' (day), '2026-08-17-09' /
+    '2026-08-17T09' (hour)."""
+    s = s.strip()
+    try:
+        if transform == "year" and re.match(r"^\d{4}$", s):
+            return int(s) - 1970
+        if transform == "month" and re.match(r"^\d{4}-\d{2}$", s):
+            y, mo = map(int, s.split("-"))
+            return (y - 1970) * 12 + (mo - 1)
+        if transform == "day" and re.match(r"^\d{4}-\d{2}-\d{2}$", s):
+            return (datetime.date.fromisoformat(s) - _EPOCH_DATE).days
+        if transform == "hour":
+            m = re.match(r"^(\d{4}-\d{2}-\d{2})[T \-](\d{1,2})$", s)
+            if m:
+                d = datetime.date.fromisoformat(m.group(1))
+                return (d - _EPOCH_DATE).days * 24 + int(m.group(2))
+    except ValueError:
+        pass
+    return s
+
+
+def _partition_field_name(transform: str, param: Optional[int], src: str) -> str:
+    """Default partition field names, Java Iceberg convention:
+    identity → source name; day(ts) → ts_day; bucket(16, c) → c_bucket;
+    truncate(4, c) → c_trunc."""
+    if transform == "identity":
+        return src
+    if transform == "bucket":
+        return f"{src}_bucket"
+    if transform == "truncate":
+        return f"{src}_trunc"
+    return f"{src}_{transform}"
+
+
+def _transform_col_expr(transform: str, param: Optional[int], src: str,
+                        src_dtype: str):
+    """The partition transform as a Spark Column over the source column
+    — used by the sink's partitionBy copy and by equality-delete
+    partition-scope folding.  Temporal math is UTC epoch arithmetic
+    (spec); bucket is the spec murmur3 via a vectorized pandas_udf (the
+    only non-codegen transform — write-path / scope-fold only, never in
+    a validation hot loop)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(src)
+    if transform == "identity":
+        return c
+    if transform == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if transform == "month":
+        return ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - 1).cast("int")
+    if transform == "day":
+        if src_dtype.startswith("timestamp"):
+            return F.floor(F.unix_timestamp(c) / 86400).cast("int")
+        return F.datediff(c, F.lit("1970-01-01")).cast("int")
+    if transform == "hour":
+        return F.floor(F.unix_timestamp(c) / 3600).cast("int")
+    if transform == "truncate":
+        if src_dtype == "string":
+            return F.substring(c, 1, param)
+        return (c - F.pmod(c, F.lit(param))).cast(src_dtype)
+    if transform == "bucket":
+        n = param
+        # explicit functionType: the module-wide `from __future__ import
+        # annotations` turns type hints into strings pyspark cannot infer
+        _bucket_udf = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None if v is None else iceberg_bucket(v, n)
+            ).astype("Int32"),
+            "int",
+        )
+        return _bucket_udf(c)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def _existing_spec_str(existing: dict) -> Optional[str]:
+    """Canonical partition-spec string ('day(ts)', 'bucket(16, c)',
+    bare identity column name) of the table's default spec, or None
+    when unpartitioned.  Single-field specs only (this layer's
+    scope)."""
+    specs = existing.get("partition-specs") or []
+    spec = next(
+        (
+            s
+            for s in specs
+            if s.get("spec-id", 0) == existing.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    pfs = spec.get("fields", [])
+    if not pfs:
+        return None
+    pf = pfs[0]
+    tname, param = _parse_meta_transform(pf.get("transform", "identity"))
+    schemas = existing.get("schemas") or []
+    cur = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id", 0) == existing.get("current-schema-id", 0)
+        ),
+        {"fields": []},
+    )
+    src = next(
+        (
+            f["name"]
+            for f in cur.get("fields", [])
+            if f["id"] == pf.get("source-id")
+        ),
+        pf["name"],
+    )
+    if tname == "identity":
+        return src
+    if tname in ("bucket", "truncate"):
+        return f"{tname}({param}, {src})"
+    return f"{tname}({src})"
+
+
 def _part_render(v: Any, ice_t: Optional[str] = None) -> Optional[str]:
     """Render a partition value the way SPARK casts it to string — the
     runner keys partitions by Spark's rendering, and Python's str()
@@ -371,14 +697,33 @@ def _part_render(v: Any, ice_t: Optional[str] = None) -> Optional[str]:
 
 
 def _part_match(
-    part: dict, flt: Optional[dict], types: Optional[dict] = None
+    part: dict,
+    flt: Optional[dict],
+    types: Optional[dict] = None,
+    part_spec: Optional[dict] = None,
 ) -> bool:
-    """Identity-partition equality, string-tolerant (the partition
-    runner keys partitions by their Spark string rendering)."""
+    """Partition equality, string-tolerant (the partition runner keys
+    partitions by their Spark string rendering).  ``part_spec`` makes
+    matching transform-aware: a filter on a day-partitioned field
+    accepts '2026-08-17' / date / the stored days-ordinal, bucket
+    fields accept a bucket id or a raw source value (hashed), truncate
+    fields accept raw or pre-truncated values."""
     if not flt:
         return True
     for k, v in flt.items():
         got = part.get(k)
+        spec = (part_spec or {}).get(k)
+        if spec is not None and spec[0] != "identity":
+            transform, param, _src, src_t = spec
+            if got is None and v is None:
+                continue
+            try:
+                want = _py_transform(transform, param, v, src_t)
+            except ValueError:
+                return False
+            if got != want:
+                return False
+            continue
         t = (types or {}).get(k)
         if got is None and v is None:
             continue
@@ -427,7 +772,8 @@ def iceberg_meta_stats(
             df
             for df in meta.data_files
             if _part_match(
-                df.get("partition") or {}, partition_filter, meta.part_types()
+                df.get("partition") or {}, partition_filter, meta.part_types(),
+                meta.part_spec
             )
         ]
         if all_files and not meta.data_files:
@@ -517,7 +863,8 @@ def plan_files(
         _localize(dfile["file_path"], table_dir, meta.location)
         for dfile in meta.data_files
         if _part_match(
-            dfile.get("partition") or {}, partition_filter, meta.part_types()
+            dfile.get("partition") or {}, partition_filter,
+            meta.part_types(), meta.part_spec
         )
     ]
 
@@ -575,15 +922,26 @@ def _file_projection(meta: IcebergMeta, dfile: dict, path: str) -> tuple:
          behavior, still correct while no rename has happened).
     """
     era = None
+    era_key: Any = "legacy"
     sid = meta.snapshot_schema_ids.get(dfile.get("_added_snapshot"))
     if sid is not None:
         era = meta.schemas_by_id.get(sid)
+        if era is not None:
+            era_key = sid
     if era is None:
         era = _footer_name_to_fid(path)
+        if era is not None:
+            era_key = tuple(sorted(era.items()))
     if era is None:
-        return tuple(f["name"] for f in meta.fields.values())
+        return "legacy", tuple(f["name"] for f in meta.fields.values())
     by_fid = {fid: n for n, fid in era.items()}
-    return tuple(by_fid.get(fid) for fid in meta.fields)
+    # the grouping key carries the ERA, not just the resolved names:
+    # after a type promotion two eras share identical column names but
+    # different PHYSICAL parquet types, and a single multi-file read
+    # would fail (or silently coerce) on whichever era the inferred
+    # schema doesn't match — each era must be its own scan, cast to the
+    # current type, then unioned
+    return era_key, tuple(by_fid.get(fid) for fid in meta.fields)
 
 
 def _read_data_files(
@@ -636,7 +994,7 @@ def _read_data_files(
             F.col(phys).cast(_spark_ddl(f["type"])).alias(f["name"])
             if phys is not None
             else F.lit(None).cast(_spark_ddl(f["type"])).alias(f["name"])
-            for (_, f), phys in zip(cur, sig)
+            for (_, f), phys in zip(cur, sig[1])
         ]
         g = spark.read.parquet(*gpaths).select(*sel, *meta_cols)
         out = g if out is None else out.unionByName(g)
@@ -671,7 +1029,8 @@ def read_iceberg(
         dfile
         for dfile in meta.data_files
         if _part_match(
-            dfile.get("partition") or {}, partition_filter, meta.part_types()
+            dfile.get("partition") or {}, partition_filter,
+            meta.part_types(), meta.part_spec
         )
     ]
     paths = [
@@ -841,10 +1200,20 @@ def _read_with_equality_deletes(
             cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}__"))
         # spec: a PARTITION-SCOPED equality delete applies only within
         # its partition — for identity transforms the partition value
-        # equals the column value carried in the data rows, so the
-        # scope folds into the join condition (review r4 #3)
+        # equals the column value carried in the data rows; for
+        # transformed specs the transform expression over the source
+        # column reproduces the stored value.  Either way the scope
+        # folds into the join condition (review r4 #3)
         for k, v in (d.get("partition") or {}).items():
             if v is not None:
+                spec = meta.part_spec.get(k)
+                if spec is not None and spec[0] != "identity":
+                    transform, param, src, src_t = spec
+                    expr = _transform_col_expr(
+                        transform, param, src, _spark_ddl(src_t or "string")
+                    )
+                    cond = cond & expr.eqNullSafe(F.lit(v))
+                    continue
                 kk = k  # partition key name, era → current via field id
                 if dera and k in dera:
                     kk = meta.field_name(dera[k]) or k
@@ -863,40 +1232,32 @@ def write_iceberg_sink(
     ``write_table(..., mode="append")`` for environments without the
     runtime jar (violations/metrics sinks, incremental ingest).
 
-    ``partition_by``: identity-partition the snapshot on a column.  One
-    Spark write: partitionBy consumes a COPY of the column (Iceberg data
-    files keep their partition columns, hive layout strips them), the
-    per-file partition value is recovered from the directory name."""
-    from pyspark.sql import functions as F
-
+    ``partition_by``: a column name (identity partitioning) or a
+    transform spec — ``"day(ts)"`` / ``"month(ts)"`` / ``"year(ts)"`` /
+    ``"hour(ts)"`` / ``"bucket(16, conv_id)"`` / ``"truncate(8, col)"``
+    (spec Partition Transforms; the shapes a 10^12-turn transcript
+    table actually uses).  One Spark write: partitionBy consumes a
+    COPY/derived column (Iceberg data files keep their source columns,
+    hive layout strips only the copy), the per-file partition value is
+    recovered from the directory name in its stored form (epoch
+    ordinals for temporal transforms, bucket ids, truncated values)."""
     # inherit the table's partition spec: appending unpartitioned files
     # to a partitioned table would record partition=None and silently
     # drop the rows from partition-filtered reads (review r4 #2)
+    have_table = True
     try:
         existing = json.load(open(_metadata_path(table_dir)))
-        specs = existing.get("partition-specs") or []
-        spec = next(
-            (
-                s
-                for s in specs
-                if s.get("spec-id", 0) == existing.get("default-spec-id", 0)
-            ),
-            {"fields": []},
-        )
-        spec_cols = [
-            f["name"]
-            for f in spec.get("fields", [])
-            if f.get("transform") == "identity"
-        ]
+        inherited = _existing_spec_str(existing)
     except FileNotFoundError:
-        spec_cols = None  # new table: the caller decides
-    if spec_cols is not None:
-        if spec_cols:
+        have_table = False  # new table: the caller decides
+        inherited = None
+    if have_table:
+        if inherited is not None:
             if partition_by is None:
-                partition_by = spec_cols[0]
-            elif partition_by != spec_cols[0]:
+                partition_by = inherited
+            elif _parse_transform(partition_by) != _parse_transform(inherited):
                 raise ValueError(
-                    f"table is partitioned by {spec_cols[0]!r}; cannot "
+                    f"table is partitioned by {inherited!r}; cannot "
                     f"append partitioned by {partition_by!r}"
                 )
         elif partition_by:
@@ -913,7 +1274,7 @@ def write_iceberg_sink(
     # reuse the table's ids; a CREATE pre-assigns 1..n in column order,
     # exactly what write_iceberg_table will register.
     try:
-        if spec_cols is not None:  # existing table
+        if have_table:  # existing table
             schemas = existing.get("schemas") or []
             cur = next(
                 s
@@ -942,21 +1303,30 @@ def write_iceberg_sink(
 
 def _write_batch(df, table_dir: str, partition_by: Optional[str]):
     """Land ``df`` as parquet under ``data/batch-<uuid>/`` (hive-
-    partitioned on a COPY of ``partition_by`` when given) and return
-    (data file paths, {path: typed partition value} or None, batch
-    dir).  Shared by the append sink and compaction."""
-    from pyspark.sql import functions as F
-
+    partitioned on a COPY/transform of the source column when
+    ``partition_by`` is given — a name or a transform spec string) and
+    return (data file paths, {path: stored partition value} or None,
+    batch dir).  Shared by the append sink and compaction."""
     batch = os.path.join(table_dir, "data", f"batch-{uuid.uuid4().hex[:12]}")
     if partition_by:
+        transform, param, src = _parse_transform(partition_by)
+        src_dtype = dict(df.dtypes).get(src, "string")
+        pv = _transform_col_expr(transform, param, src, src_dtype)
         (
-            df.withColumn("__pv__", F.col(partition_by))
+            df.withColumn("__pv__", pv)
             .write.mode("overwrite")
             .partitionBy("__pv__")
             .parquet(batch)
         )
         files, pvals = [], {}
-        ptype = dict(df.dtypes).get(partition_by, "string")
+        # the stored form's dtype: temporal/bucket transforms are int
+        # ordinals, truncate keeps the source type, identity the column
+        if transform == "identity":
+            ptype = src_dtype
+        elif transform == "truncate":
+            ptype = src_dtype if src_dtype == "string" else "long"
+        else:
+            ptype = "int"
         for p in sorted(
             glob.glob(os.path.join(batch, "__pv__=*", "*.parquet"))
         ):
@@ -1022,13 +1392,13 @@ def compact_table(
     before_files = len(meta.data_files)
     before_deletes = meta.delete_files
     df = read_iceberg(spark, table_dir)
-    partition_by = meta.partition_cols[0] if meta.partition_cols else None
+    partition_by = meta.partition_spec_str()
     if num_files:
-        df = (
-            df.repartition(num_files, partition_by)
-            if partition_by
-            else df.repartition(num_files)
-        )
+        if partition_by:
+            _t, _prm, psrc = _parse_transform(partition_by)
+            df = df.repartition(num_files, psrc)
+        else:
+            df = df.repartition(num_files)
     # stamp current-schema field ids so the rewritten files carry
     # PARQUET:field_id (same upgrade the append sink applies)
     fid_by_name = {f["name"]: fid for fid, f in meta.fields.items()}
@@ -1420,11 +1790,16 @@ def write_iceberg_table(
         }
         spec_fields = []
         if partition_by:
+            t, prm, src = _parse_transform(partition_by)
+            if src not in fids:
+                raise ValueError(
+                    f"partition source column {src!r} not in table schema"
+                )
             spec_fields.append(
                 {
-                    "name": partition_by,
-                    "transform": "identity",
-                    "source-id": fids[partition_by],
+                    "name": _partition_field_name(t, prm, src),
+                    "transform": _transform_name(t, prm),
+                    "source-id": fids[src],
                     "field-id": 1000,
                 }
             )
@@ -1436,12 +1811,17 @@ def write_iceberg_table(
         "long": "long", "int": "int", "double": "double",
         "float": "float", "string": "string", "boolean": "boolean",
     }
-    part_fields = (
-        [{"name": partition_by,
-          "avro_type": avro_part_type.get(types[partition_by], "string")}]
-        if partition_by
-        else []
-    )
+    part_fields, pname = [], None
+    if partition_by:
+        t, prm, psrc = _parse_transform(partition_by)
+        pname = _partition_field_name(t, prm, psrc)
+        if t == "identity":
+            avro_t = avro_part_type.get(types.get(psrc), "string")
+        elif t == "truncate":
+            avro_t = "string" if types.get(psrc) == "string" else "long"
+        else:  # temporal ordinals + bucket ids are ints
+            avro_t = "int"
+        part_fields = [{"name": pname, "avro_type": avro_t}]
     entries = []
     total_rows = 0
     for src in data_files:
@@ -1473,7 +1853,7 @@ def write_iceberg_table(
         total_rows += st["record_count"]
         part = {}
         if partition_by:
-            part[partition_by] = (partition_values or {}).get(src)
+            part[pname] = (partition_values or {}).get(src)
         entries.append(
             {
                 "status": 1,  # ADDED

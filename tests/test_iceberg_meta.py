@@ -1468,3 +1468,191 @@ class TestSnapshotExpiry:
             expire_snapshots(t, keep_last=0)
         assert expire_snapshots(t, keep_last=5)["expired"] == 0
         assert read_iceberg(spark, t).count() == 20
+
+
+class TestBucketHash:
+    """Iceberg spec Appendix B 32-bit hash test vectors — the bucket
+    transform must be bit-identical to the Java implementation or a
+    bucket-partitioned table written here reads wrong in any other
+    runtime (and vice versa)."""
+
+    def test_spec_vectors(self):
+        import datetime as dt
+
+        from pandera_spark.io.iceberg_meta import _bucket_bytes, _murmur3_32
+
+        assert _murmur3_32(_bucket_bytes(34, None)) == 2017239379  # int
+        assert _murmur3_32(_bucket_bytes("iceberg", None)) == 1210000089
+        assert (
+            _murmur3_32(_bucket_bytes(dt.date(2017, 11, 16), None))
+            == -653330422
+        )
+        assert (
+            _murmur3_32(
+                _bucket_bytes(dt.datetime(2017, 11, 16, 22, 31, 8), None)
+            )
+            == -2047944441
+        )
+
+    def test_bucket_range_and_null(self):
+        from pandera_spark.io.iceberg_meta import iceberg_bucket
+
+        assert iceberg_bucket(None, 16) is None
+        for v in ("a", "b", 123456789, b"\x00\x01"):
+            assert 0 <= iceberg_bucket(v, 16) < 16
+        with pytest.raises(ValueError, match="boolean"):
+            iceberg_bucket(True, 4)
+
+
+class TestPartitionTransforms:
+    """Spec partition transforms (day/month/year/hour, bucket[N],
+    truncate[W]) through sink → manifest → prune → read → compact.
+    A 10^12-turn transcript table is day(ts)-partitioned with
+    bucket(N, conv_id) as the skew-spreading alternative — identity
+    partitioning alone doesn't cover the north-rule shape."""
+
+    def _ts_df(self, spark, n=30):
+        return spark.sql(
+            "SELECT id, timestamp'2026-08-15 10:00:00' + "
+            "make_interval(0,0,0,int(id % 3),0,0,0) AS ts "
+            f"FROM range({n})"
+        )
+
+    def test_day_partition_sink_prune_read(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "day")
+        write_iceberg_sink(self._ts_df(spark), t, partition_by="day(ts)")
+        meta = read_table_meta(t)
+        assert meta.part_spec == {"ts_day": ("day", None, "ts", "timestamp")}
+        # stored values are epoch-day ordinals
+        days = {f["partition"]["ts_day"] for f in meta.data_files}
+        assert days == {20680, 20681, 20682}  # 2026-08-15/16/17
+        # filter accepts ISO date strings, date objects, and ordinals
+        import datetime as dt
+
+        for flt in ("2026-08-16", dt.date(2026, 8, 16), 20681):
+            sub = read_iceberg(spark, t, partition_filter={"ts_day": flt})
+            assert sub.count() == 10
+        assert plan_files(t, partition_filter={"ts_day": "2026-08-15"})
+        # manifest stats scoped to one day
+        st = iceberg_meta_stats(t, partition_filter={"ts_day": "2026-08-17"})
+        assert st["n_rows"] == 10
+
+    def test_append_inherits_transform_spec(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "dayi")
+        write_iceberg_sink(self._ts_df(spark), t, partition_by="day(ts)")
+        write_iceberg_sink(self._ts_df(spark, 6), t)  # inherits day(ts)
+        meta = read_table_meta(t)
+        assert all(
+            f["partition"].get("ts_day") is not None for f in meta.data_files
+        )
+        assert read_iceberg(spark, t).count() == 36
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_iceberg_sink(self._ts_df(spark, 3), t, partition_by="ts")
+
+    def test_bucket_partition_and_filter_by_raw_value(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            iceberg_bucket,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "bkt")
+        df = spark.sql(
+            "SELECT concat('conv-', id) AS conv_id, id FROM range(40)"
+        )
+        write_iceberg_sink(df, t, partition_by="bucket(4, conv_id)")
+        meta = read_table_meta(t)
+        assert meta.partition_spec_str() == "bucket(4, conv_id)"
+        assert {
+            f["partition"]["conv_id_bucket"] for f in meta.data_files
+        } <= {0, 1, 2, 3}
+        # a raw source value routes to its bucket via the spec hash
+        want = iceberg_bucket("conv-7", 4)
+        got = read_iceberg(
+            spark, t, partition_filter={"conv_id_bucket": "conv-7"}
+        ).collect()
+        assert any(r.conv_id == "conv-7" for r in got)
+        assert all(iceberg_bucket(r.conv_id, 4) == want for r in got)
+        # an in-range int is the bucket id itself
+        n_by_id = read_iceberg(
+            spark, t, partition_filter={"conv_id_bucket": want}
+        ).count()
+        assert n_by_id == len(got)
+
+    def test_truncate_partition(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "tr")
+        df = spark.sql(
+            "SELECT concat('conv-', id) AS conv_id, id FROM range(40)"
+        )
+        write_iceberg_sink(df, t, partition_by="truncate(6, conv_id)")
+        meta = read_table_meta(t)
+        assert meta.partition_spec_str() == "truncate(6, conv_id)"
+        # raw value filters truncate before matching; 'conv-1x' prefix
+        # covers conv-1 and conv-10..19 (11 rows)
+        assert read_iceberg(
+            spark, t, partition_filter={"conv_id_trunc": "conv-12"}
+        ).count() == 11
+
+    def test_compact_preserves_transform_spec(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "cmp")
+        write_iceberg_sink(self._ts_df(spark), t, partition_by="day(ts)")
+        write_equality_deletes(t, [{"id": 3}], ["id"])
+        compact_table(spark, t)
+        meta = read_table_meta(t)
+        assert meta.partition_spec_str() == "day(ts)"
+        assert meta.delete_files == 0
+        assert all(
+            f["partition"].get("ts_day") is not None for f in meta.data_files
+        )
+        assert read_iceberg(
+            spark, t, partition_filter={"ts_day": "2026-08-16"}
+        ).count() == 10
+        assert read_iceberg(spark, t).count() == 29
+
+    def test_month_year_hour_transforms(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        df = spark.sql(
+            "SELECT id, timestamp'2026-08-15 10:00:00' + "
+            "make_interval(0, int(id % 2), 0, 0, 0, 0, 0) AS ts "
+            "FROM range(8)"
+        )
+        t = str(tmp_path / "mo")
+        write_iceberg_sink(df, t, partition_by="month(ts)")
+        meta = read_table_meta(t)
+        months = {f["partition"]["ts_month"] for f in meta.data_files}
+        assert months == {679, 680}  # 2026-08, 2026-09
+        assert read_iceberg(
+            spark, t, partition_filter={"ts_month": "2026-09"}
+        ).count() == 4
+        t2 = str(tmp_path / "yr")
+        write_iceberg_sink(df, t2, partition_by="year(ts)")
+        assert read_iceberg(
+            spark, t2, partition_filter={"ts_year": "2026"}
+        ).count() == 8
+        t3 = str(tmp_path / "hr")
+        write_iceberg_sink(df, t3, partition_by="hour(ts)")
+        assert read_iceberg(
+            spark, t3, partition_filter={"ts_hour": "2026-08-15-10"}
+        ).count() == 4
+
+    def test_bad_transform_spec_rejected(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        with pytest.raises(ValueError, match="unsupported partition"):
+            write_iceberg_sink(
+                self._ts_df(spark, 2),
+                str(tmp_path / "bad"),
+                partition_by="void(ts)",
+            )
