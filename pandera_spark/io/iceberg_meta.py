@@ -510,14 +510,22 @@ def _py_transform(transform: str, param: Optional[int], v: Any,
     if transform == "identity":
         return v
     if transform == "bucket":
-        # an int is taken as the bucket id itself ONLY when it is in
-        # range — everything else hashes
+        # an int (or digit string, e.g. a runner partition key) in
+        # [0, N) is taken as the bucket id itself — everything else
+        # hashes as a raw source value
+        if isinstance(v, str) and v.isdigit() and int(v) < param:
+            return int(v)
         if isinstance(v, int) and not isinstance(v, bool) and 0 <= v < param:
             return v
         return iceberg_bucket(v, param, source_type)
     if transform == "truncate":
         if isinstance(v, str):
-            return v[:param]
+            # numeric source: a string filter (runner partition key) is
+            # the stored int, not a prefix
+            if source_type in ("int", "long") and re.match(r"^-?\d+$", v):
+                v = int(v)
+            else:
+                return v[:param]
         if isinstance(v, (bytes, bytearray)):
             return bytes(v)[:param]
         if isinstance(v, int) and not isinstance(v, bool):
@@ -529,9 +537,15 @@ def _py_transform(transform: str, param: Optional[int], v: Any,
     if isinstance(v, int):
         return v  # already an ordinal
     if isinstance(v, str):
-        v = _parse_temporal_str(transform, v)
-        if isinstance(v, int):
-            return v
+        parsed = _parse_temporal_str(transform, v)
+        if isinstance(parsed, int):
+            return parsed
+        if re.match(r"^-?\d+$", v):
+            return int(v)  # stored ordinal in string form (runner keys)
+        try:  # full ISO date/timestamp strings
+            v = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            raise ValueError(f"{transform}: unsupported value {v!r}") from None
     if isinstance(v, datetime.datetime):
         if transform == "year":
             return v.year - 1970

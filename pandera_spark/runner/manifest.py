@@ -114,12 +114,37 @@ class PartitionedValidationRun:
             self.df = df_or_source
             self.source_desc = "dataframe"
         self.spark = self.df.sparkSession
+        # partition_col may be a transform spec ('day(ts)',
+        # 'bucket(16, conv_id)', ...) — the natural loop key for a
+        # temporally-partitioned transcript table.  The loop keys on
+        # the STORED transform value (epoch ordinal / bucket id).
+        from ..io.iceberg_meta import (
+            _parse_transform,
+            _partition_field_name,
+            _transform_col_expr,
+        )
+
+        self._pt_transform, self._pt_param, self._pt_src = _parse_transform(
+            partition_col
+        )
+        self._pt_field = _partition_field_name(
+            self._pt_transform, self._pt_param, self._pt_src
+        )
+        if self._pt_transform == "identity":
+            self._part_expr = F.col(self._pt_src)
+        else:
+            self._part_expr = _transform_col_expr(
+                self._pt_transform,
+                self._pt_param,
+                self._pt_src,
+                dict(self.df.dtypes).get(self._pt_src, "string"),
+            )
 
     # ------------------------------------------------------------------ #
 
     def discover_partitions(self) -> list[str]:
         rows = (
-            self.df.select(F.col(self.partition_col).cast("string").alias("p"))
+            self.df.select(self._part_expr.cast("string").alias("p"))
             .distinct()
             .collect()
         )
@@ -223,9 +248,29 @@ class PartitionedValidationRun:
         )
 
     def _partition_df(self, p: str) -> DataFrame:
-        # predicate on the partition column — pushed down to the source
-        # (Iceberg partition pruning / parquet row-group skipping)
-        return self.df.where(F.col(self.partition_col).cast("string") == p)
+        # Iceberg source: re-plan with a manifest-level partition filter
+        # so only the partition's data files are scanned at all — the
+        # .where() fallback below only skips row-groups, which at
+        # 10^12-turn scale still lists and opens every file per loop
+        # iteration
+        from ..io.sources import is_iceberg_dir
+
+        if self.source_desc != "dataframe" and is_iceberg_dir(self.source_desc):
+            try:
+                from ..io.iceberg_meta import read_iceberg, read_table_meta
+
+                meta = read_table_meta(self.source_desc)
+                if self._pt_field in meta.part_spec:
+                    return read_iceberg(
+                        self.spark,
+                        self.source_desc,
+                        partition_filter={self._pt_field: p},
+                    )
+            except Exception:  # noqa: BLE001 — pruning is an optimization
+                pass
+        # predicate on the partition expression — pushed down to the
+        # source (parquet row-group skipping; codegen except bucket)
+        return self.df.where(self._part_expr.cast("string") == p)
 
     def _partition_file_stats(self, p: str) -> Optional[dict]:
         """Footer statistics for ONE hive-layout partition directory of a
@@ -250,7 +295,7 @@ class PartitionedValidationRun:
 
                 return iceberg_meta_stats(
                     self.source_desc,
-                    partition_filter={self.partition_col: p},
+                    partition_filter={self._pt_field: p},
                 )
             except Exception:  # noqa: BLE001 — stats are an optimization only
                 return None

@@ -720,3 +720,42 @@ class TestRunnerMaintenance:
         )
         with pytest.raises(ValueError, match="manifest_format='iceberg'"):
             run.expire_history(keep_last=1)
+
+
+class TestTransformPartitionRunner:
+    """partition_col as a transform spec ('day(ts)'): the loop keys on
+    stored transform ordinals, Iceberg sources prune per partition at
+    the MANIFEST level, and partition-scoped manifest stats flow in."""
+
+    def test_day_transform_loop_over_iceberg(self, spark, tmp_path):
+        from pandera_spark import Check, Column, DataFrameSchema
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        src = str(tmp_path / "tbl")
+        df = spark.sql(
+            "SELECT concat('c-', id) AS conv_id, int(id % 5) AS turn_idx, "
+            "timestamp'2026-08-15 10:00:00' + "
+            "make_interval(0,0,0,int(id % 3),0,0,0) AS ts "
+            "FROM range(60)"
+        )
+        write_iceberg_sink(df, src, partition_by="day(ts)")
+        schema = DataFrameSchema(
+            {
+                "conv_id": Column("string", nullable=False),
+                "turn_idx": Column("int", Check.ge(0)),
+                "ts": Column("timestamp"),
+            }
+        )
+        out = str(tmp_path / "out")
+        run = PartitionedValidationRun(
+            schema, src, "day(ts)", out, spark=spark
+        )
+        parts = run.discover_partitions()
+        assert parts == ["20680", "20681", "20682"]
+        results = run.run()
+        assert len(results) == 3
+        assert all(r.status == "ok" and r.passed for r in results)
+        assert sum(r.n_rows for r in results) == 60
+        # per-partition manifest stats flowed in (proof short-circuit)
+        s = run.summary()
+        assert s["n_rows"] == 60 and s["ok"] == 3
