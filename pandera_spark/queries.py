@@ -265,6 +265,61 @@ def q_compact_roundtrip_lineitem(spark, sf_dir):
     )
 
 
+def q_iceberg_day_partition_events(spark, sf_dir):
+    """Partition-transform correctness in the gate: the events fixture
+    rewritten as a day(ts)-partitioned Iceberg v2 table (spec temporal
+    transform — the sink computes UTC epoch-day ordinals and the
+    manifests record them per file), then ONE day read back through
+    MANIFEST-level partition pruning and aggregated.  The DuckDB oracle
+    filters the raw fixture with a date cast: if the transform math,
+    the stored ordinals, or the pruning dropped/kept a single wrong
+    row, counts and id-sums diverge.  Sums use event_id (integers:
+    fp-exact)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from .io.iceberg_meta import read_iceberg, write_iceberg_sink
+
+    src = f"{sf_dir}/events.parquet"
+    paths = (
+        sorted(glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    h = hashlib.md5(sf_dir.encode())
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"pandera_iceberg_evd_{h.hexdigest()[:12]}"
+    )
+    if not os.path.exists(os.path.join(tdir, "metadata", "version-hint.text")):
+        import shutil
+        import uuid as _uuid
+
+        tmp = f"{tdir}.build-{_uuid.uuid4().hex[:8]}"
+        write_iceberg_sink(
+            spark.read.parquet(src), tmp, partition_by="day(ts)"
+        )
+        try:
+            os.rename(tmp, tdir)
+        except OSError:  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+    sub = read_iceberg(
+        spark, tdir, partition_filter={"ts_day": "2024-01-15"}
+    )
+    return (
+        sub.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_violation_rows_lineitem(spark, sf_dir):
     """Canonical failure-case rows (value checks) on lineitem."""
     li = _t(spark, sf_dir, "lineitem")
@@ -846,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footer_verdicts_lineitem": q_footer_verdicts_lineitem,
         "iceberg_verdicts_lineitem": q_iceberg_verdicts_lineitem,
         "compact_roundtrip_lineitem": q_compact_roundtrip_lineitem,
+        "iceberg_day_partition_events": q_iceberg_day_partition_events,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
         "joint_unique_lineitem": q_joint_unique_lineitem,
@@ -1671,6 +1727,18 @@ def oracle_sql() -> dict[str, str]:
     # compaction round-trip: Spark side equality-deletes four order
     # keys then compacts (merge-on-read state rewritten, deletes
     # retired); the oracle filters the same keys from the raw fixture
+    # day(ts)-partition-transform round trip: the Spark side prunes to
+    # the partition whose stored ordinal is epoch-day(2024-01-15); the
+    # oracle date-casts the raw fixture (both sides UTC)
+    d["iceberg_day_partition_events"] = """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(event_id) AS sum_id
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        GROUP BY event_type
+        ORDER BY event_type
+    """
     d["compact_roundtrip_lineitem"] = """
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
