@@ -1656,3 +1656,56 @@ class TestPartitionTransforms:
                 str(tmp_path / "bad"),
                 partition_by="void(ts)",
             )
+
+
+class TestTransformScopedEqualityDelete:
+    def test_day_scoped_equality_delete(self, spark, tmp_path):
+        """A partition-scoped equality delete on a TRANSFORM-partitioned
+        table folds the transform expression over the source column
+        into the join condition — the partition field (ts_day) is not a
+        data column, so an identity fold would fail to resolve."""
+        from pandera_spark.io.iceberg_meta import (
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "tsd")
+        df = spark.sql(
+            "SELECT id, concat('k', id % 2) AS k, "
+            "timestamp'2026-08-15 10:00:00' + "
+            "make_interval(0,0,0,int(id % 2),0,0,0) AS ts "
+            "FROM range(6)"
+        )  # ids 0,2,4 on 08-15 (k0); 1,3,5 on 08-16 (k1)
+        write_iceberg_sink(df, t, partition_by="day(ts)")
+        write_equality_deletes(t, [{"k": "k0"}], ["k"])
+        # scope the delete to ts_day = 2026-08-16 (day ordinal 20681):
+        # k0 rows live on 08-15, so NOTHING should be deleted
+        mpath = sorted(
+            glob.glob(os.path.join(t, "metadata", "*-m0.avro")),
+            key=os.path.getmtime,
+        )[-1]
+        schema, entries = read_ocf(mpath)
+        schema2 = json.loads(json.dumps(schema))
+        for f in schema2["fields"]:
+            if f["name"] == "data_file":
+                for df_f in f["type"]["fields"]:
+                    if df_f["name"] == "partition":
+                        df_f["type"]["fields"] = [
+                            {
+                                "name": "ts_day",
+                                "type": ["null", "int"],
+                                "default": None,
+                            }
+                        ]
+        entries[0]["data_file"]["partition"] = {"ts_day": 20681}
+        write_ocf(mpath, schema2, entries)
+        assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [
+            0, 1, 2, 3, 4, 5,
+        ]
+        # re-scope to 08-15: now the three k0 rows delete
+        schema, entries = read_ocf(mpath)
+        entries[0]["data_file"]["partition"] = {"ts_day": 20680}
+        write_ocf(mpath, schema, entries)
+        assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [
+            1, 3, 5,
+        ]
