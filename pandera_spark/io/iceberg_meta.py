@@ -435,6 +435,14 @@ def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
     UTF-8, binary as-is."""
     if isinstance(value, bool):
         raise ValueError("bucket transform is not defined for booleans")
+    # numpy integer scalars (what a pandas_udf Series yields for a
+    # long/int source column) are not python ints — normalize via the
+    # __index__ protocol before the isinstance check
+    if not isinstance(value, int) and hasattr(value, "__index__"):
+        try:
+            value = int(value)
+        except TypeError:
+            pass
     if isinstance(value, int):
         return struct.pack("<q", value)
     if isinstance(value, str):

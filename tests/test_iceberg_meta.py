@@ -1647,6 +1647,35 @@ class TestPartitionTransforms:
             spark, t3, partition_filter={"ts_hour": "2026-08-15-10"}
         ).count() == 4
 
+
+    def test_bucket_on_long_column(self, spark, tmp_path):
+        """Bucket partitioning a NUMERIC column: the pandas_udf yields
+        numpy int64 scalars, which must hash like python ints (spec:
+        8-byte little-endian long) — np.int64(34) and 34 land in the
+        same bucket."""
+        import numpy as np
+
+        from pandera_spark.io.iceberg_meta import (
+            iceberg_bucket,
+            write_iceberg_sink,
+        )
+
+        assert iceberg_bucket(np.int64(34), 16) == iceberg_bucket(34, 16)
+        t = str(tmp_path / "bktl")
+        write_iceberg_sink(
+            spark.range(50).selectExpr("id", "id * 2 AS v"),
+            t,
+            partition_by="bucket(4, id)",
+        )
+        meta = read_table_meta(t)
+        assert {
+            f["partition"]["id_bucket"] for f in meta.data_files
+        } <= {0, 1, 2, 3}
+        got = read_iceberg(spark, t, partition_filter={"id_bucket": 34})
+        rows = got.collect()
+        assert any(r.id == 34 for r in rows)
+        assert all(iceberg_bucket(r.id, 4) == iceberg_bucket(34, 4) for r in rows)
+
     def test_bad_transform_spec_rejected(self, spark, tmp_path):
         from pandera_spark.io.iceberg_meta import write_iceberg_sink
 
