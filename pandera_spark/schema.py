@@ -206,6 +206,14 @@ class DataFrameSchema:
         from . import config as _config
         from .backend.validate import validate as _validate
 
+        # pandas-on-Spark input (reference: the full schema API runs on
+        # pyspark.pandas frames, tests/pyspark/test_schemas_on_pyspark_
+        # pandas.py): validate the underlying Spark frame.  The pandas
+        # positional index is NOT carried over — failure-case indexes
+        # use this engine's natural-key index_cols semantics.
+        if type(df).__module__.startswith("pyspark.pandas"):
+            df = df.to_spark()
+
         # cache_dataframe (pandera/config.py:43-44 + the pyspark
         # backend's cache_check_obj decorator): validation issues
         # several passes over ``df`` (fused aggregate, failure-case

@@ -752,3 +752,26 @@ class TestCacheDataframe:
         df = spark.range(10).selectExpr("id AS a", "'x' AS b")
         self._schema().validate(df)
         assert df.storageLevel.useMemory is False
+
+
+class TestPandasOnSparkInput:
+    """Mirror of the reference's pyspark.pandas coverage
+    (tests/pyspark/test_schemas_on_pyspark_pandas.py): the schema API
+    accepts pandas-on-Spark frames — validated through the underlying
+    Spark frame (natural-key index semantics, not positional)."""
+
+    def test_validate_psdf(self, spark):
+        import pyspark.pandas as psp
+
+        psdf = psp.DataFrame(
+            {"a": [1, 2, -3], "b": ["x", "y", "z"]}
+        )
+        schema = DataFrameSchema(
+            {"a": Column("bigint", Check.ge(0)), "b": Column("string")}
+        )
+        res = schema.validate(psdf)
+        assert not res.passed
+        rows = res.violations.collect()
+        assert any(r.failure_case == "-3" for r in rows)
+        ok = schema.validate(psp.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+        assert ok.passed
