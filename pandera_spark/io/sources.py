@@ -298,6 +298,7 @@ def validate_table(
     source: str,
     schema,
     use_file_stats: bool = True,
+    partition_filter: Optional[dict] = None,
     **validate_kw,
 ):
     """One-call table validation: read ``source`` (Iceberg table dir,
@@ -309,7 +310,30 @@ def validate_table(
     ``parquet_footer_stats``; anything else (or a stats failure, e.g. a
     delete-carrying Iceberg snapshot whose statistics describe
     pre-delete files) falls back to a plain scan — stats are an
-    optimization, never a requirement."""
+    optimization, never a requirement.
+
+    ``partition_filter`` (Iceberg sources): validate ONE partition —
+    manifest-level pruning (identity or transformed fields, e.g.
+    ``{"ts_day": "2026-08-17"}``) scopes both the scan and the
+    statistics."""
+    if partition_filter:
+        if not is_iceberg_dir(source):
+            raise ValueError(
+                "partition_filter requires an Iceberg table directory "
+                f"source, got {source!r}"
+            )
+        from .iceberg_meta import iceberg_meta_stats, read_iceberg
+
+        df = read_iceberg(spark, source, partition_filter=partition_filter)
+        fs = None
+        if use_file_stats:
+            try:
+                fs = iceberg_meta_stats(
+                    source, partition_filter=partition_filter
+                )
+            except Exception:  # noqa: BLE001 — fall back to the scan
+                fs = None
+        return schema.validate(df, file_stats=fs, **validate_kw)
     df = read_table(spark, source)
     fs = None
     if use_file_stats:

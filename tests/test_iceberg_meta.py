@@ -1738,3 +1738,33 @@ class TestTransformScopedEqualityDelete:
         assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [
             1, 3, 5,
         ]
+
+
+class TestValidateTablePartitionFilter:
+    def test_single_partition_validate(self, spark, tmp_path):
+        """validate_table(partition_filter=...) validates ONE partition
+        with partition-scoped manifest stats — the per-day validation
+        call a 10^12-turn day(ts) table runs per loop iteration."""
+        from pandera_spark import Check, Column, DataFrameSchema
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+        from pandera_spark.io.sources import validate_table
+
+        t = str(tmp_path / "vt")
+        df = spark.sql(
+            "SELECT id, timestamp'2026-08-15 10:00:00' + "
+            "make_interval(0,0,0,int(id % 2),0,0,0) AS ts FROM range(20)"
+        )
+        write_iceberg_sink(df, t, partition_by="day(ts)")
+        schema = DataFrameSchema(
+            {"id": Column("bigint", Check.ge(0), nullable=False),
+             "ts": Column("timestamp")}
+        )
+        r = validate_table(
+            spark, t, schema, partition_filter={"ts_day": "2026-08-16"}
+        )
+        assert r.passed and r.n_rows == 10
+        with pytest.raises(ValueError, match="Iceberg table directory"):
+            validate_table(
+                spark, str(tmp_path / "nope.parquet"), schema,
+                partition_filter={"ts_day": "2026-08-16"},
+            )
