@@ -14,12 +14,15 @@ from .serialization import (  # noqa: F401
 )
 from .iceberg_meta import (  # noqa: F401
     compact_table,
+    drop_ref,
     evolve_schema,
     expire_snapshots,
     iceberg_meta_stats,
     plan_files,
     read_iceberg,
     read_table_meta,
+    resolve_ref,
+    tag_snapshot,
     write_equality_deletes,
     write_iceberg_sink,
     write_iceberg_table,

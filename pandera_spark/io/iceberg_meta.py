@@ -222,14 +222,23 @@ def read_table_meta(
     table_dir: str,
     snapshot_id: Optional[int] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> IcebergMeta:
     """Parse metadata.json → snapshot → manifests → data files.
 
-    Time travel: ``snapshot_id`` pins an exact snapshot;
-    ``as_of_ms`` picks the latest snapshot at or before the timestamp
-    (millis).  Default: the current snapshot."""
+    Time travel: ``snapshot_id`` pins an exact snapshot; ``as_of_ms``
+    picks the latest snapshot at or before the timestamp (millis);
+    ``ref`` reads a named tag/branch (tag_snapshot).  Default: the
+    current snapshot."""
     mpath = _metadata_path(table_dir)
     md = json.load(open(mpath))
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError("give only one of ref / snapshot_id / as_of_ms")
+        r = (md.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(f"no ref {ref!r} in {table_dir}")
+        snapshot_id = r["snapshot-id"]
     location = md.get("location", table_dir)
     schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
     sid = md.get("current-schema-id", 0)
@@ -866,15 +875,19 @@ def plan_files(
     partition_filter: Optional[dict] = None,
     snapshot_id: Optional[int] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> list[str]:
     """Live data-file paths, pruned by identity-partition equality
     BEFORE any filesystem listing — manifest-level partition pruning.
-    ``snapshot_id`` / ``as_of_ms`` time-travel like read_table_meta.
+    ``snapshot_id`` / ``as_of_ms`` / ``ref`` time-travel like
+    read_table_meta.
 
     Refuses snapshots carrying row-level delete files: a caller scanning
     the returned paths would read deleted rows back — use
     ``read_iceberg`` (applies position deletes merge-on-read)."""
-    meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    meta = read_table_meta(
+        table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms, ref=ref
+    )
     if meta.delete_files:
         raise RuntimeError(
             f"{table_dir} carries {meta.delete_files} row-level delete "
@@ -1029,10 +1042,11 @@ def read_iceberg(
     partition_filter: Optional[dict] = None,
     snapshot_id: Optional[int] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ):
     """DataFrame over a snapshot's (pruned) data files — the current one
-    by default, or time-traveled via snapshot_id / as_of_ms (which read
-    with the SNAPSHOT's schema, not today's).
+    by default, or time-traveled via snapshot_id / as_of_ms / a named
+    ref (which read with the SNAPSHOT's schema, not today's).
 
     Columns are resolved per data file by FIELD ID, not by name (spec
     column projection): after a rename, old files still carry the old
@@ -1046,7 +1060,9 @@ def read_iceberg(
     equality_ids columns (see _read_with_equality_deletes)."""
     from pyspark.sql import functions as F
 
-    meta = read_table_meta(table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    meta = read_table_meta(
+        table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms, ref=ref
+    )
     dfiles = [
         dfile
         for dfile in meta.data_files
@@ -1470,6 +1486,55 @@ def _snapshot_files(table_dir: str, location: str, snap: dict):
     return mlist, manifests, dfiles
 
 
+def tag_snapshot(
+    table_dir: str,
+    name: str,
+    snapshot_id: Optional[int] = None,
+    ref_type: str = "tag",
+) -> int:
+    """Name a snapshot (spec: the metadata ``refs`` map) — a durable
+    pointer for audits/rollbacks: ``read_iceberg(..., ref=name)`` reads
+    it, and ``expire_snapshots`` RETAINS ref'd snapshots regardless of
+    the retention rules (matching Iceberg's ref-protection).  Defaults
+    to the current snapshot; ``ref_type``: "tag" or "branch".  Returns
+    the tagged snapshot id."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
+    md = json.load(open(_metadata_path(table_dir)))
+    sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
+    if sid is None or not any(
+        s.get("snapshot-id") == sid for s in md.get("snapshots", [])
+    ):
+        raise ValueError(f"snapshot {sid} not in {table_dir}")
+    refs = dict(md.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    md["refs"] = refs
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(table_dir, md)
+    return sid
+
+
+def drop_ref(table_dir: str, name: str) -> None:
+    """Remove a named ref; its snapshot becomes expirable again."""
+    md = json.load(open(_metadata_path(table_dir)))
+    refs = dict(md.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} in {table_dir}")
+    del refs[name]
+    md["refs"] = refs
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(table_dir, md)
+
+
+def resolve_ref(table_dir: str, name: str) -> int:
+    """Snapshot id a named ref points at."""
+    md = json.load(open(_metadata_path(table_dir)))
+    ref = (md.get("refs") or {}).get(name)
+    if ref is None:
+        raise ValueError(f"no ref {name!r} in {table_dir}")
+    return ref["snapshot-id"]
+
+
 def expire_snapshots(
     table_dir: str,
     keep_last: Optional[int] = None,
@@ -1514,6 +1579,10 @@ def expire_snapshots(
     current_id = md.get("current-snapshot-id")
     by_ts = sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
     keep_ids = {current_id}
+    # ref-protection (spec / Iceberg expireSnapshots): tagged and
+    # branched snapshots never expire while their ref exists
+    for ref in (md.get("refs") or {}).values():
+        keep_ids.add(ref.get("snapshot-id"))
     if keep_last is not None:
         keep_ids.update(s["snapshot-id"] for s in by_ts[-keep_last:])
     if older_than_ms is not None:

@@ -1768,3 +1768,66 @@ class TestValidateTablePartitionFilter:
                 spark, str(tmp_path / "nope.parquet"), schema,
                 partition_filter={"ts_day": "2026-08-16"},
             )
+
+
+class TestSnapshotRefs:
+    """Named refs (spec metadata `refs` map): tag/branch a snapshot,
+    read by ref, and — the correctness nuance — expire_snapshots
+    RETAINS ref'd snapshots regardless of retention rules."""
+
+    def test_tag_read_expire_protection(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            drop_ref,
+            expire_snapshots,
+            resolve_ref,
+            tag_snapshot,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "refs")
+        write_iceberg_sink(
+            spark.range(0, 5).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        first = read_table_meta(t).snapshot_id
+        sid = tag_snapshot(t, "audit-2026q3")
+        assert sid == first == resolve_ref(t, "audit-2026q3")
+        for i in range(3):
+            write_iceberg_sink(
+                spark.range(5 + i, 6 + i).selectExpr(
+                    "id", "cast(id as double) AS v"
+                ),
+                t,
+            )
+        res = expire_snapshots(t, keep_last=1)
+        # 4 snapshots total: current + tagged retained, 2 expired
+        assert res["retained"] == 2 and res["expired"] == 2
+        tagged = read_iceberg(spark, t, ref="audit-2026q3")
+        assert tagged.count() == 5  # the tagged snapshot's state
+        assert read_iceberg(spark, t).count() == 8
+        # dropping the ref makes it expirable
+        drop_ref(t, "audit-2026q3")
+        res2 = expire_snapshots(t, keep_last=1)
+        assert res2["expired"] == 1
+        with pytest.raises(ValueError, match="not in"):
+            read_iceberg(spark, t, snapshot_id=first)
+
+    def test_ref_errors(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            drop_ref,
+            tag_snapshot,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "re")
+        write_iceberg_sink(spark.range(2).selectExpr("id"), t)
+        with pytest.raises(ValueError, match="no ref"):
+            read_iceberg(spark, t, ref="nope")
+        with pytest.raises(ValueError, match="no ref"):
+            drop_ref(t, "nope")
+        with pytest.raises(ValueError, match="not in"):
+            tag_snapshot(t, "x", snapshot_id=123)
+        with pytest.raises(ValueError, match="'tag' or 'branch'"):
+            tag_snapshot(t, "x", ref_type="bogus")
+        tag_snapshot(t, "x")
+        with pytest.raises(ValueError, match="only one of"):
+            read_table_meta(t, ref="x", snapshot_id=1)
