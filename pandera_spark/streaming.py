@@ -35,6 +35,7 @@ def validate_stream(
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = False,
     query_name: str = "pandera_spark_validation",
+    violations_format: str = "parquet",
 ):
     """Attach validation to a streaming DataFrame.
 
@@ -42,14 +43,43 @@ def validate_stream(
     ``{output_dir}/violations/batch_id=<n>/``, per-batch metrics in
     ``{output_dir}/metrics/`` (one JSON row per batch: n_rows, passed,
     per-check counts).
+
+    ``violations_format="iceberg"``: the violations sink is a real
+    Iceberg v2 table instead of parquet-dir conventions — each batch
+    appends a snapshot (with a ``batch_id`` column), and a batch
+    REPLAY first equality-deletes its previous rows, so
+    at-least-once micro-batch delivery never double-counts.  foreachBatch
+    runs the body on the driver, satisfying the metadata writer's
+    single-committer requirement; bound history with
+    ``expire_snapshots`` / ``compact_table``.
     """
+    if violations_format not in ("parquet", "iceberg"):
+        raise ValueError(
+            "violations_format must be 'parquet' or 'iceberg', got "
+            f"{violations_format!r}"
+        )
     viol_dir = os.path.join(output_dir, "violations")
     metrics_dir = os.path.join(output_dir, "metrics")
     os.makedirs(metrics_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = schema.validate(batch_df, collect_failure_cases=True)
-        if res.violations is not None:
+        if res.violations is not None and violations_format == "iceberg":
+            from .io.iceberg_meta import (
+                write_equality_deletes,
+                write_iceberg_sink,
+            )
+
+            if os.path.isdir(os.path.join(viol_dir, "metadata")):
+                # replayed batch: retire its previous rows first
+                write_equality_deletes(
+                    viol_dir, [{"batch_id": batch_id}], ["batch_id"]
+                )
+            write_iceberg_sink(
+                res.violations.withColumn("batch_id", F.lit(batch_id)),
+                viol_dir,
+            )
+        elif res.violations is not None:
             # overwrite per batch directory → replays are idempotent
             res.violations.write.mode("overwrite").parquet(
                 os.path.join(viol_dir, f"batch_id={batch_id}")

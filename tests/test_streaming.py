@@ -328,3 +328,57 @@ class TestChainedDedupPsi:
         assert len(out) >= 1
         assert sum(r["n_rows"] for r in out) == 200
         assert all(r["psi"] >= 0.0 for r in out)
+
+
+class TestIcebergViolationsStream:
+    def test_iceberg_sink_and_idempotent_replay(
+        self, spark, stream_source, tmp_path
+    ):
+        """violations_format='iceberg': batches append snapshots with a
+        batch_id column; a replay (fresh checkpoint, same batches)
+        equality-deletes its previous rows first — at-least-once
+        delivery never double-counts."""
+        from pandera_spark.io.iceberg_meta import read_iceberg
+
+        schema = DataFrameSchema(
+            {
+                "role": Column(
+                    "string",
+                    checks=Check.isin({"system", "user", "assistant", "tool"}),
+                ),
+            },
+            index_cols=["conv_id", "turn_idx"],
+            name="transcripts_stream",
+        )
+        out = str(tmp_path / "out")
+        q = st.validate_stream(
+            stream_source, schema, out,
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+            trigger_available_now=True,
+            violations_format="iceberg",
+        )
+        q.awaitTermination(120)
+        tdir = os.path.join(out, "violations")
+        v1 = read_iceberg(spark, tdir)
+        n1 = v1.count()
+        assert n1 > 0 and "batch_id" in v1.columns
+        assert any(r.failure_case == "operator" for r in v1.collect())
+        # replay everything with a FRESH checkpoint → same batch ids
+        # reprocessed; equality deletes keep the table at n1 rows
+        q2 = st.validate_stream(
+            stream_source, schema, out,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            trigger_available_now=True,
+            violations_format="iceberg",
+        )
+        q2.awaitTermination(120)
+        assert read_iceberg(spark, tdir).count() == n1
+
+    def test_bad_format_rejected(self, spark, stream_source, tmp_path):
+        with pytest.raises(ValueError, match="violations_format"):
+            st.validate_stream(
+                stream_source,
+                DataFrameSchema({"role": Column("string")}),
+                str(tmp_path / "o"),
+                violations_format="csv",
+            )
