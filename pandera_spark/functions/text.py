@@ -97,6 +97,50 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_line_fraction(col) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line —
+    the Gopher/C4-style repetition gate (Rae et al. 2021 §A1.1: docs
+    with high duplicate-line fractions are boilerplate/spam).  Pure
+    expressions: split on newlines, drop blank lines, compare distinct
+    vs total counts.  NULL text and line-less docs → 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.split(F.coalesce(c, F.lit("")), "\n"),
+        lambda x: F.trim(x) != "",
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n, 6)
+    )
+
+
+def dup_word_fraction(col) -> Column:
+    """Fraction of whitespace tokens that are repeats — high values mean
+    keyword-stuffing / repeated boilerplate.  Expression-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(
+        F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    n = F.size(words)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the repetition-gate columns (duplicate line/word
+    fractions) in one projection — compose with Checks, e.g.
+    ``Check.le(0.3)`` on dup_line_fraction as a corpus filter."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "dup_line_fraction": dup_line_fraction(c),
+            "dup_word_fraction": dup_word_fraction(c),
+        }
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite heuristic in [0,1]: long-enough, low punct/digit noise,
     reasonable stopword density (a proxy for natural prose)."""

@@ -516,6 +516,15 @@ def q_text_quality_documents(spark, sf_dir):
     )
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-style repetition gates (duplicate line/word fractions) per
+    document — expression-only Spark vs DuckDB list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_features(docs).select(
+        "doc_id", "dup_line_fraction", "dup_word_fraction"
+    )
+
+
 def q_quality_score_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.quality_score(docs).select("doc_id", "quality_score")
@@ -918,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_events": q_ttest_events,
         "token_stats_documents": q_token_stats_documents,
         "text_quality_documents": q_text_quality_documents,
+        "repetition_documents": q_repetition_documents,
         "quality_score_documents": q_quality_score_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1738,6 +1748,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         GROUP BY event_type
         ORDER BY event_type
+    """
+    d["repetition_documents"] = """
+        SELECT doc_id,
+               CASE WHEN len(nb_lines) <= 0 THEN 0.0
+                    ELSE ROUND(1.0 - len(list_distinct(nb_lines)) * 1.0
+                               / len(nb_lines), 6) END AS dup_line_fraction,
+               CASE WHEN len(nb_words) <= 0 THEN 0.0
+                    ELSE ROUND(1.0 - len(list_distinct(nb_words)) * 1.0
+                               / len(nb_words), 6) END AS dup_word_fraction
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(COALESCE(text, ''), chr(10)),
+                             x -> trim(x) <> '') AS nb_lines,
+                 list_filter(regexp_split_to_array(trim(COALESCE(text, '')),
+                                                   '\s+'),
+                             x -> x <> '') AS nb_words
+          FROM documents)
     """
     d["compact_roundtrip_lineitem"] = """
         SELECT l_returnflag,

@@ -646,3 +646,30 @@ class TestAdviceR4Regressions:
         df = multimodal.attach_media_metadata(df, "payload", "audio", "wav")
         out = multimodal.wav_metadata(df, "payload").collect()[0]
         assert out["media_meta"]["duration_ms"] is None
+
+
+class TestRepetitionFeatures:
+    """Gopher-style repetition gates (duplicate line/word fractions)."""
+
+    def test_fractions(self, spark):
+        from pandera_spark.functions import text
+
+        df = spark.createDataFrame(
+            [
+                ("a", "x\nx\nx\ny"),          # 4 lines, 2 distinct
+                ("b", "one two two two"),      # 4 words, 2 distinct
+                ("c", ""),                     # empty → 0.0
+                ("d", None),                   # null → 0.0
+                ("e", "u\n\n  \nv"),           # blanks dropped → 0.0
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            r.doc_id: (r.dup_line_fraction, r.dup_word_fraction)
+            for r in text.repetition_features(df).collect()
+        }
+        assert rows["a"][0] == 0.5
+        assert rows["b"][1] == 0.5
+        assert rows["c"] == (0.0, 0.0)
+        assert rows["d"] == (0.0, 0.0)
+        assert rows["e"][0] == 0.0
