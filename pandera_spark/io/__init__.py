@@ -22,6 +22,7 @@ from .iceberg_meta import (  # noqa: F401
     read_iceberg,
     read_table_meta,
     resolve_ref,
+    snapshot_history,
     tag_snapshot,
     write_equality_deletes,
     write_iceberg_sink,

@@ -1486,6 +1486,51 @@ def _snapshot_files(table_dir: str, location: str, snap: dict):
     return mlist, manifests, dfiles
 
 
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Driver-side lineage view of the snapshot log — one dict per
+    snapshot, oldest first: id, timestamp, operation, schema id,
+    added-file/row counts (from the manifest list's added_* fields,
+    no manifest opened), refs pointing at it, and whether it is
+    current.  The observability counterpart of the runner's manifest:
+    answers \"what changed when\" for audits without Spark."""
+    md = json.load(open(_metadata_path(table_dir)))
+    location = md.get("location", table_dir)
+    refs_by_sid: dict[int, list[str]] = {}
+    for name, r in (md.get("refs") or {}).items():
+        refs_by_sid.setdefault(r.get("snapshot-id"), []).append(name)
+    out = []
+    for s in sorted(
+        md.get("snapshots", []), key=lambda x: x.get("timestamp-ms", 0)
+    ):
+        added_files = added_rows = None
+        try:
+            mlist = _localize(s["manifest-list"], table_dir, location)
+            _, manifests = read_ocf(mlist)
+            mine = [
+                m
+                for m in manifests
+                if m.get("added_snapshot_id") == s["snapshot-id"]
+            ]
+            added_files = sum(m.get("added_files_count") or 0 for m in mine)
+            added_rows = sum(m.get("added_rows_count") or 0 for m in mine)
+        except (FileNotFoundError, OSError):
+            pass  # expired/vacuumed manifest list: counts unknown
+        out.append(
+            {
+                "snapshot_id": s.get("snapshot-id"),
+                "timestamp_ms": s.get("timestamp-ms"),
+                "operation": (s.get("summary") or {}).get("operation"),
+                "schema_id": s.get("schema-id"),
+                "added_files": added_files,
+                "added_rows": added_rows,
+                "refs": sorted(refs_by_sid.get(s.get("snapshot-id"), [])),
+                "is_current": s.get("snapshot-id")
+                == md.get("current-snapshot-id"),
+            }
+        )
+    return out
+
+
 def tag_snapshot(
     table_dir: str,
     name: str,

@@ -1831,3 +1831,36 @@ class TestSnapshotRefs:
         tag_snapshot(t, "x")
         with pytest.raises(ValueError, match="only one of"):
             read_table_meta(t, ref="x", snapshot_id=1)
+
+
+class TestSnapshotHistory:
+    def test_history_lineage(self, spark, tmp_path):
+        from pandera_spark.io.iceberg_meta import (
+            compact_table,
+            snapshot_history,
+            tag_snapshot,
+            write_equality_deletes,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "hist")
+        write_iceberg_sink(
+            spark.range(0, 10).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        tag_snapshot(t, "v0")
+        write_iceberg_sink(
+            spark.range(10, 14).selectExpr("id", "cast(id as double) AS v"), t
+        )
+        write_equality_deletes(t, [{"v": 3.0}], ["v"])
+        compact_table(spark, t, num_files=1)
+        h = snapshot_history(t)
+        assert [e["operation"] for e in h] == [
+            "append", "append", "delete", "replace",
+        ]
+        assert h[0]["added_rows"] == 10 and h[0]["refs"] == ["v0"]
+        assert h[1]["added_rows"] == 4
+        assert h[-1]["is_current"] and h[-1]["added_rows"] == 13
+        assert all(not e["is_current"] for e in h[:-1])
+        # timestamps are monotone oldest-first
+        ts = [e["timestamp_ms"] for e in h]
+        assert ts == sorted(ts)
