@@ -571,10 +571,15 @@ _CAT_CAP_WARNED: set = set()
 
 
 def _capped_counts_2samp(
-    baseline: DataFrame, candidate: DataFrame, col: str, max_categories: int
+    baseline: DataFrame, candidate: DataFrame, col: str, max_categories: int,
+    include_null: bool = False,
 ) -> tuple[dict, int, dict, int]:
-    """Per-side {category: count} + total non-null count, for BOTH
-    frames in ONE map-side-combined job (union + conditional sums).
+    """Per-side {category: count} + total count, for BOTH frames in ONE
+    map-side-combined job (union + conditional sums).
+    ``include_null=True`` keeps NULL as its own category (PSI semantics:
+    a surge of nulls IS distribution drift); False drops null rows
+    (chi-square homogeneity semantics, matching the pre-cap behavior of
+    each caller).
 
     When the cap trips, the top-``max_categories`` categories are picked
     by COMBINED count — one shared partition, so both sides are
@@ -589,8 +594,9 @@ def _capped_counts_2samp(
                 "__s__", F.lit(1)
             )
         )
-        .filter(F.col("__c__").isNotNull())
     )
+    if not include_null:
+        u = u.filter(F.col("__c__").isNotNull())
     rows = (
         u.groupBy("__c__")
         .agg(
@@ -640,7 +646,7 @@ def psi_categorical(
     both frames, capped at ``max_categories`` (shared top-K by combined
     count + per-side overflow bucket)."""
     c1, n1, c2, n2 = _capped_counts_2samp(
-        baseline, candidate, col, max_categories
+        baseline, candidate, col, max_categories, include_null=True
     )
     p = {c: v / max(n1, 1) for c, v in c1.items()}
     q = {c: v / max(n2, 1) for c, v in c2.items()}

@@ -441,7 +441,10 @@ def _murmur3_32(data: bytes, seed: int = 0) -> int:
 def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
     """Spec Appendix B serialization for bucket hashing: int/long/date/
     time/timestamp hash as the 8-byte little-endian long, strings as
-    UTF-8, binary as-is."""
+    UTF-8, binary as-is.  ISO strings for a temporal ``ice_type`` parse
+    to their ordinal first (a filter value like '2024-01-15' must hash
+    the days-from-epoch long the write path hashed, not ten UTF-8
+    bytes)."""
     if isinstance(value, bool):
         raise ValueError("bucket transform is not defined for booleans")
     # numpy integer scalars (what a pandas_udf Series yields for a
@@ -452,6 +455,27 @@ def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
             value = int(value)
         except TypeError:
             pass
+    # Arrow→pandas renders a NULLABLE int batch as float64: integral
+    # floats are those ints back; true fractional floats have no spec
+    # bucket serialization (float/double are not bucketable types)
+    if isinstance(value, float):
+        if value.is_integer():
+            value = int(value)
+        else:
+            raise ValueError(
+                "bucket transform is not defined for float/double values"
+            )
+    if isinstance(value, str) and ice_type in (
+        "date", "timestamp", "timestamptz",
+    ):
+        try:
+            value = (
+                datetime.date.fromisoformat(value)
+                if ice_type == "date"
+                else datetime.datetime.fromisoformat(value)
+            )
+        except ValueError:
+            pass  # not ISO: hash the string as given
     if isinstance(value, int):
         return struct.pack("<q", value)
     if isinstance(value, str):
@@ -460,8 +484,10 @@ def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
         return bytes(value)
     if isinstance(value, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        # integer micros: float total_seconds() loses the last µs at
+        # modern epochs (2^53 exhaustion) → wrong non-spec bucket
         return struct.pack(
-            "<q", int((value - epoch).total_seconds() * 1_000_000)
+            "<q", (value - epoch) // datetime.timedelta(microseconds=1)
         )
     if isinstance(value, datetime.date):
         return struct.pack("<q", (value - _EPOCH_DATE).days)
@@ -491,7 +517,9 @@ def _parse_transform(spec: str):
     )
     if m:
         return m.group(1), int(m.group(2)), m.group(3)
-    if re.match(r"^[A-Za-z0-9_.]+$", s):
+    if "(" not in s and ")" not in s:
+        # any call-free string is an identity column name — hyphens,
+        # spaces, unicode and all (they were valid before transforms)
         return "identity", None, s
     raise ValueError(
         f"unsupported partition transform spec {spec!r} — expected a "
@@ -527,13 +555,23 @@ def _py_transform(transform: str, param: Optional[int], v: Any,
     if transform == "identity":
         return v
     if transform == "bucket":
-        # an int (or digit string, e.g. a runner partition key) in
-        # [0, N) is taken as the bucket id itself — everything else
-        # hashes as a raw source value
-        if isinstance(v, str) and v.isdigit() and int(v) < param:
-            return int(v)
-        if isinstance(v, int) and not isinstance(v, bool) and 0 <= v < param:
-            return v
+        # unambiguous rule: an INT (or digit string, e.g. a runner
+        # partition key) is ALWAYS the bucket id — a raw int source
+        # value in [0, N) would be indistinguishable from an id and
+        # silently prune the wrong partition, so out-of-range ids
+        # raise instead of falling back to hashing.  Non-digit values
+        # (strings, dates, ISO timestamps) hash as raw source values;
+        # hash raw ints yourself with iceberg_bucket(value, N).
+        if isinstance(v, str) and v.isdigit():
+            v = int(v)
+        if isinstance(v, int) and not isinstance(v, bool):
+            if 0 <= v < param:
+                return v
+            raise ValueError(
+                f"bucket[{param}] filter: int {v} is not a bucket id in "
+                f"[0, {param}); hash raw source values with "
+                "iceberg_bucket(value, N)"
+            )
         return iceberg_bucket(v, param, source_type)
     if transform == "truncate":
         if isinstance(v, str):
@@ -649,16 +687,20 @@ def _transform_col_expr(transform: str, param: Optional[int], src: str,
             return F.substring(c, 1, param)
         return (c - F.pmod(c, F.lit(param))).cast(src_dtype)
     if transform == "bucket":
+        import pandas as pd
+
         n = param
+
+        def _bucket_series(s):
+            # pd.isna, not `is None`: Arrow renders nullable int
+            # batches as float64 with NaN (spec: bucket(null) = null)
+            return s.map(
+                lambda v: None if pd.isna(v) else iceberg_bucket(v, n)
+            ).astype("Int32")
+
         # explicit functionType: the module-wide `from __future__ import
         # annotations` turns type hints into strings pyspark cannot infer
-        _bucket_udf = F.pandas_udf(
-            lambda s: s.map(
-                lambda v: None if v is None else iceberg_bucket(v, n)
-            ).astype("Int32"),
-            "int",
-        )
-        return _bucket_udf(c)
+        return F.pandas_udf(_bucket_series, "int")(c)
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -748,10 +790,10 @@ def _part_match(
             transform, param, _src, src_t = spec
             if got is None and v is None:
                 continue
-            try:
-                want = _py_transform(transform, param, v, src_t)
-            except ValueError:
-                return False
+            # a filter value the transform cannot canonicalize raises
+            # (ValueError) rather than silently matching nothing — the
+            # same loud-refusal discipline as zero-match stats
+            want = _py_transform(transform, param, v, src_t)
             if got != want:
                 return False
             continue
@@ -928,19 +970,32 @@ def _footer_name_to_fid(path: str) -> Optional[dict[str, int]]:
     """name → field id from the parquet footer's PARQUET:field_id keys
     (written by Iceberg-aware writers).  None unless EVERY top-level
     field carries an id — partial ids cannot support projection."""
+    era = _footer_era(path)
+    return era[0] if era is not None else None
+
+
+def _footer_era(path: str) -> Optional[tuple]:
+    """(name → field id, hashable era key) from the parquet footer.
+    The era key includes each field's PHYSICAL type: two eras that
+    differ only by a type promotion carry identical {name: id} maps,
+    and grouping them into one scan would fail on whichever era the
+    inferred schema doesn't match (same reason the metadata path keys
+    groups by schema-id)."""
     import pyarrow.parquet as pq
 
     try:
         sch = pq.ParquetFile(path).schema_arrow
     except Exception:
         return None
-    out: dict[str, int] = {}
+    fids: dict[str, int] = {}
+    key = []
     for f in sch:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is None:
             return None
-        out[f.name] = int(fid)
-    return out
+        fids[f.name] = int(fid)
+        key.append((f.name, int(fid), str(f.type)))
+    return fids, tuple(key)
 
 
 def _file_projection(meta: IcebergMeta, dfile: dict, path: str) -> tuple:
@@ -964,9 +1019,9 @@ def _file_projection(meta: IcebergMeta, dfile: dict, path: str) -> tuple:
         if era is not None:
             era_key = sid
     if era is None:
-        era = _footer_name_to_fid(path)
-        if era is not None:
-            era_key = tuple(sorted(era.items()))
+        fe = _footer_era(path)
+        if fe is not None:
+            era, era_key = fe
     if era is None:
         return "legacy", tuple(f["name"] for f in meta.fields.values())
     by_fid = {fid: n for n, fid in era.items()}
@@ -1951,6 +2006,13 @@ def write_iceberg_table(
     if partition_by:
         t, prm, psrc = _parse_transform(partition_by)
         pname = _partition_field_name(t, prm, psrc)
+        # appends must record values under the spec's RECORDED field
+        # name: partition-spec fields are immutable, so after the
+        # source column is renamed (evolve_schema) the recomputed
+        # name ('event_ts') diverges from the spec's ('ts') and
+        # partition-filtered reads would silently miss the new files
+        if existing is not None and spec_fields:
+            pname = spec_fields[0]["name"]
         if t == "identity":
             avro_t = avro_part_type.get(types.get(psrc), "string")
         elif t == "truncate":

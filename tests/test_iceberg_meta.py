@@ -1671,10 +1671,15 @@ class TestPartitionTransforms:
         assert {
             f["partition"]["id_bucket"] for f in meta.data_files
         } <= {0, 1, 2, 3}
-        got = read_iceberg(spark, t, partition_filter={"id_bucket": 34})
+        # ints are ALWAYS bucket ids: raw int source values must be
+        # pre-hashed (in-range raw values would be ambiguous)
+        b34 = iceberg_bucket(34, 4)
+        got = read_iceberg(spark, t, partition_filter={"id_bucket": b34})
         rows = got.collect()
         assert any(r.id == 34 for r in rows)
-        assert all(iceberg_bucket(r.id, 4) == iceberg_bucket(34, 4) for r in rows)
+        assert all(iceberg_bucket(r.id, 4) == b34 for r in rows)
+        with pytest.raises(ValueError, match="not a bucket id"):
+            read_iceberg(spark, t, partition_filter={"id_bucket": 34})
 
     def test_bad_transform_spec_rejected(self, spark, tmp_path):
         from pandera_spark.io.iceberg_meta import write_iceberg_sink
@@ -1864,3 +1869,118 @@ class TestSnapshotHistory:
         # timestamps are monotone oldest-first
         ts = [e["timestamp_ms"] for e in h]
         assert ts == sorted(ts)
+
+
+class TestReviewRegressions5:
+    """Round-5 self-review fixes."""
+
+    def test_append_after_partition_source_rename(self, spark, tmp_path):
+        """Partition-spec field names are immutable: after the source
+        column is renamed, appends must record values under the spec's
+        RECORDED name or partition-filtered reads silently miss the new
+        files."""
+        from pandera_spark.io.iceberg_meta import (
+            evolve_schema,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "ren")
+        write_iceberg_sink(
+            spark.createDataFrame(
+                [(1, 0), (2, 1)], "id long, p int"
+            ),
+            t, partition_by="p",
+        )
+        evolve_schema(t, renames={"p": "bucket_no"})
+        write_iceberg_sink(
+            spark.createDataFrame([(3, 0)], "id long, bucket_no int"), t
+        )
+        meta = read_table_meta(t)
+        # every file records its value under the spec field name 'p'
+        assert all(
+            f["partition"].get("p") is not None for f in meta.data_files
+        )
+        got = read_iceberg(spark, t, partition_filter={"p": 0})
+        assert sorted(r.id for r in got.collect()) == [1, 3]
+
+    def test_bucket_with_nulls_in_source(self, spark, tmp_path):
+        """spec: bucket(null) = null — a nullable source column must not
+        crash the pandas_udf (Arrow renders nullable ints as float64)."""
+        from pandera_spark.io.iceberg_meta import write_iceberg_sink
+
+        t = str(tmp_path / "bn")
+        write_iceberg_sink(
+            spark.createDataFrame(
+                [(1, 10), (2, None), (3, 30)], "id long, k long"
+            ),
+            t, partition_by="bucket(4, k)",
+        )
+        meta = read_table_meta(t)
+        vals = {f["partition"]["k_bucket"] for f in meta.data_files}
+        assert None in vals  # the null row landed in the null partition
+        assert read_iceberg(spark, t).count() == 3
+
+    def test_bucket_date_string_filter(self, spark, tmp_path):
+        """An ISO date filter on a bucket-partitioned DATE column hashes
+        the days ordinal (spec serialization), not the string bytes."""
+        import datetime as dt
+
+        from pandera_spark.io.iceberg_meta import (
+            iceberg_bucket,
+            write_iceberg_sink,
+        )
+
+        t = str(tmp_path / "bd")
+        write_iceberg_sink(
+            spark.sql(
+                "SELECT id, date_add(date'2024-01-01', int(id)) AS d "
+                "FROM range(20)"
+            ),
+            t, partition_by="bucket(4, d)",
+        )
+        want = iceberg_bucket(dt.date(2024, 1, 15), 4)
+        got = read_iceberg(
+            spark, t, partition_filter={"d_bucket": "2024-01-15"}
+        ).collect()
+        assert any(str(r.d) == "2024-01-15" for r in got)
+        assert all(iceberg_bucket(r.d, 4) == want for r in got)
+
+    def test_timestamp_bucket_exact_micros(self):
+        """Integer micros arithmetic: float total_seconds() drops the
+        last microsecond at modern epochs."""
+        import datetime as dt
+
+        from pandera_spark.io.iceberg_meta import _bucket_bytes
+        import struct
+
+        v = dt.datetime(2023, 11, 14, 22, 13, 20, 1)
+        (micros,) = struct.unpack("<q", _bucket_bytes(v, None))
+        assert micros % 1_000_000 == 1  # the 1µs survives
+
+    def test_hyphenated_identity_partition_col(self, spark, tmp_path):
+        """Identity column names with characters outside [A-Za-z0-9_.]
+        keep working through the transform parser."""
+        from pandera_spark.io.iceberg_meta import _parse_transform
+
+        assert _parse_transform("event-date") == (
+            "identity", None, "event-date",
+        )
+        assert _parse_transform("kolonn åäö") == (
+            "identity", None, "kolonn åäö",
+        )
+
+    def test_psi_counts_null_as_category(self, spark):
+        """A null surge IS drift: PSI keeps NULL as a category (pre-cap
+        behavior), chi2 drops nulls (its pre-cap behavior)."""
+        from pandera_spark.backend.drift import psi_categorical
+
+        base = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 50, "role string"
+        )
+        cand = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 30 + [(None,)] * 40, "role string"
+        )
+        res = psi_categorical(base, cand, "role")
+        assert res.psi > 0.5  # 40% nulls out of nowhere = big drift
+        buckets = {b["bucket"] for b in res.per_bucket}
+        assert None in buckets
