@@ -128,6 +128,74 @@ def dup_word_fraction(col) -> Column:
     )
 
 
+def top_2gram_char_fraction(
+    df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's remaining repetition gate: the fraction of a document's
+    characters covered by its most frequent word 2-gram (Rae et al.
+    2021 §A1.1 'top n-gram character fraction') — boilerplate/template
+    spam shows one dominant 2-gram.
+
+    Distributed shape (100-TB safe): explode 2-grams → one map-side-
+    combinable groupBy on (doc_id, gram) → per-doc max by (count,
+    gram chars) — no per-row Python, no driver collection.  The
+    denominator is the normalized text length (words joined by single
+    spaces); docs with < 2 words score 0.0.  Returns (doc_id_col,
+    top_2gram_char_fraction)."""
+    c = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(doc_id_col), words.alias("__w__"))
+    sz = F.size("__w__")
+    grams = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("__w__", 1, sz - 1),
+            F.slice("__w__", 2, sz - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    denom = base.select(
+        F.col(doc_id_col),
+        F.length(F.array_join("__w__", " ")).alias("__chars__"),
+    )
+    top = (
+        base.select(F.col(doc_id_col), F.explode(grams).alias("__g__"))
+        .groupBy(doc_id_col, "__g__")
+        .count()
+        .groupBy(doc_id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("count").alias("n"),
+                    F.length("__g__").alias("glen"),
+                )
+            ).alias("__m__")
+        )
+    )
+    return (
+        denom.join(top, doc_id_col, "left")
+        .select(
+            F.col(doc_id_col),
+            F.when(
+                F.col("__m__").isNull() | (F.col("__chars__") <= 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.col("__m__.n")
+                    * F.col("__m__.glen")
+                    / F.col("__chars__"),
+                    6,
+                )
+            )
+            .alias("top_2gram_char_fraction"),
+        )
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the repetition-gate columns (duplicate line/word
     fractions) in one projection — compose with Checks, e.g.

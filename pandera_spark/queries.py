@@ -525,6 +525,16 @@ def q_repetition_documents(spark, sf_dir):
     )
 
 
+def q_top2gram_documents(spark, sf_dir):
+    """Gopher top-2-gram char fraction per document: explode word
+    2-grams -> map-side-combinable (doc_id, gram) count -> per-doc max
+    by (count, gram chars); fraction of normalized-text characters the
+    winner covers.  Oracle: the same via DuckDB unnest + a ROW_NUMBER
+    pick with the identical (count desc, length desc) tie rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.top_2gram_char_fraction(docs).orderBy("doc_id")
+
+
 def q_quality_score_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.quality_score(docs).select("doc_id", "quality_score")
@@ -928,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "text_quality_documents": q_text_quality_documents,
         "repetition_documents": q_repetition_documents,
+        "top2gram_documents": q_top2gram_documents,
         "quality_score_documents": q_quality_score_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1765,6 +1776,30 @@ def oracle_sql() -> dict[str, str]:
                                                    '\s+'),
                              x -> x <> '') AS nb_words
           FROM documents)
+    """
+    d["top2gram_documents"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(COALESCE(text, '')),
+                                                   '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        cnt AS (
+          SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram),
+        top AS (
+          SELECT doc_id, n, LENGTH(gram) AS glen,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, LENGTH(gram) DESC) AS rk
+          FROM cnt)
+        SELECT w.doc_id,
+               COALESCE(ROUND(top.n * top.glen * 1.0
+                              / NULLIF(LENGTH(array_to_string(w.ws, ' ')), 0),
+                              6), 0.0) AS top_2gram_char_fraction
+        FROM w LEFT JOIN top ON top.doc_id = w.doc_id AND top.rk = 1
+        ORDER BY w.doc_id
     """
     d["compact_roundtrip_lineitem"] = """
         SELECT l_returnflag,

@@ -673,3 +673,23 @@ class TestRepetitionFeatures:
         assert rows["c"] == (0.0, 0.0)
         assert rows["d"] == (0.0, 0.0)
         assert rows["e"][0] == 0.0
+
+    def test_top_2gram_char_fraction(self, spark):
+        from pandera_spark.functions import text
+
+        df = spark.createDataFrame(
+            [
+                ("a", "go stop go stop go"),   # 'go stop' x2 of 4 grams
+                ("b", "one"),                  # < 2 words → 0.0
+                ("c", None),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            r.doc_id: r.top_2gram_char_fraction
+            for r in text.top_2gram_char_fraction(df).collect()
+        }
+        # normalized text 'go stop go stop go' = 18 chars; top gram
+        # 'go stop' (7 chars) occurs twice -> 14/18
+        assert rows["a"] == round(14 / 18, 6)
+        assert rows["b"] == 0.0 and rows["c"] == 0.0
