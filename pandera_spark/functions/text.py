@@ -136,12 +136,15 @@ def top_2gram_char_fraction(
     2021 §A1.1 'top n-gram character fraction') — boilerplate/template
     spam shows one dominant 2-gram.
 
-    Distributed shape (100-TB safe): explode 2-grams → one map-side-
-    combinable groupBy on (doc_id, gram) → per-doc max by (count,
-    gram chars) — no per-row Python, no driver collection.  The
-    denominator is the normalized text length (words joined by single
-    spaces); docs with < 2 words score 0.0.  Returns (doc_id_col,
-    top_2gram_char_fraction)."""
+    Distributed shape (100-TB safe): ONE corpus scan — (doc_id, chars,
+    explode_outer(2-grams)) in a single projection (explode_outer keeps
+    <2-word docs as a null-gram row, so nothing joins back) → one
+    map-side-combinable groupBy on (doc_id, gram) → per-doc max by
+    (count, gram chars) — no per-row Python, no driver collection, no
+    join.  The denominator is the normalized text length (words joined
+    by single spaces); docs with < 2 words score 0.0; overlapping
+    repeats ('go go go') are clamped to 1.0 so the column honors a
+    [0, 1] contract.  Returns (doc_id_col, top_2gram_char_fraction)."""
     c = F.col(text_col)
     words = F.filter(
         F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
@@ -157,42 +160,49 @@ def top_2gram_char_fraction(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    denom = base.select(
+    ex = base.select(
         F.col(doc_id_col),
         F.length(F.array_join("__w__", " ")).alias("__chars__"),
+        F.explode_outer(grams).alias("__g__"),
     )
     top = (
-        base.select(F.col(doc_id_col), F.explode(grams).alias("__g__"))
-        .groupBy(doc_id_col, "__g__")
-        .count()
+        ex.groupBy(doc_id_col, "__g__")
+        .agg(
+            F.count("__g__").alias("n"),  # count() skips the null gram
+            F.first("__chars__").alias("__chars__"),
+        )
         .groupBy(doc_id_col)
         .agg(
             F.max(
-                F.struct(
-                    F.col("count").alias("n"),
-                    F.length("__g__").alias("glen"),
+                F.when(
+                    F.col("__g__").isNotNull(),
+                    F.struct(
+                        F.col("n").alias("n"),
+                        F.length("__g__").alias("glen"),
+                    ),
                 )
-            ).alias("__m__")
+            ).alias("__m__"),
+            F.first("__chars__").alias("__chars__"),
         )
     )
-    return (
-        denom.join(top, doc_id_col, "left")
-        .select(
-            F.col(doc_id_col),
-            F.when(
-                F.col("__m__").isNull() | (F.col("__chars__") <= 0),
-                F.lit(0.0),
-            )
-            .otherwise(
+    return top.select(
+        F.col(doc_id_col),
+        F.when(
+            F.col("__m__").isNull() | (F.col("__chars__") <= 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.least(
+                F.lit(1.0),
                 F.round(
                     F.col("__m__.n")
                     * F.col("__m__.glen")
                     / F.col("__chars__"),
                     6,
-                )
+                ),
             )
-            .alias("top_2gram_char_fraction"),
         )
+        .alias("top_2gram_char_fraction"),
     )
 
 

@@ -456,14 +456,20 @@ def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
         except TypeError:
             pass
     # Arrow→pandas renders a NULLABLE int batch as float64: integral
-    # floats are those ints back; true fractional floats have no spec
-    # bucket serialization (float/double are not bucketable types)
+    # floats are those ints back — but only below 2^53, where float64
+    # is still exact (a snowflake-style id above that would hash a
+    # silently-rounded value and mis-partition).  The sink's bucket udf
+    # avoids this entirely by routing int sources through strings; this
+    # guard covers direct python callers.  True fractional floats have
+    # no spec bucket serialization.
     if isinstance(value, float):
-        if value.is_integer():
+        if value.is_integer() and abs(value) < 2**53:
             value = int(value)
         else:
             raise ValueError(
-                "bucket transform is not defined for float/double values"
+                "bucket transform is not defined for float/double values "
+                "(integral floats above 2^53 are not exactly "
+                "representable — pass the int itself)"
             )
     if isinstance(value, str) and ice_type in (
         "date", "timestamp", "timestamptz",
@@ -483,7 +489,16 @@ def _bucket_bytes(value: Any, ice_type: Optional[str]) -> bytes:
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
     if isinstance(value, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        # tz-aware values normalize to UTC (a '+02:00' filter string
+        # must hash the same UTC micros the write path hashed); naive
+        # values are taken as UTC, matching the write path
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc)
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
         # integer micros: float total_seconds() loses the last µs at
         # modern epochs (2^53 exhaustion) → wrong non-spec bucket
         return struct.pack(
@@ -505,9 +520,10 @@ def iceberg_bucket(value: Any, n: int, ice_type: Optional[str] = None) -> Option
 
 def _parse_transform(spec: str):
     """'day(ts)' / 'bucket(16, conv_id)' / 'truncate(8, c)' / bare
-    column name → (transform, param, source_col).  Also accepts the
-    metadata-file forms 'day' + source-id (handled by the caller) and
-    'bucket[16]' / 'truncate[8]'."""
+    column name → (transform, param, source_col).  Metadata-file
+    transform strings ('bucket[16]', bare 'day' with a source-id) are
+    parsed by _parse_meta_transform, not here — the bracketed forms are
+    rejected loudly below so a typo can't become an identity column."""
     s = spec.strip()
     m = re.match(r"^(year|month|day|hour)\s*\(\s*([A-Za-z0-9_.]+)\s*\)$", s)
     if m:
@@ -517,9 +533,18 @@ def _parse_transform(spec: str):
     )
     if m:
         return m.group(1), int(m.group(2)), m.group(3)
+    if re.match(r"^(year|month|day|hour|bucket|truncate)\s*[\[(]", s):
+        # looks like a transform (incl. the metadata-file 'bucket[16]'
+        # form or a malformed call) — reject loudly rather than
+        # treating it as a strange identity column name
+        raise ValueError(
+            f"unsupported partition transform spec {spec!r} — expected "
+            "a column name, day/month/year/hour(col), bucket(N, col) "
+            "or truncate(W, col)"
+        )
     if "(" not in s and ")" not in s:
-        # any call-free string is an identity column name — hyphens,
-        # spaces, unicode and all (they were valid before transforms)
+        # any other call-free string is an identity column name —
+        # hyphens, spaces, unicode and all (valid before transforms)
         return "identity", None, s
     raise ValueError(
         f"unsupported partition transform spec {spec!r} — expected a "
@@ -690,17 +715,24 @@ def _transform_col_expr(transform: str, param: Optional[int], src: str,
         import pandas as pd
 
         n = param
+        int_src = src_dtype in ("int", "bigint", "smallint", "tinyint", "long")
 
         def _bucket_series(s):
             # pd.isna, not `is None`: Arrow renders nullable int
-            # batches as float64 with NaN (spec: bucket(null) = null)
-            return s.map(
-                lambda v: None if pd.isna(v) else iceberg_bucket(v, n)
-            ).astype("Int32")
+            # batches as float64 with NaN (spec: bucket(null) = null).
+            # Int sources arrive as digit STRINGS (cast below) so ids
+            # above 2^53 never round through float64.
+            def one(v):
+                if pd.isna(v):
+                    return None
+                return iceberg_bucket(int(v) if int_src else v, n)
+
+            return s.map(one).astype("Int32")
 
         # explicit functionType: the module-wide `from __future__ import
         # annotations` turns type hints into strings pyspark cannot infer
-        return F.pandas_udf(_bucket_series, "int")(c)
+        src_col = c.cast("string") if int_src else c
+        return F.pandas_udf(_bucket_series, "int")(src_col)
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -767,6 +799,26 @@ def _part_render(v: Any, ice_t: Optional[str] = None) -> Optional[str]:
                 + datetime.timedelta(microseconds=v)
             )
     return str(v)
+
+
+def _canon_part_filter(
+    flt: Optional[dict], part_spec: Optional[dict]
+) -> Optional[dict]:
+    """Canonicalize a partition filter ONCE before the per-file loop:
+    _py_transform is loop-invariant (and for bucket filters includes a
+    murmur3 hash), so planning a 100k-file table must not recompute it
+    per file — and an invalid value raises its loud ValueError up
+    front, before any file is touched.  Idempotent: _part_match's
+    per-file call on a canonical value is a plain int/str passthrough."""
+    if not flt or not part_spec:
+        return flt
+    out = dict(flt)
+    for k, v in flt.items():
+        spec = part_spec.get(k)
+        if spec is not None and spec[0] != "identity" and v is not None:
+            transform, param, _src, src_t = spec
+            out[k] = _py_transform(transform, param, v, src_t)
+    return out
 
 
 def _part_match(
@@ -840,6 +892,9 @@ def iceberg_meta_stats(
     name_to = {f["name"]: (fid, f) for fid, f in meta.fields.items()}
     wanted = list(columns) if columns is not None else list(name_to)
     if partition_filter:
+        partition_filter = _canon_part_filter(
+            partition_filter, meta.part_spec
+        )
         all_files = meta.data_files
         meta.data_files = [
             df
@@ -936,6 +991,7 @@ def plan_files(
             "files: a raw file list would include deleted rows — read "
             "through read_iceberg (merge-on-read) instead"
         )
+    partition_filter = _canon_part_filter(partition_filter, meta.part_spec)
     return [
         _localize(dfile["file_path"], table_dir, meta.location)
         for dfile in meta.data_files
@@ -1118,6 +1174,7 @@ def read_iceberg(
     meta = read_table_meta(
         table_dir, snapshot_id=snapshot_id, as_of_ms=as_of_ms, ref=ref
     )
+    partition_filter = _canon_part_filter(partition_filter, meta.part_spec)
     dfiles = [
         dfile
         for dfile in meta.data_files

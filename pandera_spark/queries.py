@@ -1795,9 +1795,9 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY n DESC, LENGTH(gram) DESC) AS rk
           FROM cnt)
         SELECT w.doc_id,
-               COALESCE(ROUND(top.n * top.glen * 1.0
+               COALESCE(LEAST(1.0, ROUND(top.n * top.glen * 1.0
                               / NULLIF(LENGTH(array_to_string(w.ws, ' ')), 0),
-                              6), 0.0) AS top_2gram_char_fraction
+                              6)), 0.0) AS top_2gram_char_fraction
         FROM w LEFT JOIN top ON top.doc_id = w.doc_id AND top.rk = 1
         ORDER BY w.doc_id
     """

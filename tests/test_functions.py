@@ -693,3 +693,16 @@ class TestRepetitionFeatures:
         # 'go stop' (7 chars) occurs twice -> 14/18
         assert rows["a"] == round(14 / 18, 6)
         assert rows["b"] == 0.0 and rows["c"] == 0.0
+
+    def test_top_2gram_clamped_on_overlap(self, spark):
+        """Overlapping repeats ('go go go': top gram covers 10 of 8
+        normalized chars) clamp to 1.0 — the column honors [0, 1]."""
+        from pandera_spark.functions import text
+
+        df = spark.createDataFrame(
+            [("a", "go go go")], "doc_id string, text string"
+        )
+        assert (
+            text.top_2gram_char_fraction(df).collect()[0]
+            .top_2gram_char_fraction == 1.0
+        )
