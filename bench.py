@@ -263,6 +263,31 @@ def bench_text_quality(spark):
     return quality_score(docs).agg(F.sum("quality_score")).collect()[0][0]
 
 
+def bench_corpus_hygiene(spark):
+    """Corpus-hygiene pass at transcript scale: PII detect+redact and the
+    deterministic selection predicates over every turn text (one fused
+    scan projection, no shuffle — the millions-of-rows path), plus
+    5-gram benchmark decontamination over the documents table (hashed
+    grams, hits-only map-side-combined aggregation)."""
+    from pandera_spark.functions import decontam, pii, selection
+
+    turns = spark.read.parquet(ensure_transcripts(spark))
+    hygiene = pii.redact_pii(pii.pii_features(turns), "text", out_col="redacted")
+    hygiene = hygiene.withColumn(
+        "split", selection.split_col("conv_id", 0.1, seed="b")
+    ).filter(selection.sample_predicate("conv_id", 0.9, seed="keep"))
+    hygiene.agg(
+        F.sum("n_pii_total"), F.sum(F.length("redacted")),
+        F.count(F.when(F.col("split") == "test", 1)),
+    ).collect()
+    docs = _t(spark, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rep = decontam.ngram_contamination(docs, bench, n=5, hash_grams=True)
+    return rep.agg(
+        F.sum("n_contaminated"), F.sum((F.col("contamination_ratio") > 0).cast("long"))
+    ).collect()[0][0]
+
+
 def bench_iceberg_transcripts(spark):
     """The north rule's shape for real: the transcript table wrapped as
     an Iceberg v2 table (pure-Python metadata layer), the full
@@ -549,6 +574,7 @@ WORKLOADS = {
     "ann_topk": bench_ann,
     "drift_ks_psi": bench_drift,
     "text_quality": bench_text_quality,
+    "corpus_hygiene": bench_corpus_hygiene,
     "streaming_pipeline": bench_streaming_pipeline,
     "iceberg_transcripts": bench_iceberg_transcripts,
     "iceberg_deletes": bench_iceberg_deletes,

@@ -807,3 +807,118 @@ def one_sample_ttest(df: DataFrame, col: str, popmean: float) -> TTestResult:
     n, m, sd = row["n"], row["mean"], row["sd"] or 0.0
     t = (m - popmean) / (sd / math.sqrt(n)) if sd > 0 else 0.0
     return TTestResult(t, student_t_two_sided(t, n - 1), n - 1, m, None, n, None)
+
+
+# ---------------------------------------------------------------------- #
+# additional divergences (Hellinger / total variation / KL / Cramér's V)
+# — same two physical plans as PSI/JS: fixed-edges → one conditional-sum
+# aggregate per frame; no edges → the shared tagged-union binned
+# histogram (one min/max agg + one O(bins) shuffle).
+# ---------------------------------------------------------------------- #
+
+
+def _shares_pair(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str],
+    bins: int,
+    edges: Optional[Sequence[float]],
+) -> tuple[list[float], list[float], int, int, str]:
+    """(p, q, n1, n2, method) under the same mode split js_divergence
+    uses, so every density-based divergence sees identical bucketing."""
+    col2 = col2 or col1
+    if edges is not None:
+        return (
+            _bucket_shares(df1, col1, edges),
+            _bucket_shares(df2, col2, edges),
+            -1,
+            -1,
+            "edges",
+        )
+    rows, n1, n2 = _binned_hist2(df1, col1, df2, col2, bins)
+    if not n1 or not n2:
+        return [], [], n1, n2, "binned"
+    p = [(r["na"] or 0) / n1 for r in rows]
+    q = [(r["nb"] or 0) / n2 for r in rows]
+    return p, q, n1, n2, "binned"
+
+
+def hellinger_distance(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    bins: int = 64,
+    edges: Optional[Sequence[float]] = None,
+) -> DivergenceResult:
+    """Hellinger distance H ∈ [0, 1] between binned densities:
+    H² = 1 − Σ √(pᵢ·qᵢ).  Like JS it is a DENSITY comparison — keep bins
+    coarse (the js_divergence docstring's finite-sample argument applies
+    verbatim)."""
+    p, q, n1, n2, method = _shares_pair(df1, col1, df2, col2, bins, edges)
+    if not p:
+        return DivergenceResult(0.0, n1, n2, method)
+    bc = sum(math.sqrt(pi * qi) for pi, qi in zip(p, q))
+    return DivergenceResult(math.sqrt(max(1.0 - bc, 0.0)), n1, n2, method)
+
+
+def total_variation(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    bins: int = 64,
+    edges: Optional[Sequence[float]] = None,
+) -> DivergenceResult:
+    """Total variation distance ½·Σ|pᵢ−qᵢ| ∈ [0, 1] over the shared
+    buckets — the bluntest, most interpretable drift number (maximum
+    probability-mass disagreement over any event)."""
+    p, q, n1, n2, method = _shares_pair(df1, col1, df2, col2, bins, edges)
+    if not p:
+        return DivergenceResult(0.0, n1, n2, method)
+    tv = 0.5 * sum(abs(pi - qi) for pi, qi in zip(p, q))
+    return DivergenceResult(tv, n1, n2, method)
+
+
+def kl_divergence(
+    df1: DataFrame,
+    col1: str,
+    df2: DataFrame,
+    col2: Optional[str] = None,
+    bins: int = 64,
+    edges: Optional[Sequence[float]] = None,
+    eps: float = 1e-4,
+) -> DivergenceResult:
+    """KL(p‖q) over the shared buckets with the PSI-style ``eps`` floor on
+    both densities (KL is infinite wherever q=0<p; the floor keeps the
+    estimate finite and matches psi_numeric's smoothing so
+    PSI = KL(p‖q) + KL(q‖p) holds bucket-for-bucket)."""
+    p, q, n1, n2, method = _shares_pair(df1, col1, df2, col2, bins, edges)
+    if not p:
+        return DivergenceResult(0.0, n1, n2, method)
+    kl = sum(
+        max(pi, eps) * math.log(max(pi, eps) / max(qi, eps))
+        for pi, qi in zip(p, q)
+    )
+    return DivergenceResult(max(kl, 0.0), n1, n2, method)
+
+
+def cramers_v(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    col: str,
+    max_categories: int = MAX_DRIFT_CATEGORIES,
+) -> DivergenceResult:
+    """Cramér's V ∈ [0, 1] for the 2×k frame-membership × category table:
+    V = √(X² / (N · min(r−1, k−1))); with r=2 rows the denominator is
+    N·1, so V = √(X²/N).  Reuses the chi-square job (ONE capped
+    map-side-combined groupBy for both frames) — an effect-size companion
+    to chi2_2samp_categorical's p-value, which saturates at 0 on large N
+    while V stays comparable across scales."""
+    res = chi2_2samp_categorical(baseline, candidate, col, max_categories)
+    n = (res.n1 or 0) + (res.n2 or 0)
+    if n == 0 or res.dof < 1:
+        return DivergenceResult(0.0, res.n1, res.n2, "categorical")
+    v = math.sqrt(res.statistic / n)
+    return DivergenceResult(min(v, 1.0), res.n1, res.n2, "categorical")

@@ -1,1 +1,9 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    decontam,
+    dedup,
+    multimodal,
+    pii,
+    selection,
+    similarity,
+    text,
+)

@@ -1,0 +1,139 @@
+"""Benchmark decontamination: word n-gram overlap between a training
+corpus and a held-out evaluation/benchmark set.
+
+The standard pretraining hygiene pass (GPT-3 appendix C, PaLM, Llama:
+"13-gram decontamination") removes training documents that share long
+word n-grams with any benchmark prompt.  The engine expresses it as:
+
+1. benchmark side: explode to distinct n-grams (small — benchmark sets
+   are MBs, so after ``.distinct()`` AQE broadcasts the join side);
+2. corpus side: per-doc distinct grams via ``array_distinct`` INSIDE the
+   projection (JVM-side, per-row — no dedup shuffle), the per-doc total
+   ``size(...)`` carried through an ``explode_outer`` (gram-less docs
+   keep their row);
+3. exploded grams left-join the (broadcast) benchmark set and a
+   groupBy(doc) counts hits — all in the SAME stage as the scan, so the
+   partial aggregation collapses each doc's grams to one row per
+   partition BEFORE the shuffle (explode preserves row locality: a doc's
+   grams never span partitions).
+
+Shuffle budget at 100 TB: the corpus' n-grams never cross the network —
+they are born, deduped, joined and pre-aggregated inside one scan stage;
+the only corpus-sized shuffle carries ONE combined row per document.
+The benchmark's own distinct pass shuffles MBs.  There is no second pass
+and no join back.  Pass ``hash_grams=True`` to compare 8-byte xxhash64
+values instead of n-word strings (identical verdicts modulo 64-bit
+collisions; the oracle pairs with the string path).
+
+Tokenization is deliberately the same rule everywhere in the package
+(lowercase, split on ``\\s+``, drop empties) so fingerprints, MinHash
+shingles and contamination grams agree on word boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(col) -> Column:
+    """Lowercased whitespace tokens with empties removed (NULL → [])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+
+
+def word_ngrams(col, n: int) -> Column:
+    """Array of space-joined word ``n``-grams (docs shorter than ``n``
+    words → empty array).  Pure expressions: sequence + slice +
+    concat_ws; the CASE guard keeps ``sequence``'s descending-range
+    behaviour (start > stop steps by -1) from fabricating grams."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = words(col)
+    k = F.size(w) - F.lit(n) + F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document contamination report against a benchmark set.
+
+    Returns one row per corpus document: ``id_col``,
+    ``n_grams`` (distinct n-grams in the doc), ``n_contaminated``
+    (of those, how many appear anywhere in the benchmark) and
+    ``contamination_ratio`` (0.0 for docs shorter than ``n`` words).
+    Filter ``contamination_ratio > 0`` (GPT-3 style: any hit) or a
+    looser threshold downstream.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(benchmark_text_col, n)).alias("gram")
+        ).distinct()
+    )
+    exploded = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, n)).alias("__grams__"),
+    ).select(
+        id_col,
+        F.size("__grams__").alias("__n_grams__"),
+        F.explode_outer("__grams__").alias("gram"),
+    )
+    if hash_grams:
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+        # xxhash64(NULL) is the seed constant, not NULL — keep gram-less
+        # rows NULL so they can never match a benchmark hash
+        exploded = exploded.withColumn(
+            "gram", F.when(F.col("gram").isNotNull(), F.xxhash64("gram"))
+        )
+    joined = exploded.join(
+        bench_grams.withColumn("__hit__", F.lit(1)), on="gram", how="left"
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.max("__n_grams__").alias("n_grams"),
+        F.coalesce(F.sum("__hit__"), F.lit(0)).alias("n_contaminated"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_ratio"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str = "text",
+    max_ratio: float = 0.0,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Corpus minus contaminated documents (contamination_ratio >
+    ``max_ratio``): the report join-back keeps every original column.
+    Defaults to the hashed-gram shuffle — the scale path."""
+    report = ngram_contamination(
+        corpus, benchmark, n, id_col, text_col, benchmark_text_col, hash_grams
+    )
+    keep = report.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
+    return corpus.join(keep, on=id_col, how="left_semi")

@@ -1,0 +1,124 @@
+"""PII detection and redaction for training-data pipelines.
+
+A large-scale pretraining pipeline must detect and strip personally
+identifiable information before text reaches a training corpus (the C4 /
+Dolma / FineWeb pipelines all carry a regex PII pass).  Everything here is
+built-in ``pyspark.sql.functions`` expressions — ``regexp_extract_all`` /
+``regexp_replace`` run JVM-side inside whole-stage codegen, so the whole
+pass is one projection over the scan with zero shuffles and zero Python.
+
+The patterns are written in the common Java-regex / RE2 subset (no
+lookarounds, no backreferences) so the exact same pattern strings run
+under Spark (java.util.regex) and DuckDB (RE2) — that is what makes the
+``pii_documents`` oracle query byte-comparable.
+
+Scale note: at 100 TB this is the cheapest kind of operator the engine
+has — a per-row projection that fuses into whatever scan precedes it.
+The only care needed is pattern cost: all patterns below are anchored by
+literal prefixes or bounded character classes (no catastrophic
+backtracking shapes; every quantifier is over a class disjoint from its
+neighbour).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Detection patterns, name -> regex (Java/RE2-common subset).  Order
+#: matters for redaction: more specific patterns run first so e.g. a
+#: credit-card number is not half-eaten by the shorter SSN pattern, and
+#: emails are redacted before bare-domain heuristics would see them.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the classic liberal email shape
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # AWS access key id: literal AKIA + 16 uppercase alphanumerics
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    # 16-digit card grouped 4-4-4-4 by space or dash
+    "credit_card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+    # US SSN 3-2-4 with dashes
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # dotted-quad IPv4 (no octet-range check — detection, not parsing)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # NANP-ish phone 3-3-4 separated by space/dot/dash
+    "phone": r"\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b",
+}
+
+#: Redaction replacement token per type (literal in both regex dialects —
+#: no ``$`` / ``\`` so Java's replacement-string escapes never trigger).
+REDACTION_TOKENS: dict[str, str] = {name: f"<{name.upper()}>" for name in PII_PATTERNS}
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_count(col, pii_type: str) -> Column:
+    """Number of matches of one PII type in the column (0 for NULL text)."""
+    if pii_type not in PII_PATTERNS:
+        raise ValueError(
+            f"unknown PII type {pii_type!r}; known: {sorted(PII_PATTERNS)}"
+        )
+    c = _c(col)
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[pii_type]), 0)),
+        F.lit(0),
+    ).cast("int")
+
+
+def pii_counts(col, types: list[str] | None = None) -> dict[str, Column]:
+    """Per-type match-count Columns, one regexp scan per type fused into a
+    single projection."""
+    return {t: pii_count(col, t) for t in (types or list(PII_PATTERNS))}
+
+
+def pii_features(
+    df: DataFrame, text_col: str = "text", types: list[str] | None = None
+) -> DataFrame:
+    """Append ``n_pii_<type>`` count columns plus ``n_pii_total``."""
+    counts = pii_counts(F.col(text_col), types)
+    out = df.withColumns({f"n_pii_{t}": c for t, c in counts.items()})
+    total = None
+    for t in counts:
+        col = F.col(f"n_pii_{t}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii_total", total.cast("int"))
+
+
+def redact_pii_col(col, types: list[str] | None = None) -> Column:
+    """Replace every PII match with its ``<TYPE>`` token.
+
+    Replacements chain in ``PII_PATTERNS`` declaration order (specific →
+    general); a DuckDB oracle must apply ``regexp_replace(..., 'g')`` in
+    the same order to byte-match.  NULL text stays NULL.
+    """
+    c = _c(col)
+    for t in types or list(PII_PATTERNS):
+        if t not in PII_PATTERNS:
+            raise ValueError(
+                f"unknown PII type {t!r}; known: {sorted(PII_PATTERNS)}"
+            )
+        c = F.regexp_replace(c, F.lit(PII_PATTERNS[t]), F.lit(REDACTION_TOKENS[t]))
+    return c
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    types: list[str] | None = None,
+) -> DataFrame:
+    """Redacted-text column (in place by default, or as ``out_col``)."""
+    return df.withColumn(out_col or text_col, redact_pii_col(F.col(text_col), types))
+
+
+def no_pii(col, types: list[str] | None = None) -> Column:
+    """Boolean Column: True when the text contains no PII of the given
+    types — drop-in predicate for a custom vectorized Check
+    (``Check(lambda c: pii.no_pii(c), name="no_pii")``) so PII-freedom
+    participates in the fused verdict aggregate like any builtin."""
+    total = None
+    for t in types or list(PII_PATTERNS):
+        cnt = pii_count(col, t)
+        total = cnt if total is None else total + cnt
+    return total == 0

@@ -1,0 +1,118 @@
+"""Deterministic, key-stable sampling and train/test splitting.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — repartition
+the input (or rescale the cluster) and the sample changes, which is fatal
+for resumable 100 TB pipelines.  These operators derive the decision from
+a cryptographic hash of a KEY column instead: the same row lands on the
+same side of every split on every run, at any parallelism, on any engine.
+
+Mechanics: ``md5(seed || key)`` → first 8 hex chars → compare against a
+precomputed hex threshold.  Fixed-width lowercase-hex strings compare
+lexicographically exactly as their numeric values, so the whole predicate
+is a string comparison — no bigint conversion, no overflow, and the
+identical SQL runs under DuckDB (the ``hash_sample_documents`` oracle).
+
+Everything is a single JVM-side projection/filter: no shuffle, no UDF,
+fuses into the preceding scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8
+_HEX_SPACE = 16 ** _HEX_DIGITS
+
+
+def _hex_prefix(col, seed: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, _HEX_DIGITS)
+
+
+def _threshold_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        # 'g' sorts after every hex digit, so `hex < 'g'` keeps all keys
+        # (a numeric ffffffff cap would drop the 2^-32 unlucky key)
+        return "g"
+    return format(int(rate * _HEX_SPACE), f"0{_HEX_DIGITS}x")
+
+
+def sample_predicate(col, rate: float, seed: str = "") -> Column:
+    """Boolean Column selecting a deterministic ~``rate`` fraction of keys.
+
+    NULL keys are always excluded (md5 of NULL is NULL)."""
+    return _hex_prefix(col, seed) < F.lit(_threshold_hex(rate))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = ""
+) -> DataFrame:
+    """Key-stable deterministic sample: keeps rows whose hashed key falls
+    under the rate threshold.  All rows sharing a key travel together —
+    sampling conv_id keeps whole conversations intact."""
+    return df.filter(sample_predicate(key_col, rate, seed))
+
+
+def split_col(col, test_rate: float, seed: str = "") -> Column:
+    """'train' / 'test' label Column, key-stable (NULL key → NULL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pred = sample_predicate(col, test_rate, seed)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(pred, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_rate: float = 0.1,
+    seed: str = "",
+    label_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic train/test label keyed on ``key_col``.
+    Disjoint and exhaustive by construction; group-safe (split on conv_id
+    to prevent conversation leakage across the boundary)."""
+    return df.withColumn(label_col, split_col(key_col, test_rate, seed))
+
+
+def hash_bucket(col, buckets: int, seed: str = "") -> Column:
+    """Deterministic integer bucket in [0, buckets) from the key hash —
+    the primitive under k-fold splits and proportional stratified caps.
+    Uses conv(hex, 16, 10): 8 hex digits < 2^32 so the bigint cast is
+    exact."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = F.conv(_hex_prefix(col, seed), 16, 10).cast("bigint")
+    return (v % buckets).cast("int")
+
+
+def stratified_sample_predicate(
+    key_col, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, seed: str = "",
+) -> Column:
+    """Boolean Column for per-stratum deterministic sampling: CASE over
+    the stratum column picks the hex threshold, one hash comparison
+    decides membership."""
+    hexp = _hex_prefix(key_col, seed)
+    expr = F.lit(_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold_hex(rate))
+        ).otherwise(expr)
+    return hexp < expr
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-source or per-language
+    mixture weights): one filter expression, CASE over the stratum column,
+    no shuffle — the standard corpus-mixing step expressed as a scan-time
+    predicate."""
+    return df.filter(
+        stratified_sample_predicate(key_col, strata_col, rates, default_rate, seed)
+    )
