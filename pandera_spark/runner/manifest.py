@@ -503,6 +503,145 @@ class PartitionedValidationRun:
                 out[name] = expire_snapshots(tdir, keep_last=keep_last)
         return out
 
+    def compare_runs(
+        self,
+        run_a: Optional[str] = None,
+        run_b: Optional[str] = None,
+        row_count_tol: float = 0.10,
+        null_ratio_tol: float = 0.05,
+        distinct_tol: float = 0.50,
+    ) -> dict:
+        """Run-over-run metrics regression gate, computed from the
+        manifest ALONE — no data files are touched, so it is instant at
+        any table size (the stats were paid for during validation).
+
+        Compares the latest ok attempt per partition between two runs
+        (default: the two most recent distinct run_ids) and reports the
+        operational drift signals a scheduled pipeline watches between
+        loads: partitions that vanished or appeared, row-count swings
+        beyond ``row_count_tol`` (relative), per-column null-ratio jumps
+        beyond ``null_ratio_tol`` (absolute), min/max range expansion
+        (values outside the previous run's observed range) and
+        approx-distinct swings beyond ``distinct_tol`` (relative).
+
+        Returns ``{"run_a", "run_b", "findings": [...], "drifted": bool}``
+        with one dict per finding (``kind``, ``partition_id``, ``column``,
+        ``a``, ``b``, ``delta``).  This complements the statistical drift
+        module (backend/drift.py): that one compares DISTRIBUTIONS on
+        demand; this one regression-tests the checkpointed metrics
+        between scheduled runs for free."""
+        runs = (
+            self.read_manifest()
+            .withColumn(
+                "run_id", F.get_json_object("lineage", "$.run_id")
+            )
+            .filter(F.col("status") == "ok")
+        )
+        if run_a is None or run_b is None:
+            order = [
+                r["run_id"]
+                for r in runs.groupBy("run_id")
+                .agg(F.max("finished_at").alias("t"))
+                .orderBy(F.desc("t"))
+                .collect()
+            ]
+            if len(order) < 2:
+                raise ValueError(
+                    "compare_runs needs two distinct run_ids in the "
+                    f"manifest; found {order!r} (pass run_a/run_b "
+                    "explicitly to compare specific runs)"
+                )
+            run_b = run_b or order[0]
+            run_a = run_a or next(r for r in order if r != run_b)
+        from pyspark.sql import Window
+
+        latest = (
+            runs.filter(F.col("run_id").isin([run_a, run_b]))
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("run_id", "partition_id").orderBy(
+                        F.desc("finished_at"), F.desc("attempt")
+                    )
+                ),
+            )
+            .filter("__rn__ = 1")
+            .select(
+                "run_id", "partition_id", "n_rows", "n_violations", "metrics"
+            )
+            .collect()
+        )
+        sides: dict[str, dict[str, dict]] = {run_a: {}, run_b: {}}
+        for r in latest:
+            sides[r["run_id"]][r["partition_id"]] = {
+                "n_rows": r["n_rows"] or 0,
+                "n_violations": r["n_violations"] or 0,
+                "stats": (json.loads(r["metrics"] or "{}").get("stats")) or {},
+            }
+        a_parts, b_parts = sides[run_a], sides[run_b]
+        for rid, parts in ((run_a, a_parts), (run_b, b_parts)):
+            if not parts:
+                raise ValueError(
+                    f"run_id {rid!r} has no ok attempts in the manifest — "
+                    "nothing to compare (unknown run id, or every "
+                    "partition errored)"
+                )
+        findings: list[dict] = []
+
+        def add(kind, pid, col, a, b, delta):
+            findings.append(
+                {
+                    "kind": kind, "partition_id": pid, "column": col,
+                    "a": a, "b": b, "delta": delta,
+                }
+            )
+
+        for pid in sorted(set(a_parts) - set(b_parts)):
+            add("partition_missing", pid, None, a_parts[pid]["n_rows"], None, None)
+        for pid in sorted(set(b_parts) - set(a_parts)):
+            add("partition_new", pid, None, None, b_parts[pid]["n_rows"], None)
+        for pid in sorted(set(a_parts) & set(b_parts)):
+            pa_, pb_ = a_parts[pid], b_parts[pid]
+            ra, rb = pa_["n_rows"], pb_["n_rows"]
+            if ra and abs(rb - ra) / ra > row_count_tol:
+                add("row_count", pid, None, ra, rb, (rb - ra) / ra)
+            if pb_["n_violations"] > pa_["n_violations"]:
+                add(
+                    "violations_up", pid, None,
+                    pa_["n_violations"], pb_["n_violations"],
+                    pb_["n_violations"] - pa_["n_violations"],
+                )
+            for col in sorted(set(pa_["stats"]) & set(pb_["stats"])):
+                sa, sb = pa_["stats"][col], pb_["stats"][col]
+                na, nb = sa.get("n_rows") or 0, sb.get("n_rows") or 0
+                if na and nb:
+                    qa = (sa.get("null_count") or 0) / na
+                    qb = (sb.get("null_count") or 0) / nb
+                    if abs(qb - qa) > null_ratio_tol:
+                        add("null_ratio", pid, col, qa, qb, qb - qa)
+                lo_a, lo_b = _comparable_stat(sa.get("min")), _comparable_stat(sb.get("min"))
+                hi_a, hi_b = _comparable_stat(sa.get("max")), _comparable_stat(sb.get("max"))
+                expanded = []
+                if lo_a is not None and lo_b is not None and _merge_stat(lo_a, lo_b, min) != lo_a:
+                    expanded.append("min")
+                if hi_a is not None and hi_b is not None and _merge_stat(hi_a, hi_b, max) != hi_a:
+                    expanded.append("max")
+                if expanded:
+                    add(
+                        "range_expanded", pid, col,
+                        [str(lo_a), str(hi_a)], [str(lo_b), str(hi_b)],
+                        "+".join(expanded),
+                    )
+                da, db = sa.get("approx_distinct") or 0, sb.get("approx_distinct") or 0
+                if da and abs(db - da) / da > distinct_tol:
+                    add("distinct_swing", pid, col, da, db, (db - da) / da)
+        return {
+            "run_a": run_a,
+            "run_b": run_b,
+            "findings": findings,
+            "drifted": bool(findings),
+        }
+
     def summary(self) -> dict:
         """Aggregate manifest view: latest attempt per partition."""
         rows = self._latest_attempts().collect()

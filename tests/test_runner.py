@@ -759,3 +759,86 @@ class TestTransformPartitionRunner:
         # per-partition manifest stats flowed in (proof short-circuit)
         s = run.summary()
         assert s["n_rows"] == 60 and s["ok"] == 3
+
+
+class TestCompareRuns:
+    """Run-over-run metrics regression gate: computed entirely from the
+    manifest (no data re-scan), flags the operational drift a scheduled
+    pipeline watches between loads."""
+
+    @staticmethod
+    def _schema():
+        return DataFrameSchema(
+            {"x": Column("long", nullable=True)}, index_cols=["part_id"]
+        )
+
+    def test_detects_all_finding_kinds(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        a = spark.createDataFrame(
+            [(1, i + 1) for i in range(10)] + [(2, 1), (2, 2)],
+            "part_id int, x long",
+        )
+        PartitionedValidationRun(
+            self._schema(), a, "part_id", out, run_id="run-a"
+        ).run()
+        b = spark.createDataFrame(
+            [(1, 1), (1, 2), (1, 3), (1, 100), (1, None), (1, None)]
+            + [(3, 7)],
+            "part_id int, x long",
+        )
+        run_b = PartitionedValidationRun(
+            self._schema(), b, "part_id", out, run_id="run-b"
+        )
+        run_b.run(resume=False)  # a scheduled re-load revalidates everything
+        rep = run_b.compare_runs()
+        assert rep["run_a"] == "run-a" and rep["run_b"] == "run-b"
+        assert rep["drifted"]
+        kinds = {(f["kind"], f["partition_id"]) for f in rep["findings"]}
+        assert ("partition_missing", "2") in kinds
+        assert ("partition_new", "3") in kinds
+        assert ("row_count", "1") in kinds        # 10 -> 6 rows
+        assert ("null_ratio", "1") in kinds       # 0 -> 1/3 nulls in x
+        assert ("range_expanded", "1") in kinds   # max 10 -> 100
+        assert ("distinct_swing", "1") in kinds   # 10 -> 4 distinct
+        rng = next(f for f in rep["findings"] if f["kind"] == "range_expanded")
+        assert rng["column"] == "x" and rng["delta"] == "max"
+
+    def test_identical_runs_do_not_drift(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [(1, 5), (1, 6), (2, 7)], "part_id int, x long"
+        )
+        PartitionedValidationRun(
+            self._schema(), df, "part_id", out, run_id="r1"
+        ).run()
+        run2 = PartitionedValidationRun(
+            self._schema(), df, "part_id", out, run_id="r2"
+        )
+        run2.run(resume=False)
+        rep = run2.compare_runs(run_a="r1", run_b="r2")
+        assert rep == {
+            "run_a": "r1", "run_b": "r2", "findings": [], "drifted": False
+        }
+
+    def test_single_run_raises(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        df = spark.createDataFrame([(1, 5)], "part_id int, x long")
+        run = PartitionedValidationRun(
+            self._schema(), df, "part_id", out, run_id="only"
+        )
+        run.run()
+        with pytest.raises(ValueError, match="two distinct run_ids"):
+            run.compare_runs()
+
+    def test_unknown_run_id_raises(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        df = spark.createDataFrame([(1, 5), (2, 6)], "part_id int, x long")
+        PartitionedValidationRun(
+            self._schema(), df, "part_id", out, run_id="r1"
+        ).run()
+        run2 = PartitionedValidationRun(
+            self._schema(), df, "part_id", out, run_id="r2"
+        )
+        run2.run(resume=False)
+        with pytest.raises(ValueError, match="no ok attempts"):
+            run2.compare_runs(run_a="nope", run_b="r2")
