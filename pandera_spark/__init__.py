@@ -27,7 +27,12 @@ from .errors import (  # noqa: F401
 )
 from .schema import Column, DataFrameSchema, Parser  # noqa: F401
 from .backend.validate import ValidationResult, validate  # noqa: F401
-from .backend.referential import Contiguity, ForeignKey, Monotonic  # noqa: F401
+from .backend.referential import (  # noqa: F401
+    Contiguity,
+    ForeignKey,
+    Monotonic,
+    SequenceGrammar,
+)
 from .decorators import check_input, check_io, check_output, check_types  # noqa: F401
 from .hypotheses import Hypothesis  # noqa: F401
 from .model import DataFrameModel, Field, check, dataframe_check  # noqa: F401
@@ -50,6 +55,7 @@ __all__ = [
     "ForeignKey",
     "Contiguity",
     "Monotonic",
+    "SequenceGrammar",
     "register_check_method",
     "validate",
 ]

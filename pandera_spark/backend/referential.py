@@ -72,6 +72,71 @@ class Monotonic:
     name: str = "monotonic"
 
 
+@dataclass
+class SequenceGrammar:
+    """Per-group state-transition grammar: within each ``partition_by``
+    group ordered by ``order_col``, ``state_col`` must obey
+    ``transitions`` (prev state → set of allowed next states), the first
+    row's state must be in ``first`` (when given), and the last row's
+    state must be in ``last`` (when given).  A prev state absent from
+    ``transitions`` is unconstrained (partial grammars compose).  A NULL
+    state is never a member of any allowed set.
+
+    This is the transcript dialog-structure check the reference cannot
+    express (its checks are per-row/per-column; SURVEY.md §2.8): roles in
+    a conversation must follow system? → user → assistant (↔ tool) → …
+    — see :meth:`dialog` for that preset.
+
+    Scale: ONE window pass partitioned by ``partition_by`` (the same
+    shuffle key as Contiguity/Monotonic — conversations are short, so
+    per-group state is tiny and skew is bounded).  The grammar itself is a
+    literal ``map<state, array<state>>`` looked up JVM-side; no Python
+    in the hot path.
+
+    ``order_col`` may be a list for tie-broken ordering (e.g.
+    ``["ts", "event_id"]``); ordering must be total within a group or
+    lag() is nondeterministic (pair with Contiguity/unique to enforce).
+    """
+
+    partition_by: str
+    order_col: Union[str, list]
+    state_col: str
+    transitions: dict = field(default_factory=dict)
+    first: Optional[set] = None
+    last: Optional[set] = None
+    name: str = "sequence_grammar"
+
+    def order_cols(self) -> list[str]:
+        oc = self.order_col
+        return [oc] if isinstance(oc, str) else list(oc)
+
+    @classmethod
+    def dialog(
+        cls,
+        partition_by: str = "conv_id",
+        order_col: Union[str, list] = "turn_idx",
+        state_col: str = "role",
+        name: str = "dialog_structure",
+    ) -> "SequenceGrammar":
+        """The multi-turn transcript grammar: an optional leading system
+        prompt, then strict user/assistant alternation where the
+        assistant may fan out through tool calls (tool chains allowed)
+        before yielding back to the user."""
+        return cls(
+            partition_by=partition_by,
+            order_col=order_col,
+            state_col=state_col,
+            first={"system", "user"},
+            transitions={
+                "system": {"user"},
+                "user": {"assistant"},
+                "assistant": {"user", "tool"},
+                "tool": {"tool", "assistant"},
+            },
+            name=name,
+        )
+
+
 def run_referential_checks(
     schema,
     df: DataFrame,
@@ -119,6 +184,10 @@ def run_referential_checks(
             )
         elif isinstance(ref, Monotonic):
             v = _run_monotonic(ref, df, handler, schema_name, index_cols, collect_failure_cases)
+        elif isinstance(ref, SequenceGrammar):
+            v = _run_sequence_grammar(
+                ref, df, handler, schema_name, index_cols, collect_failure_cases
+            )
         else:
             raise TypeError(f"unknown referential check {ref!r}")
         if v is not None:
@@ -138,6 +207,8 @@ def _required_columns(ref) -> list[str]:
         return [ref.partition_by, ref.order_col]
     if isinstance(ref, Monotonic):
         return [ref.partition_by, ref.order_col, ref.sort_col]
+    if isinstance(ref, SequenceGrammar):
+        return [ref.partition_by, *ref.order_cols(), ref.state_col]
     return []
 
 
@@ -233,6 +304,112 @@ def monotonic_violation_rows(
         else F.col(order_col) < F.col("__prev__")
     )
     return lagged.filter(F.col("__prev__").isNotNull() & cmp).drop("__prev__")
+
+
+def sequence_grammar_violation_rows(
+    df: DataFrame, sg: "SequenceGrammar"
+) -> DataFrame:
+    """Rows whose state breaks the grammar, with ``__sg_case__`` naming the
+    offense: ``^->s`` (bad opening state), ``p->s`` (illegal transition),
+    ``s->$`` (bad closing state).  One row reports at most one offense
+    (priority first > transition > last)."""
+    w = Window.partitionBy(sg.partition_by).orderBy(*sg.order_cols())
+    state = F.col(sg.state_col)
+    s_str = F.coalesce(state.cast("string"), F.lit("null"))
+    # presence markers, NOT lag/lead(state): those are also null when the
+    # neighbouring row's STATE is null, which would mislabel mid-group
+    # rows as group-opening/-final
+    df = df.withColumn("__sg_prev__", F.lag(state).over(w)).withColumn(
+        "__sg_has_prev__", F.lag(F.lit(1)).over(w)
+    )
+    if sg.last is not None:
+        df = df.withColumn("__sg_next__", F.lead(F.lit(1)).over(w))
+    prev = F.col("__sg_prev__")
+    p_str = F.coalesce(prev.cast("string"), F.lit("null"))
+    conds, cases = [], []
+    if sg.first is not None:
+        bad_first = F.col("__sg_has_prev__").isNull() & (
+            state.isNull() | ~state.isin(*sorted(sg.first))
+        )
+        conds.append(bad_first)
+        cases.append((bad_first, F.concat(F.lit("^->"), s_str)))
+    if sg.transitions:
+        keys = sorted(sg.transitions)
+        grammar = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]),
+            F.array(
+                *[
+                    F.array(*[F.lit(s) for s in sorted(sg.transitions[k])])
+                    for k in keys
+                ]
+            ),
+        )
+        allowed = F.element_at(grammar, prev)
+        bad_tr = (
+            prev.isNotNull()
+            & allowed.isNotNull()
+            & (
+                state.isNull()
+                | ~F.coalesce(F.array_contains(allowed, state), F.lit(False))
+            )
+        )
+        conds.append(bad_tr)
+        cases.append((bad_tr, F.concat(p_str, F.lit("->"), s_str)))
+    if sg.last is not None:
+        nxt = F.col("__sg_next__")
+        bad_last = nxt.isNull() & (
+            state.isNull() | ~state.isin(*sorted(sg.last))
+        )
+        conds.append(bad_last)
+        cases.append((bad_last, F.concat(s_str, F.lit("->$"))))
+    if not conds:
+        raise ValueError(
+            f"SequenceGrammar {sg.name!r} constrains nothing: provide "
+            "transitions, first, or last"
+        )
+    any_bad = conds[0]
+    for c in conds[1:]:
+        any_bad = any_bad | c
+    case_expr = None
+    for c, expr in cases:
+        case_expr = (
+            F.when(c, expr) if case_expr is None else case_expr.when(c, expr)
+        )
+    return (
+        df.withColumn("__sg_case__", case_expr)
+        .filter(any_bad)
+        .drop("__sg_prev__", "__sg_has_prev__", "__sg_next__")
+    )
+
+
+def _run_sequence_grammar(sg, df, handler, schema_name, index_cols, collect):
+    bad = sequence_grammar_violation_rows(df, sg)
+    if not collect:
+        n = bad.limit(1).count()
+        if n:
+            _emit(handler, schema_name, sg.name, sg.state_col, None,
+                  f"{sg.state_col} sequence breaks grammar within "
+                  f"{sg.partition_by}")
+        return None
+    idx = _index_col(index_cols or [sg.partition_by, *sg.order_cols()])
+    viol = bad.select(
+        F.lit("DataFrameSchema").alias("schema_context"),
+        F.lit(sg.state_col).alias("column"),
+        F.lit(sg.name).alias("check"),
+        F.lit(None).cast("int").alias("check_number"),
+        F.col("__sg_case__").alias("failure_case"),
+        idx.alias("index"),
+    ).cache()
+    n = viol.count()
+    if n == 0:
+        viol.unpersist()
+        return None
+    _emit(
+        handler, schema_name, sg.name, sg.state_col, n,
+        f"{n} rows break the {sg.state_col} grammar within "
+        f"{sg.partition_by}",
+    )
+    return viol
 
 
 def _run_fk(fk, df, handler, schema_name, index_cols, collect):

@@ -106,8 +106,27 @@ def _column_from_dict(name: str, d: dict) -> Column:
 
 
 def _reference_to_dict(ref) -> dict:
-    from ..backend.referential import Contiguity, ForeignKey, Monotonic
+    from ..backend.referential import (
+        Contiguity,
+        ForeignKey,
+        Monotonic,
+        SequenceGrammar,
+    )
 
+    if isinstance(ref, SequenceGrammar):
+        return {
+            "kind": "sequence_grammar",
+            "partition_by": ref.partition_by,
+            "order_col": ref.order_col,
+            "state_col": ref.state_col,
+            # sets → sorted lists for stable JSON/YAML
+            "transitions": {
+                k: sorted(v) for k, v in sorted(ref.transitions.items())
+            },
+            "first": sorted(ref.first) if ref.first is not None else None,
+            "last": sorted(ref.last) if ref.last is not None else None,
+            "name": ref.name,
+        }
     if isinstance(ref, Contiguity):
         return {
             "kind": "contiguity",
@@ -134,9 +153,19 @@ def _reference_to_dict(ref) -> dict:
 
 
 def _reference_from_dict(d: dict):
-    from ..backend.referential import Contiguity, Monotonic
+    from ..backend.referential import Contiguity, Monotonic, SequenceGrammar
 
     kind = d["kind"]
+    if kind == "sequence_grammar":
+        return SequenceGrammar(
+            partition_by=d["partition_by"],
+            order_col=d["order_col"],
+            state_col=d["state_col"],
+            transitions={k: set(v) for k, v in (d.get("transitions") or {}).items()},
+            first=set(d["first"]) if d.get("first") is not None else None,
+            last=set(d["last"]) if d.get("last") is not None else None,
+            name=d.get("name", "sequence_grammar"),
+        )
     if kind == "contiguity":
         return Contiguity(
             partition_by=d["partition_by"], order_col=d["order_col"],
@@ -268,7 +297,8 @@ def to_script(schema: DataFrameSchema, path: str | None = None) -> str:
     ]
     if d["references"]:
         lines.append(
-            "from pandera_spark.backend.referential import Contiguity, Monotonic"
+            "from pandera_spark.backend.referential import ("
+            "Contiguity, Monotonic, SequenceGrammar)"
         )
     lines += ["", "schema = DataFrameSchema(", "    columns={"]
     for cname, cd in d["columns"].items():
@@ -300,7 +330,11 @@ def to_script(schema: DataFrameSchema, path: str | None = None) -> str:
         refs = []
         for r in d["references"]:
             kw = {k: v for k, v in r.items() if k != "kind"}
-            cls = {"contiguity": "Contiguity", "monotonic": "Monotonic"}[r["kind"]]
+            cls = {
+                "contiguity": "Contiguity",
+                "monotonic": "Monotonic",
+                "sequence_grammar": "SequenceGrammar",
+            }[r["kind"]]
             refs.append(
                 f"{cls}({', '.join(f'{k}={v!r}' for k, v in kw.items())})"
             )

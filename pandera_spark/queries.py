@@ -18,9 +18,11 @@ from pyspark.sql import types as T
 
 from .backend import drift
 from .backend.referential import (
+    SequenceGrammar,
     contiguity_groups,
     fk_orphans,
     monotonic_violation_rows,
+    sequence_grammar_violation_rows,
 )
 from .backend.unique import duplicate_keys
 from .checks import Check
@@ -424,6 +426,34 @@ def q_monotonic_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     viol = monotonic_violation_rows(ev, "user_id", "ts", "event_id", strict=True)
     return viol.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_viol"))
+
+
+def q_sequence_grammar_events(spark, sf_dir):
+    """Dialog-structure / session-grammar check (SequenceGrammar): per
+    user ordered by (ts, event_id), sessions must open with signup, a
+    signup may only be followed by view/click, and nothing transactional
+    may directly follow an error.  ONE window pass partitioned by
+    user_id; the grammar is a literal map looked up JVM-side.  Oracle:
+    the same LAG + CASE grammar in DuckDB (presence-marker LAG(1), not
+    LAG(state), so null states cannot fake group boundaries)."""
+    ev = _t(spark, sf_dir, "events")
+    sg = SequenceGrammar(
+        partition_by="user_id",
+        order_col=["ts", "event_id"],
+        state_col="event_type",
+        first={"signup"},
+        transitions={
+            "signup": {"view", "click"},
+            "error": {"view", "click", "error"},
+        },
+        name="session_grammar",
+    )
+    bad = sequence_grammar_violation_rows(ev, sg)
+    return bad.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("__sg_case__").alias("failure_case"),
+    )
 
 
 # ----------------------------------------------------------------------- #
@@ -1034,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "drop_invalid_orders": q_drop_invalid_orders,
         "monotonic_events": q_monotonic_events,
+        "sequence_grammar_events": q_sequence_grammar_events,
         "psi_events": q_psi_events,
         "ks_events": q_ks_events,
         "js_events": q_js_events,
@@ -1767,6 +1798,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_viol FROM lagged
             WHERE prev_ts IS NOT NULL AND ts <= prev_ts
             GROUP BY user_id
+        """,
+        "sequence_grammar_events": """
+            WITH seq AS (
+              SELECT user_id, event_id, event_type,
+                     LAG(event_type) OVER w AS prev,
+                     LAG(1)          OVER w AS has_prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            graded AS (
+              SELECT user_id, event_id,
+                CASE
+                  WHEN has_prev IS NULL
+                       AND (event_type IS NULL OR event_type NOT IN ('signup'))
+                    THEN '^->' || COALESCE(event_type, 'null')
+                  WHEN prev = 'signup'
+                       AND (event_type IS NULL
+                            OR event_type NOT IN ('click', 'view'))
+                    THEN 'signup->' || COALESCE(event_type, 'null')
+                  WHEN prev = 'error'
+                       AND (event_type IS NULL
+                            OR event_type NOT IN ('click', 'error', 'view'))
+                    THEN 'error->' || COALESCE(event_type, 'null')
+                END AS failure_case
+              FROM seq)
+            SELECT user_id, event_id, failure_case
+            FROM graded WHERE failure_case IS NOT NULL
         """,
         "check_options_part": """
             SELECT 'p_size' AS col_name, 'size_range' AS check_name,

@@ -489,3 +489,170 @@ class TestTranscriptsEndToEnd:
         assert ("tool_only_for_tool_role", None) in v or any(
             c == "tool_only_for_tool_role" for c, _ in v
         )
+
+
+class TestSequenceGrammar:
+    """Dialog-structure grammar (SequenceGrammar): per-conversation role
+    transitions validated in ONE window pass; presence markers (not
+    lag/lead of the state itself) so null states never mislabel rows as
+    group-opening/-final."""
+
+    def _transcript(self, spark):
+        return spark.createDataFrame(
+            [
+                ("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+                ("c1", 3, "tool"), ("c1", 4, "tool"), ("c1", 5, "assistant"),
+                ("c2", 0, "assistant"),            # bad opening
+                ("c2", 1, "user"), ("c2", 2, "user"),  # user->user illegal
+                ("c3", 0, "user"), ("c3", 1, None),    # null state
+            ],
+            "conv_id string, turn_idx int, role string",
+        )
+
+    def test_dialog_preset_flags_transitions(self, spark):
+        from pandera_spark import SequenceGrammar
+
+        schema = DataFrameSchema(
+            {"conv_id": Column("string"), "turn_idx": Column("int"),
+             "role": Column("string", nullable=True)},
+            references=[SequenceGrammar.dialog()],
+            index_cols=["conv_id", "turn_idx"],
+        )
+        r = schema.validate(self._transcript(spark))
+        assert not r.passed
+        got = {
+            (row["index"], row["failure_case"])
+            for row in r.violations.collect()
+        }
+        assert got == {
+            ("c2|0", "^->assistant"),
+            ("c2|2", "user->user"),
+            ("c3|1", "user->null"),
+        }
+        assert all(
+            row["check"] == "dialog_structure"
+            for row in r.violations.collect()
+        )
+
+    def test_clean_dialog_passes(self, spark):
+        from pandera_spark import SequenceGrammar
+
+        df = spark.createDataFrame(
+            [("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+             ("c1", 3, "tool"), ("c1", 4, "assistant"), ("c1", 5, "user"),
+             ("c2", 0, "user"), ("c2", 1, "assistant")],
+            "conv_id string, turn_idx int, role string",
+        )
+        schema = DataFrameSchema(
+            {"role": Column("string")},
+            references=[SequenceGrammar.dialog()],
+        )
+        r = schema.validate(df)
+        assert r.passed and r.violations is None
+
+    def test_null_state_neighbors_do_not_fake_boundaries(self, spark):
+        from pandera_spark.backend.referential import (
+            SequenceGrammar,
+            sequence_grammar_violation_rows,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, "user"), ("c", 1, None), ("c", 2, "assistant")],
+            "conv_id string, turn_idx int, role string",
+        )
+        # last-only grammar: the null at turn 1 must not mark turn 0 final
+        last = sequence_grammar_violation_rows(
+            df, SequenceGrammar("conv_id", "turn_idx", "role",
+                                last={"assistant"})
+        ).collect()
+        assert last == []
+        # first-only grammar: the null at turn 1 must not mark turn 2 first
+        first = sequence_grammar_violation_rows(
+            df, SequenceGrammar("conv_id", "turn_idx", "role",
+                                first={"user"})
+        ).collect()
+        assert first == []
+
+    def test_unconstrained_prev_state_is_allowed(self, spark):
+        from pandera_spark.backend.referential import (
+            SequenceGrammar,
+            sequence_grammar_violation_rows,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, "x"), ("c", 1, "y"), ("c", 2, "z")],
+            "conv_id string, turn_idx int, role string",
+        )
+        # only 'y' is constrained; x->y unconstrained, y->z illegal
+        rows = sequence_grammar_violation_rows(
+            df, SequenceGrammar("conv_id", "turn_idx", "role",
+                                transitions={"y": {"x"}})
+        ).collect()
+        assert [(r["turn_idx"], r["__sg_case__"]) for r in rows] == [
+            (2, "y->z")
+        ]
+
+    def test_tiebreak_order_cols(self, spark):
+        from pandera_spark.backend.referential import (
+            SequenceGrammar,
+            sequence_grammar_violation_rows,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 1, 0, "user"), ("c", 1, 1, "assistant"),
+             ("c", 2, 0, "user")],
+            "conv_id string, ts int, seq int, role string",
+        )
+        rows = sequence_grammar_violation_rows(
+            df,
+            SequenceGrammar(
+                "conv_id", ["ts", "seq"], "role",
+                transitions={"user": {"assistant"}},
+            ),
+        ).collect()
+        assert rows == []  # (1,0)u -> (1,1)a -> (2,0)u; a->u unconstrained
+
+    def test_exists_only_mode_and_report(self, spark):
+        from pandera_spark import SequenceGrammar
+
+        schema = DataFrameSchema(
+            {"role": Column("string", nullable=True)},
+            references=[SequenceGrammar.dialog()],
+        )
+        r = schema.validate(
+            self._transcript(spark), collect_failure_cases=False
+        )
+        assert not r.passed and r.violations is None
+
+    def test_serialization_round_trip(self, spark):
+        from pandera_spark import SequenceGrammar
+        from pandera_spark.io.serialization import from_json, to_json, to_script
+
+        schema = DataFrameSchema(
+            {"role": Column("string", nullable=True)},
+            references=[SequenceGrammar.dialog()],
+            index_cols=["conv_id", "turn_idx"],
+        )
+        loaded = from_json(to_json(schema))
+        (ref,) = loaded.references
+        assert ref.name == "dialog_structure"
+        assert ref.transitions == SequenceGrammar.dialog().transitions
+        assert ref.first == {"system", "user"}
+        r = loaded.validate(self._transcript(spark))
+        assert r.violations.count() == 3
+        env = {}
+        exec(compile(to_script(schema), "<script>", "exec"), env)
+        (ref2,) = env["schema"].references
+        assert {k: set(v) for k, v in ref2.transitions.items()} == ref.transitions
+
+    def test_empty_grammar_raises(self, spark):
+        from pandera_spark.backend.referential import (
+            SequenceGrammar,
+            sequence_grammar_violation_rows,
+        )
+
+        df = spark.createDataFrame([("c", 0, "u")], "conv_id string, turn_idx int, role string")
+        with pytest.raises(ValueError, match="constrains nothing"):
+            sequence_grammar_violation_rows(
+                df, SequenceGrammar("conv_id", "turn_idx", "role")
+            )
