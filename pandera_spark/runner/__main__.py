@@ -42,6 +42,13 @@ def main(argv=None) -> int:
         "(iceberg: append snapshots with time travel)",
     )
     ap.add_argument(
+        "--compare-previous", action="store_true",
+        help="after the run, diff this run's manifest metrics against "
+        "the previous run_id (row counts, null ratios, ranges, "
+        "distincts) and attach the regression report — manifest-only, "
+        "no data re-reads",
+    )
+    ap.add_argument(
         "--expire-keep-last", type=int, default=None, metavar="N",
         help="after the run, expire all but the N newest snapshots of "
         "the Iceberg manifest + violations tables (compacting the "
@@ -73,6 +80,12 @@ def main(argv=None) -> int:
         out["maintenance"] = run.expire_history(
             keep_last=args.expire_keep_last, compact_violations=True
         )
+    if args.compare_previous:
+        try:
+            out["run_comparison"] = run.compare_runs(run_b=run.run_id)
+        except ValueError as e:
+            # first-ever run: nothing to compare against
+            out["run_comparison"] = {"skipped": str(e)}
     if args.profile:
         out["table_profile"] = run.table_profile()
     print(json.dumps(out, default=str))

@@ -320,3 +320,125 @@ def contiguity_monitor_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+# --------------------------------------------------------------------- #
+# streaming dialog-structure monitor (SequenceGrammar, stateful)
+# --------------------------------------------------------------------- #
+
+GRAMMAR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("failure_case", T.StringType()),
+    ]
+)
+
+_GRAMMAR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_idx", T.IntegerType()),
+        T.StructField("last_state", T.StringType()),
+    ]
+)
+
+
+def _emit_grammar(
+    conv_id: str,
+    max_idx: int,
+    last_state: Optional[str],
+    pdfs,
+    first: Optional[frozenset],
+    transitions: dict,
+) -> tuple[int, Optional[str], list]:
+    """Shared grammar logic: rows are checked in turn_idx order against
+    the carried-over last state; a turn at or before the highest index
+    already seen (a replay / mid-sequence insert) is reported as
+    ``out_of_order`` and NOT grammar-checked — inserting into the middle
+    of an already-accepted sequence can't be validated with O(1) state,
+    and pretending otherwise would produce wrong transitions."""
+    out = []
+    for pdf in pdfs:
+        pairs = sorted(
+            zip(pdf["turn_idx"], pdf["state"]),
+            key=lambda p: int(p[0]),
+        )
+        for t, s in pairs:
+            t = int(t)
+            s = None if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)
+            s_str = "null" if s is None else s
+            if t <= max_idx:
+                out.append((conv_id, t, "out_of_order", s_str))
+                continue
+            if max_idx < 0:
+                if first is not None and (s is None or s not in first):
+                    out.append((conv_id, t, "grammar", f"^->{s_str}"))
+            else:
+                allowed = transitions.get(last_state)
+                if allowed is not None and (s is None or s not in allowed):
+                    out.append(
+                        (conv_id, t, "grammar", f"{last_state}->{s_str}")
+                    )
+            last_state = s
+            max_idx = t
+    return max_idx, last_state, out
+
+
+def grammar_monitor(
+    stream_df: DataFrame,
+    grammar=None,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    state_col: str = "role",
+) -> DataFrame:
+    """Streaming dialog-structure monitor: the stateful counterpart of the
+    batch ``SequenceGrammar`` check (backend/referential.py).  State per
+    conversation is O(1) — (highest turn_idx, last accepted state) — so a
+    10^12-turn stream carries state proportional to LIVE conversations,
+    not turns.  Violations surface as they arrive:
+
+      - ``kind='grammar'``  — illegal opening state (``^->s``) or illegal
+        transition (``p->s``), same failure_case vocabulary as batch;
+      - ``kind='out_of_order'`` — the turn landed at/before an index this
+        conversation already accepted (replay or mid-sequence insert);
+        grammar-checking it against O(1) state would be wrong, so it is
+        reported, not checked (pair with ``contiguity_monitor`` /
+        ``dedup_stream`` upstream for exactly-once ordering).
+
+    ``grammar`` is a ``SequenceGrammar`` (its ``last=`` has no streaming
+    meaning — a conversation never ends mid-stream — and is ignored);
+    default is ``SequenceGrammar.dialog()``.
+    """
+    from .backend.referential import SequenceGrammar
+
+    if grammar is None:
+        grammar = SequenceGrammar.dialog()
+    first = frozenset(grammar.first) if grammar.first is not None else None
+    transitions = {k: frozenset(v) for k, v in grammar.transitions.items()}
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (conv_id,) = key
+        max_idx, last_state = (
+            (state.get[0], state.get[1]) if state.exists else (-1, None)
+        )
+        max_idx, last_state, out = _emit_grammar(
+            conv_id, max_idx, last_state, pdfs, first, transitions
+        )
+        state.update((max_idx, last_state))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "kind", "failure_case"]
+            )
+
+    slim = stream_df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("int").alias("turn_idx"),
+        F.col(state_col).cast("string").alias("state"),
+    )
+    return slim.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=GRAMMAR_OUTPUT_SCHEMA,
+        stateStructType=_GRAMMAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -382,3 +382,102 @@ class TestIcebergViolationsStream:
                 str(tmp_path / "o"),
                 violations_format="csv",
             )
+
+
+class TestGrammarMonitor:
+    """Streaming dialog-structure monitor: grammar violations surface as
+    turns arrive; replays/mid-sequence inserts are reported out_of_order
+    and never grammar-checked; state carries across micro-batches."""
+
+    def test_grammar_violations_across_batches(self, spark, tmp_path):
+        import pandas as pd
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # batch 1: c1 opens correctly (system, user); c2 opens illegally
+        pd1 = pd.DataFrame(
+            [("c1", 0, "system"), ("c1", 1, "user"), ("c2", 0, "assistant")],
+            columns=["conv_id", "turn_idx", "role"],
+        )
+        spark.createDataFrame(pd1).coalesce(1).write.mode("append").parquet(src)
+        # batch 2 arrives later: c1 continues with an illegal user->user,
+        # plus a replay of turn 1 (out of order)
+        pd2 = pd.DataFrame(
+            [("c1", 2, "user"), ("c1", 1, "user"), ("c2", 1, "user")],
+            columns=["conv_id", "turn_idx", "role"],
+        )
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx bigint, role string"
+        ).parquet(src)
+        out = str(tmp_path / "out")
+        # memory sinks can't recover a checkpoint; a file sink can — the
+        # second start resumes the SAME query with carried grammar state
+        q = (
+            st.grammar_monitor(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        spark.createDataFrame(pd2).coalesce(1).write.mode("append").parquet(src)
+        q2 = (
+            st.grammar_monitor(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        rows = {
+            (r["conv_id"], r["turn_idx"], r["kind"], r["failure_case"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows == {
+            ("c2", 0, "grammar", "^->assistant"),
+            # carried state: c1's last accepted state was user (batch 1)
+            ("c1", 2, "grammar", "user->user"),
+            ("c1", 1, "out_of_order", "user"),
+            # c2 turn 1 (assistant->user) is legal in the dialog grammar
+        }
+
+    def test_custom_grammar_and_null_state(self, spark, tmp_path):
+        import pandas as pd
+
+        from pandera_spark import SequenceGrammar
+
+        src = str(tmp_path / "src")
+        pdf = pd.DataFrame(
+            [("u1", 0, "signup"), ("u1", 1, None), ("u1", 2, "view")],
+            columns=["conv_id", "turn_idx", "role"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx bigint, role string"
+        ).parquet(src)
+        sg = SequenceGrammar(
+            "conv_id", "turn_idx", "role",
+            first={"signup"}, transitions={"signup": {"view", "click"}},
+        )
+        mon = st.grammar_monitor(stream, grammar=sg)
+        q = (
+            mon.writeStream.format("memory")
+            .queryName("grammar_null")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [
+            (r["turn_idx"], r["kind"], r["failure_case"])
+            for r in spark.sql(
+                "select * from grammar_null order by turn_idx"
+            ).collect()
+        ]
+        # signup->null illegal; null-> is unconstrained so view passes
+        assert rows == [(1, "grammar", "signup->null")]
