@@ -516,6 +516,48 @@ def bench_streaming_pipeline(spark):
     return counts["rows"]
 
 
+def bench_streaming_grammar(spark):
+    """Stateful dialog-structure monitor: grammar_monitor shuffles on
+    conv_id into applyInPandasWithState with O(1) state per conversation
+    (max turn_idx + last role).  The recorded seconds are the drain of
+    ONE availableNow batch — the worst case for the state store (every
+    live conversation touched in one batch).  The bench fixture's
+    tool→user turns are real grammar violations (~23% of turns), so the
+    output path is exercised at volume.
+
+    Cost note (measured, local[32]): the wall time is dominated by the
+    applyInPandasWithState machinery, not the grammar — a TRIVIAL
+    stateful count over the same grouping costs ~15 s and draining a
+    quarter of the table costs the same ~44 s as the full table, so
+    roughly a third of the recorded seconds are fixed Python-worker +
+    Arrow + state-commit overhead and the rest scales with live
+    conversations.  Recorded against the full table for honesty."""
+    import shutil
+    import tempfile
+
+    from pandera_spark.streaming import grammar_monitor
+
+    path = ensure_transcripts(spark)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    mon = grammar_monitor(stream)
+    ckpt = tempfile.mkdtemp(prefix="bench-grammar-ckpt-")
+    counts = {"rows": 0}
+
+    def sink(batch_df, batch_id):
+        counts["rows"] += batch_df.count()
+
+    q = (
+        mon.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return counts["rows"]
+
+
 def make_transcript_schema():
     from pandera_spark import Check, Column, Contiguity, DataFrameSchema
 
@@ -576,6 +618,7 @@ WORKLOADS = {
     "text_quality": bench_text_quality,
     "corpus_hygiene": bench_corpus_hygiene,
     "streaming_pipeline": bench_streaming_pipeline,
+    "streaming_grammar": bench_streaming_grammar,
     "iceberg_transcripts": bench_iceberg_transcripts,
     "iceberg_deletes": bench_iceberg_deletes,
     "iceberg_compact": bench_iceberg_compact,

@@ -359,10 +359,10 @@ def _emit_grammar(
     and pretending otherwise would produce wrong transitions."""
     out = []
     for pdf in pdfs:
-        pairs = sorted(
-            zip(pdf["turn_idx"], pdf["state"]),
-            key=lambda p: int(p[0]),
-        )
+        tv = pdf["turn_idx"].to_numpy()
+        sv = pdf["state"].to_numpy(dtype=object)
+        order = tv.argsort(kind="stable")
+        pairs = zip(tv[order].tolist(), sv[order].tolist())
         for t, s in pairs:
             t = int(t)
             s = None if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)

@@ -380,12 +380,13 @@ class TestDifferentialParity:
         )
         con = _duck_frame(rows)
         thresh = selection._threshold_hex(rate)
-        seed_sql = seed.replace("'", "''")
+        # bind the seed as a parameter: SQL-literal escaping can't express
+        # every generated string (a NUL byte terminates the quoted literal)
         want = sorted(
             r[0]
             for r in con.execute(
-                f"SELECT id FROM t WHERE substr(md5('{seed_sql}' || text), 1, 8)"
-                f" < '{thresh}'"
+                "SELECT id FROM t WHERE substr(md5(? || text), 1, 8) < ?",
+                [seed, thresh],
             ).fetchall()
         )
         assert got == want
