@@ -276,7 +276,16 @@ def q_iceberg_day_partition_events(spark, sf_dir):
     filters the raw fixture with a date cast: if the transform math,
     the stored ordinals, or the pruning dropped/kept a single wrong
     row, counts and id-sums diverge.  Sums use event_id (integers:
-    fp-exact)."""
+    fp-exact).
+
+    TYPE NOTE (the r5 hash-red root cause): DuckDB's integer SUM
+    returns HUGEINT, which surfaces as float64 through pandas (and
+    decimal128 through arrow) — NOT int64.  The driver's value hash is
+    type/format-sensitive, so the Spark side must emit DOUBLE here to
+    format identically ("123.0", fp-exact for these magnitudes).  Rule
+    for future oracles: either CAST(SUM(...) AS BIGINT) in the DuckDB
+    SQL (preferred for new queries), or — when the oracle text is
+    frozen, as in optimization rounds — cast the Spark side to double."""
     import glob
     import hashlib
     import os
@@ -316,7 +325,9 @@ def q_iceberg_day_partition_events(spark, sf_dir):
         sub.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("event_id").alias("sum_id"),
+            # double, not bigint: matches DuckDB SUM→HUGEINT→float64
+            # (see TYPE NOTE in the docstring)
+            F.sum("event_id").cast("double").alias("sum_id"),
         )
         .orderBy("event_type")
     )

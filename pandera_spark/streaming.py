@@ -267,16 +267,20 @@ def contiguity_monitor(
 def _emit_contiguity(conv_id: str, max_idx: int, pdfs) -> tuple[int, list]:
     """Shared turn-order logic for both stateful APIs."""
     out = []
+    # collect every chunk before sorting — same cross-chunk ordering
+    # fix as _emit_grammar (ADVICE r5): one ordered pass per batch
+    vals: list[int] = []
     for pdf in pdfs:
-        for t in sorted(int(x) for x in pdf["turn_idx"]):
-            expected = max_idx + 1
-            if t == expected:
-                max_idx = t
-            elif t <= max_idx:
-                out.append((conv_id, t, expected, "duplicate_or_out_of_order"))
-            else:
-                out.append((conv_id, t, expected, "gap"))
-                max_idx = t
+        vals.extend(int(x) for x in pdf["turn_idx"])
+    for t in sorted(vals):
+        expected = max_idx + 1
+        if t == expected:
+            max_idx = t
+        elif t <= max_idx:
+            out.append((conv_id, t, expected, "duplicate_or_out_of_order"))
+        else:
+            out.append((conv_id, t, expected, "gap"))
+            max_idx = t
     return max_idx, out
 
 
@@ -358,29 +362,37 @@ def _emit_grammar(
     of an already-accepted sequence can't be validated with O(1) state,
     and pretending otherwise would produce wrong transitions."""
     out = []
-    for pdf in pdfs:
-        tv = pdf["turn_idx"].to_numpy()
-        sv = pdf["state"].to_numpy(dtype=object)
-        order = tv.argsort(kind="stable")
-        pairs = zip(tv[order].tolist(), sv[order].tolist())
-        for t, s in pairs:
-            t = int(t)
-            s = None if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)
-            s_str = "null" if s is None else s
-            if t <= max_idx:
-                out.append((conv_id, t, "out_of_order", s_str))
-                continue
-            if max_idx < 0:
-                if first is not None and (s is None or s not in first):
-                    out.append((conv_id, t, "grammar", f"^->{s_str}"))
-            else:
-                allowed = transitions.get(last_state)
-                if allowed is not None and (s is None or s not in allowed):
-                    out.append(
-                        (conv_id, t, "grammar", f"{last_state}->{s_str}")
-                    )
-            last_state = s
-            max_idx = t
+    # ONE sort over the whole micro-batch, not per Arrow chunk: a group
+    # larger than arrow.maxRecordsPerBatch arrives as several pdfs in
+    # nondeterministic order, and per-chunk sorting would misreport
+    # legitimately in-order turns in a later chunk as out_of_order and
+    # check transitions against the wrong last_state (ADVICE r5).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return max_idx, last_state, out
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    tv = pdf["turn_idx"].to_numpy()
+    sv = pdf["state"].to_numpy(dtype=object)
+    order = tv.argsort(kind="stable")
+    pairs = zip(tv[order].tolist(), sv[order].tolist())
+    for t, s in pairs:
+        t = int(t)
+        s = None if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)
+        s_str = "null" if s is None else s
+        if t <= max_idx:
+            out.append((conv_id, t, "out_of_order", s_str))
+            continue
+        if max_idx < 0:
+            if first is not None and (s is None or s not in first):
+                out.append((conv_id, t, "grammar", f"^->{s_str}"))
+        else:
+            allowed = transitions.get(last_state)
+            if allowed is not None and (s is None or s not in allowed):
+                out.append(
+                    (conv_id, t, "grammar", f"{last_state}->{s_str}")
+                )
+        last_state = s
+        max_idx = t
     return max_idx, last_state, out
 
 

@@ -28,9 +28,10 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
+    # ints and floats normalize identically: the VALUE check is numeric
+    # (is the math right?); type/format drift the driver's hash would
+    # flag (bigint "123" vs HUGEINT→float64 "123.0") is typed_diff's job
+    if isinstance(v, (int, float)):
         return f"{v:.6f}"
     return str(v)
 
@@ -40,6 +41,50 @@ def multiset(rows, colnames):
     return sorted(
         tuple(norm_cell(r[i]) for i in order) for r in rows
     )
+
+
+def typed_diff(rel, srows, scols, ocols):
+    """Format-sensitive comparison: DuckDB rows through .df() (pandas —
+    HUGEINT→float64, so "123.0"), Spark rows as collected Python values
+    ("123" for bigint).  Cells that differ ONLY in numeric formatting
+    between the two views are exactly what the driver's hash flags.
+    Null-ish cells are skipped (pandas null reprs vary by dtype)."""
+    import math
+
+    odf = rel.df()
+
+    def is_null(v):
+        if v is None:
+            return True
+        try:
+            return isinstance(v, float) and math.isnan(v)
+        except TypeError:
+            return False
+
+    def cell(v):
+        return None if is_null(v) else str(v)
+
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+    key = lambda t: tuple("" if x is None else x for x in t)
+    sm = sorted(
+        (tuple(cell(r[i]) for i in sorder) for r in srows), key=key
+    )
+    om = sorted(
+        (
+            tuple(cell(r[i]) for i in oorder)
+            for r in odf.itertuples(index=False, name=None)
+        ),
+        key=key,
+    )
+    diffs = []
+    for a, b in zip(sm, om):
+        for x, y in zip(a, b):
+            if x is not None and y is not None and x != y:
+                diffs.append((x, y))
+                if len(diffs) >= 3:
+                    return diffs
+    return diffs
 
 
 def main(sf_dir: str, only: str = "") -> int:
@@ -98,6 +143,20 @@ def main(sf_dir: str, only: str = "") -> int:
                 diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
                 print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
                 ok = False
+            else:
+                # the driver's hash is TYPE/FORMAT-sensitive in a way the
+                # stringified multiset above is not: DuckDB HUGEINT (an
+                # uncast integer SUM) surfaces as float64 through pandas
+                # ("123.0") while a Spark bigint prints "123" — the exact
+                # r5 iceberg_day_partition_events red.  Mimic it: compare
+                # str() of the PANDAS view of both sides, skipping nulls
+                # (null repr semantics in pandas are not the driver's
+                # problem statement).  See queries.py TYPE NOTE.
+                tdiff = typed_diff(rel, srows, scols, ocols)
+                if tdiff:
+                    print(f"FAIL  {name}: typed-format mismatch (driver "
+                          f"hash would be red), first diffs: {tdiff}")
+                    ok = False
         if ok:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
         else:

@@ -481,3 +481,48 @@ class TestGrammarMonitor:
         ]
         # signup->null illegal; null-> is unconstrained so view passes
         assert rows == [(1, "grammar", "signup->null")]
+
+
+class TestEmitChunkMerge:
+    """ADVICE r5 (medium): a group spanning several Arrow chunks in ONE
+    micro-batch must be sorted across chunks, not per chunk — otherwise
+    in-order turns in a later chunk are misreported as out_of_order and
+    transitions are checked against the wrong last_state."""
+
+    def test_emit_grammar_merges_chunks_before_sorting(self):
+        import pandas as pd
+
+        # chunk order adversarial: later turns arrive in the FIRST chunk
+        c1 = pd.DataFrame({"turn_idx": [2, 3], "state": ["assistant", "user"]})
+        c2 = pd.DataFrame({"turn_idx": [0, 1], "state": ["system", "user"]})
+        first = frozenset({"system"})
+        transitions = {
+            "system": frozenset({"user"}),
+            "user": frozenset({"assistant"}),
+            "assistant": frozenset({"user", "tool"}),
+        }
+        max_idx, last_state, out = st._emit_grammar(
+            "c", -1, None, iter([c1, c2]), first, transitions
+        )
+        # fully in-order sequence system->user->assistant->user: no
+        # violations at all once chunks are merged before sorting
+        assert out == []
+        assert (max_idx, last_state) == (3, "user")
+
+    def test_emit_grammar_empty_chunks(self):
+        import pandas as pd
+
+        empty = pd.DataFrame({"turn_idx": [], "state": []})
+        max_idx, last_state, out = st._emit_grammar(
+            "c", 4, "user", iter([empty]), frozenset({"system"}), {}
+        )
+        assert (max_idx, last_state, out) == (4, "user", [])
+
+    def test_emit_contiguity_merges_chunks_before_sorting(self):
+        import pandas as pd
+
+        c1 = pd.DataFrame({"turn_idx": [2, 3]})
+        c2 = pd.DataFrame({"turn_idx": [0, 1]})
+        max_idx, out = st._emit_contiguity("c", -1, iter([c1, c2]))
+        assert out == []
+        assert max_idx == 3
