@@ -1,0 +1,208 @@
+"""Extra benchmarks for the optimization rounds (bench.py is frozen for
+measurement; everything exploratory lives here).
+
+Runs the named workloads INTERLEAVED for K repetitions (the sandbox CPU
+is contended in waves — only interleaved minima are comparable) and
+prints one JSON line {name: {"min": s, "samples": [...]}}.
+
+Usage:
+  python bench_extra.py [workload ...]          # default: all
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_EXTRA_REPS     interleaved repetitions (default 3)
+
+Workloads here time the COMPUTATION via the noop sink where the bench
+counterpart's terminal action would hide it (guide §1.4), and split
+composite bench keys into their stages (guide §1.1) so a regression can
+be attributed to a stage instead of a key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import bench as B  # reuse the frozen harness's session + fixtures
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+# --------------------------------------------------------------------- #
+# iceberg_transcripts decomposition (VERDICT r5 Next #3: the A/B)
+# --------------------------------------------------------------------- #
+
+
+def x_iceberg_meta_python(spark):
+    """Driver-side pure-Python metadata work only: read_table_meta +
+    iceberg_meta_stats (no Spark job at all)."""
+    from pandera_spark.io import iceberg_meta_stats
+    from pandera_spark.io.iceberg_meta import read_table_meta
+
+    tdir = B.ensure_transcripts(spark) + "_iceberg"
+    read_table_meta(tdir)
+    iceberg_meta_stats(tdir)
+    return 0
+
+
+def x_iceberg_scan_name(spark):
+    """(a) r4-style name-based read of the SAME files -> noop."""
+    from pandera_spark.io.iceberg_meta import plan_files
+
+    tdir = B.ensure_transcripts(spark) + "_iceberg"
+    paths = plan_files(tdir)
+    _noop(spark.read.parquet(*paths))
+    return len(paths)
+
+
+def x_iceberg_scan_grouped(spark):
+    """(b) the field-id grouped read (read_iceberg) -> noop."""
+    from pandera_spark.io import read_iceberg
+
+    tdir = B.ensure_transcripts(spark) + "_iceberg"
+    _noop(read_iceberg(spark, tdir))
+    return 0
+
+
+def x_iceberg_validate(spark):
+    """(c) the full bench key (warm table)."""
+    return B.bench_iceberg_transcripts(spark)
+
+
+def x_transcripts_scan(spark):
+    """Plain parquet read of the same data -> noop (scan floor)."""
+    _noop(spark.read.parquet(B.ensure_transcripts(spark)))
+    return 0
+
+
+def x_transcripts_validate(spark):
+    n, _ = B.bench_transcripts_validate(spark, B.ensure_transcripts(spark))
+    return n
+
+
+def x_iceberg_deletes_read(spark):
+    """Merge-on-read READ alone (no validation) -> noop."""
+    from pandera_spark.io import read_iceberg
+
+    tdir = B.ensure_iceberg_deletes(spark)
+    _noop(read_iceberg(spark, tdir))
+    return 0
+
+
+def x_iceberg_deletes_validate(spark):
+    return B.bench_iceberg_deletes(spark)
+
+
+# --------------------------------------------------------------------- #
+# corpus hygiene decomposition (VERDICT r5 Next #7)
+# --------------------------------------------------------------------- #
+
+
+def x_hygiene_pii_counts(spark):
+    from pandera_spark.functions import pii
+
+    turns = spark.read.parquet(B.ensure_transcripts(spark))
+    out = pii.pii_features(turns)
+    out.agg(F.sum("n_pii_total")).collect()
+    return 0
+
+
+def x_hygiene_redact(spark):
+    from pandera_spark.functions import pii
+
+    turns = spark.read.parquet(B.ensure_transcripts(spark))
+    out = pii.redact_pii(turns, "text", out_col="redacted")
+    out.agg(F.sum(F.length("redacted"))).collect()
+    return 0
+
+
+def x_hygiene_full(spark):
+    return B.bench_corpus_hygiene(spark)
+
+
+# --------------------------------------------------------------------- #
+# streaming keys (unchanged wrappers so they can be interleaved)
+# --------------------------------------------------------------------- #
+
+
+def x_violations_highcount(spark):
+    return B.bench_violations_highcount(spark)
+
+
+def x_violations_lineitem(spark):
+    return B.bench_violations_lineitem(spark)
+
+
+def x_connected_components(spark):
+    return B.bench_connected_components(spark)
+
+
+def x_validate_lineitem(spark):
+    return B.bench_validate_lineitem(spark)
+
+
+def x_streaming_grammar(spark):
+    return B.bench_streaming_grammar(spark)
+
+
+def x_streaming_pipeline(spark):
+    return B.bench_streaming_pipeline(spark)
+
+
+WORKLOADS = {
+    "iceberg_meta_python": x_iceberg_meta_python,
+    "iceberg_scan_name": x_iceberg_scan_name,
+    "iceberg_scan_grouped": x_iceberg_scan_grouped,
+    "iceberg_validate": x_iceberg_validate,
+    "transcripts_scan": x_transcripts_scan,
+    "transcripts_validate": x_transcripts_validate,
+    "iceberg_deletes_read": x_iceberg_deletes_read,
+    "iceberg_deletes_validate": x_iceberg_deletes_validate,
+    "hygiene_pii_counts": x_hygiene_pii_counts,
+    "hygiene_redact": x_hygiene_redact,
+    "hygiene_full": x_hygiene_full,
+    "violations_highcount": x_violations_highcount,
+    "violations_lineitem": x_violations_lineitem,
+    "connected_components": x_connected_components,
+    "validate_lineitem": x_validate_lineitem,
+    "streaming_grammar": x_streaming_grammar,
+    "streaming_pipeline": x_streaming_pipeline,
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(WORKLOADS)
+    reps = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+    spark = B.build_spark(B.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    B.ensure_transcripts(spark)
+    results: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(reps):
+        for n in names:
+            spark.sparkContext.setJobDescription(f"bench_extra:{n}#{r}")
+            t0 = time.time()
+            WORKLOADS[n](spark)
+            dt = round(time.time() - t0, 3)
+            results[n].append(dt)
+            print(f"# rep{r} {n}: {dt}s", file=sys.stderr, flush=True)
+    spark.sparkContext.setJobDescription(None)
+    print(
+        json.dumps(
+            {
+                n: {"min": min(v), "samples": v}
+                for n, v in results.items()
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,25 @@ def extract_row_violations(
     failed_checks: list,  # list[CompiledCheck]
     index_cols: Optional[list[str]],
 ) -> DataFrame:
+    # spread SMALL inputs across the cluster before the struct-build /
+    # explode projection: stringifying failure cases and index keys is
+    # the dominant per-row cost of extraction (measured ~19 µs/row), and
+    # a table that arrives in fewer splits than cores would run it at
+    # file-count parallelism (a 42 MB file = 3 splits = 3 tasks on 32
+    # cores).  Deterministic hash repartition on the index keys (no
+    # round-robin: avoids the sort-before-repartition pass and stays
+    # retry-safe); a big scan already has >= par partitions and is NOT
+    # shuffled (same guard as minhash_lsh_candidates).
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — Connect has no sc
+        par = 8
+    if df.rdd.getNumPartitions() < par:
+        df = (
+            df.repartition(par, *index_cols)
+            if index_cols
+            else df.repartition(par)
+        )
     idx = _index_col(index_cols)
     structs = []
     for cc in failed_checks:
@@ -87,32 +106,51 @@ def extract_row_violations(
             ).otherwise(k_expr)
         out = out.withColumn("__k__", k_expr)
 
-        # stage 1 — per-input-partition pre-limit: global first-k by index
-        # is a subset of the union of per-partition first-k, so each
-        # (column, check, source-partition) group keeps at most k rows.
-        # Window partitions are bounded by one input partition's rows —
-        # a single check with 10^9 violations never lands in ONE sort.
-        pre_w = Window.partitionBy(
-            "column", "check", F.spark_partition_id()
-        ).orderBy("index")
-        out = (
-            out.withColumn("__prn__", F.row_number().over(pre_w))
-            .filter(F.col("__k__").isNull() | (F.col("__prn__") <= F.col("__k__")))
+        # rows of UNLIMITED checks need no window at all — keeping them
+        # out of both exchanges means the (typically dominant) unlimited
+        # bulk streams scan→explode→sink with zero shuffles, instead of
+        # riding two exchanges + sorts just to be waved through (guide
+        # §2.4: remove shuffles outright).  The split re-evaluates the
+        # scan+explode per branch, but those are cheap codegen
+        # projections; the shuffles they replace are not.  Group
+        # membership is per (column, check), so dropping unlimited rows
+        # cannot change which limited rows a window keeps.
+        unlim = out.filter(F.col("__k__").isNull()).drop("__k__")
+        lim = out.filter(F.col("__k__").isNotNull())
+
+        # stage 1 — SALTED pre-limit: global first-k by index is a subset
+        # of the union of per-salt-group first-k for ANY row partitioning,
+        # so each (column, check, salt) group keeps at most k rows.  The
+        # salt is a deterministic hash of the index (guide §2.5: never
+        # derive shuffle keys from rand(); a retried map task must
+        # reproduce the same assignment) with 2× parallelism distinct
+        # values per check.  vs the previous spark_partition_id() key:
+        # the salt spreads the sort EVENLY at the configured parallelism
+        # regardless of how few (or how skewed) the scan partitions are —
+        # a 600k-row limited check previously funneled through one
+        # AQE-coalesced task per window; the group count is also bounded
+        # (never 10^6 input splits × checks), keeping stage 2 at
+        # ≤ k × n_salts rows per group by construction.
+        try:
+            par = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover — Connect has no sc
+            par = 8
+        n_salts = max(32, 2 * par)
+        salt = F.pmod(F.xxhash64(F.col("index")), F.lit(n_salts))
+        pre_w = Window.partitionBy("column", "check", salt).orderBy("index")
+        lim = (
+            lim.withColumn("__prn__", F.row_number().over(pre_w))
+            .filter(F.col("__prn__") <= F.col("__k__"))
             .drop("__prn__")
         )
 
-        # stage 2 — exact global limit over the pre-limited rows.  Limited
-        # checks now have ≤ k × n_input_partitions rows per window group;
-        # unlimited-check rows get a degenerate per-row key (their index)
-        # so no giant group is ever sorted.
-        glob_w = Window.partitionBy(
-            "column",
-            "check",
-            F.when(F.col("__k__").isNull(), F.monotonically_increasing_id()),
-        ).orderBy("index")
-        out = (
-            out.withColumn("__rn__", F.row_number().over(glob_w))
-            .filter(F.col("__k__").isNull() | (F.col("__rn__") <= F.col("__k__")))
+        # stage 2 — exact global limit over the pre-limited rows: each
+        # (column, check) group now holds ≤ k × n_input_partitions rows,
+        # so the global sort is tiny by construction.
+        glob_w = Window.partitionBy("column", "check").orderBy("index")
+        out = unlim.unionByName(
+            lim.withColumn("__rn__", F.row_number().over(glob_w))
+            .filter(F.col("__rn__") <= F.col("__k__"))
             .drop("__rn__", "__k__")
         )
     return out

@@ -379,11 +379,14 @@ def connected_components(
         )
         # truncate iterative lineage: reliable checkpoint when the session
         # has a checkpoint dir (survives executor loss on a real cluster),
-        # executor-local otherwise
+        # executor-local otherwise.  NON-eager: the Σlabel convergence
+        # probe right below is the round's first action and materializes
+        # the checkpoint as a side effect — eager=True would run one
+        # extra job per round just to populate the same blocks.
         if edges.sparkSession.sparkContext.getCheckpointDir():
-            new_labels = new_labels.checkpoint(eager=True)
+            new_labels = new_labels.checkpoint(eager=False)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:

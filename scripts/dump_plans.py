@@ -1,0 +1,55 @@
+"""Dump ``.explain("formatted")`` for every declared query to files.
+
+Usage: python scripts/dump_plans.py [sf_dir] [out_dir] [only-substrings]
+
+Writes ``<out_dir>/<query>.txt`` per query (construct-only — the query
+is planned, not executed, except where construction itself runs side
+jobs such as Iceberg table builds).  Used for the per-round plan
+evidence in plans/rNN/.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-dump")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+    qs = entrymod.queries()
+    if only:
+        pats = [p for p in only.split(",") if p]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            plan = sdf._sc._jvm.PythonSQLUtils.explainString(
+                sdf._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # keep going: one bad query != no evidence
+            plan = f"ERROR constructing/planning {name}: {type(e).__name__}: {e}"
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name} ({len(plan)} chars)")
+    return 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "plans/r06/queries"
+    raise SystemExit(main(sf, out, sys.argv[3] if len(sys.argv) > 3 else ""))
