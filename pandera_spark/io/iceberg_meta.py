@@ -1090,12 +1090,19 @@ def _file_projection(meta: IcebergMeta, dfile: dict, path: str) -> tuple:
     return era_key, tuple(by_fid.get(fid) for fid in meta.fields)
 
 
+#: above this many distinct (projection era, sequence number) groups the
+#: per-group literal-seq read would union too many scans (plan bloat —
+#: guide §3.3); callers fall back to the path→seq join instead
+_SEQ_GROUP_MAX = 32
+
+
 def _read_data_files(
     spark,
     meta: IcebergMeta,
     paths: list[str],
     by_path: dict[str, dict],
     with_meta: bool = False,
+    with_seq: bool = False,
 ):
     """Read data files with per-file field-id column resolution: files
     are grouped by projection signature (almost always 1-2 groups —
@@ -1103,22 +1110,42 @@ def _read_data_files(
     re-aliased to current-schema names, unioned by name.  Missing
     fields surface as typed NULLs.  ``with_meta`` appends the
     normalized ``__fp__`` / ``__pos__`` columns the delete-merge joins
-    key on."""
+    key on.  ``with_seq`` appends each row's data sequence number as a
+    per-group LITERAL ``__seq__`` column (the group key then includes
+    the file's sequence number): the sequence is per FILE, so stamping
+    it at the scan costs nothing, where the former per-row
+    (path → seq) join sort-merge-shuffled the whole table on a long
+    path string just to attach one small int."""
     from pyspark.sql import functions as F
+
+    def _seq_of(p: str) -> int:
+        return int(by_path[p].get("_seq") or 0)
 
     cur = list(meta.fields.items())
     if meta.has_nested or not cur:
         # nested (struct/map-of-struct) fields cannot be re-aliased by
-        # this layer — name-based read, as before field-id support
-        df = spark.read.parquet(*paths)
-        if with_meta:
-            df = df.withColumn(
-                "__fp__", _norm_uri_col(F.col("_metadata.file_path"))
-            ).withColumn("__pos__", F.col("_metadata.row_index"))
-        return df
+        # this layer — name-based read, as before field-id support;
+        # with_seq still groups by sequence number for the literal
+        sgroups: dict[int, list[str]] = {}
+        for p in paths:
+            sgroups.setdefault(_seq_of(p) if with_seq else 0, []).append(p)
+        out = None
+        for seq, gpaths in sgroups.items():
+            df = spark.read.parquet(*gpaths)
+            if with_meta:
+                df = df.withColumn(
+                    "__fp__", _norm_uri_col(F.col("_metadata.file_path"))
+                ).withColumn("__pos__", F.col("_metadata.row_index"))
+            if with_seq:
+                df = df.withColumn("__seq__", F.lit(seq).cast("long"))
+            out = df if out is None else out.unionByName(df)
+        return out
     groups: dict[tuple, list[str]] = {}
     for p in paths:
-        groups.setdefault(_file_projection(meta, by_path[p], p), []).append(p)
+        key = _file_projection(meta, by_path[p], p)
+        if with_seq:
+            key = (key, _seq_of(p))
+        groups.setdefault(key, []).append(p)
     meta_cols = (
         [
             _norm_uri_col(F.col("_metadata.file_path")).alias("__fp__"),
@@ -1128,7 +1155,11 @@ def _read_data_files(
         else []
     )
     out = None
-    for sig, gpaths in groups.items():
+    for key, gpaths in groups.items():
+        sig = key[0] if with_seq else key
+        seq_cols = (
+            [F.lit(key[1]).cast("long").alias("__seq__")] if with_seq else []
+        )
         # cast every projected column to the CURRENT schema type: after
         # a type promotion (int→long, float→double, decimal widening —
         # evolve_schema(promote=...)) old data files still carry the
@@ -1142,7 +1173,7 @@ def _read_data_files(
             else F.lit(None).cast(_spark_ddl(f["type"])).alias(f["name"])
             for (_, f), phys in zip(cur, sig[1])
         ]
-        g = spark.read.parquet(*gpaths).select(*sel, *meta_cols)
+        g = spark.read.parquet(*gpaths).select(*sel, *meta_cols, *seq_cols)
         out = g if out is None else out.unionByName(g)
     return out
 
@@ -1293,8 +1324,41 @@ def _read_with_equality_deletes(
 
     loc = _norm_uri_py((meta.location or "").rstrip("/"))
     tdir = os.path.abspath(table_dir)
-    df = _read_data_files(spark, meta, paths, by_path, with_meta=True)
-    if meta.position_deletes:
+
+    n_seqs = len({int(d.get("_seq") or 0) for d in dfiles})
+    use_lit_seq = n_seqs <= _SEQ_GROUP_MAX
+    if not use_lit_seq:
+        # degenerate snapshot-count case (> _SEQ_GROUP_MAX distinct
+        # sequence numbers): a literal-seq read would union one scan per
+        # sequence value (plan bloat) — keep the original shape: scan
+        # everything with _metadata, anti-join position deletes, attach
+        # the per-row sequence via the (tiny) file→seq mapping
+        df = _read_data_files(spark, meta, paths, by_path, with_meta=True)
+        if meta.position_deletes:
+            dels = spark.read.parquet(
+                *[
+                    _localize(d["file_path"], table_dir, meta.location)
+                    for d in meta.position_deletes
+                ]
+            ).select(
+                _rerooted_fp_col(F.col("file_path"), loc, tdir).alias("__fp__"),
+                F.col("pos").alias("__pos__"),
+            )
+            df = df.join(dels, ["__fp__", "__pos__"], "left_anti")
+        seq_rows = [
+            (
+                _norm_uri_py(
+                    os.path.abspath(
+                        _localize(d["file_path"], table_dir, meta.location)
+                    )
+                ),
+                int(d.get("_seq") or 0),
+            )
+            for d in dfiles
+        ]
+        seq_df = spark.createDataFrame(seq_rows, "__fp__ string, __seq__ long")
+        df = df.join(seq_df, "__fp__", "left")
+    elif meta.position_deletes:
         dels = spark.read.parquet(
             *[
                 _localize(d["file_path"], table_dir, meta.location)
@@ -1304,19 +1368,60 @@ def _read_with_equality_deletes(
             _rerooted_fp_col(F.col("file_path"), loc, tdir).alias("__fp__"),
             F.col("pos").alias("__pos__"),
         )
-        df = df.join(dels, ["__fp__", "__pos__"], "left_anti")
-    # per-row data sequence number from the (tiny) file→seq mapping
-    seq_rows = [
-        (
-            _norm_uri_py(
-                os.path.abspath(_localize(d["file_path"], table_dir, meta.location))
-            ),
-            int(d.get("_seq") or 0),
+        # same clean/dirty split as the position-only read path: only
+        # files actually referenced by position-delete rows pay for the
+        # _metadata columns and the anti-join; untouched files stream
+        # through with neither (delete file_path values read on the
+        # driver only while the delete set is small)
+        n_del_rows = sum(
+            d.get("record_count") or 0 for d in meta.position_deletes
         )
-        for d in dfiles
-    ]
-    seq_df = spark.createDataFrame(seq_rows, "__fp__ string, __seq__ long")
-    df = df.join(seq_df, "__fp__", "left")
+        clean: list[str] = []
+        dirty = paths
+        if n_del_rows <= _POS_DELETE_SPLIT_MAX_ROWS:
+            import pyarrow.parquet as _pq
+
+            affected = set()
+            for d in meta.position_deletes:
+                dp = _localize(d["file_path"], table_dir, meta.location)
+                affected.update(
+                    _reroot_py(v, loc, tdir)
+                    for v in _pq.read_table(dp, columns=["file_path"])[
+                        "file_path"
+                    ].to_pylist()
+                )
+            clean = [
+                p
+                for p in paths
+                if _norm_uri_py(os.path.abspath(p)) not in affected
+            ]
+            dirty = [
+                p for p in paths if _norm_uri_py(os.path.abspath(p)) in affected
+            ]
+        parts = []
+        if dirty:
+            dd = _read_data_files(
+                spark, meta, dirty, by_path, with_meta=True,
+                with_seq=use_lit_seq,
+            )
+            parts.append(
+                dd.join(dels, ["__fp__", "__pos__"], "left_anti").drop(
+                    "__fp__", "__pos__"
+                )
+            )
+        if clean:
+            parts.append(
+                _read_data_files(
+                    spark, meta, clean, by_path, with_seq=use_lit_seq
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    else:
+        df = _read_data_files(
+            spark, meta, paths, by_path, with_seq=use_lit_seq
+        )
     for d in sorted(meta.equality_deletes, key=lambda x: x.get("_seq") or 0):
         ids = d.get("equality_ids") or []
         cols = [meta.field_name(i) for i in ids]
