@@ -133,6 +133,10 @@ def x_hygiene_full(spark):
 # --------------------------------------------------------------------- #
 
 
+def x_iceberg_compact(spark):
+    return B.bench_iceberg_compact(spark)
+
+
 def x_violations_highcount(spark):
     return B.bench_violations_highcount(spark)
 
@@ -169,6 +173,7 @@ WORKLOADS = {
     "hygiene_pii_counts": x_hygiene_pii_counts,
     "hygiene_redact": x_hygiene_redact,
     "hygiene_full": x_hygiene_full,
+    "iceberg_compact": x_iceberg_compact,
     "violations_highcount": x_violations_highcount,
     "violations_lineitem": x_violations_lineitem,
     "connected_components": x_connected_components,
