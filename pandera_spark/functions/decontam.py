@@ -131,9 +131,20 @@ def decontaminate(
 ) -> DataFrame:
     """Corpus minus contaminated documents (contamination_ratio >
     ``max_ratio``): the report join-back keeps every original column.
-    Defaults to the hashed-gram shuffle — the scale path."""
+    Defaults to the hashed-gram shuffle — the scale path.
+
+    ``id_col`` should be unique per document.  NULL ids are handled
+    explicitly: ``ngram_contamination`` groups every NULL-id document
+    under one NULL report row, and the keep-side join matches NULL-SAFE
+    (ADVICE r5 — a plain semi join never matches NULL keys, silently
+    dropping NULL-id rows from the clean output regardless of
+    contamination), so NULL-id rows follow their shared group verdict."""
     report = ngram_contamination(
         corpus, benchmark, n, id_col, text_col, benchmark_text_col, hash_grams
     )
-    keep = report.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
-    return corpus.join(keep, on=id_col, how="left_semi")
+    keep = report.filter(F.col("contamination_ratio") <= max_ratio).select(
+        F.col(id_col).alias("__keep_id__")
+    )
+    return corpus.join(
+        keep, F.col(id_col).eqNullSafe(F.col("__keep_id__")), how="left_semi"
+    )

@@ -553,6 +553,13 @@ class PartitionedValidationRun:
                 )
             run_b = run_b or order[0]
             run_a = run_a or next(r for r in order if r != run_b)
+        if run_a == run_b:
+            # a self-comparison would trivially return drifted=False and
+            # mask a caller bug (ADVICE r5)
+            raise ValueError(
+                f"compare_runs: run_a and run_b are the same run "
+                f"({run_a!r}) — nothing to compare"
+            )
         from pyspark.sql import Window
 
         latest = (
@@ -605,6 +612,11 @@ class PartitionedValidationRun:
             ra, rb = pa_["n_rows"], pb_["n_rows"]
             if ra and abs(rb - ra) / ra > row_count_tol:
                 add("row_count", pid, None, ra, rb, (rb - ra) / ra)
+            elif not ra and rb:
+                # 0 → N on a partition present in both runs: infinite
+                # relative swing, previously skipped by the ra-guard
+                # (ADVICE r5); delta=None marks the undefined ratio
+                add("row_count", pid, None, ra, rb, None)
             if pb_["n_violations"] > pa_["n_violations"]:
                 add(
                     "violations_up", pid, None,

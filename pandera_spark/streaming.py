@@ -330,6 +330,32 @@ def contiguity_monitor_tws(
 # streaming dialog-structure monitor (SequenceGrammar, stateful)
 # --------------------------------------------------------------------- #
 
+_DURATION_UNITS_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "min": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(d) -> Optional[int]:
+    """'7 days' / '30 minutes' / int ms → milliseconds (None passes
+    through).  PySpark's GroupState.setTimeoutDuration only accepts int
+    milliseconds, unlike its Scala counterpart."""
+    if d is None:
+        return None
+    if isinstance(d, int):
+        return d
+    parts = str(d).strip().split()
+    if len(parts) == 2 and parts[1].lower() in _DURATION_UNITS_MS:
+        return int(float(parts[0]) * _DURATION_UNITS_MS[parts[1].lower()])
+    raise ValueError(
+        f"unparseable duration {d!r}; use e.g. '30 minutes', '7 days', "
+        "or an int of milliseconds"
+    )
+
+
 GRAMMAR_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -402,12 +428,17 @@ def grammar_monitor(
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
     state_col: str = "role",
+    idle_timeout: Optional[str] = "7 days",
 ) -> DataFrame:
     """Streaming dialog-structure monitor: the stateful counterpart of the
     batch ``SequenceGrammar`` check (backend/referential.py).  State per
-    conversation is O(1) — (highest turn_idx, last accepted state) — so a
-    10^12-turn stream carries state proportional to LIVE conversations,
-    not turns.  Violations surface as they arrive:
+    conversation is O(1) — (highest turn_idx, last accepted state) — and
+    conversations idle past ``idle_timeout`` (processing time) have their
+    state EVICTED, so a 10^12-turn stream carries state proportional to
+    conversations active within the horizon, never to every conv_id ever
+    seen (VERDICT r5 #2: with no timeout the state store grew without
+    bound on a stream of short conversations).  Violations surface as
+    they arrive:
 
       - ``kind='grammar'``  — illegal opening state (``^->s``) or illegal
         transition (``p->s``), same failure_case vocabulary as batch;
@@ -416,6 +447,14 @@ def grammar_monitor(
         grammar-checking it against O(1) state would be wrong, so it is
         reported, not checked (pair with ``contiguity_monitor`` /
         ``dedup_stream`` upstream for exactly-once ordering).
+
+    Eviction semantics: a conversation that reappears AFTER its state was
+    evicted is validated from scratch — its next turn is checked as an
+    OPENING state (a mid-conversation resume past the horizon surfaces as
+    a ``^->s`` grammar report) and earlier indexes are no longer
+    recognized as replays.  Size ``idle_timeout`` to the longest pause a
+    live conversation may take; ``None`` restores the unbounded r5
+    behavior.
 
     ``grammar`` is a ``SequenceGrammar`` (its ``last=`` has no streaming
     meaning — a conversation never ends mid-stream — and is ignored);
@@ -427,8 +466,15 @@ def grammar_monitor(
         grammar = SequenceGrammar.dialog()
     first = frozenset(grammar.first) if grammar.first is not None else None
     transitions = {k: frozenset(v) for k, v in grammar.transitions.items()}
+    timeout_ms = _duration_ms(idle_timeout)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if idle_timeout is not None and state.hasTimedOut:
+            # idle past the horizon with no new data this trigger:
+            # drop the (max_idx, last_state) pair — the state store
+            # must not accrete one entry per conv_id forever
+            state.remove()
+            return
         (conv_id,) = key
         max_idx, last_state = (
             (state.get[0], state.get[1]) if state.exists else (-1, None)
@@ -437,6 +483,8 @@ def grammar_monitor(
             conv_id, max_idx, last_state, pdfs, first, transitions
         )
         state.update((max_idx, last_state))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["conv_id", "turn_idx", "kind", "failure_case"]
@@ -452,5 +500,9 @@ def grammar_monitor(
         outputStructType=GRAMMAR_OUTPUT_SCHEMA,
         stateStructType=_GRAMMAR_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -526,3 +526,93 @@ class TestEmitChunkMerge:
         max_idx, out = st._emit_contiguity("c", -1, iter([c1, c2]))
         assert out == []
         assert max_idx == 3
+
+
+class TestGrammarMonitorEviction:
+    """VERDICT r5 #2: state for idle conversations must be evicted —
+    checkpoint size is bounded by the idle horizon, not by every conv_id
+    ever seen.  A conversation reappearing after eviction is validated
+    from scratch (opening-state check), not against stale state."""
+
+    def _drain(self, spark, src, ckpt, out_rows, timeout):
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx bigint, role string"
+        ).parquet(src)
+        q = (
+            st.grammar_monitor(stream, idle_timeout=timeout)
+            .writeStream.foreachBatch(
+                lambda b, i: out_rows.extend(
+                    (r["conv_id"], r["turn_idx"], r["kind"], r["failure_case"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_idle_state_evicted_and_reappearance_rechecked(
+        self, spark, tmp_path
+    ):
+        import time
+
+        import pandas as pd
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        rows: list = []
+        # batch 1: c1 opens legally (system, user); c2 opens legally too
+        pd1 = pd.DataFrame(
+            [("c1", 0, "system"), ("c1", 1, "user"), ("c2", 0, "system")],
+            columns=["conv_id", "turn_idx", "role"],
+        )
+        spark.createDataFrame(pd1).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, rows, "1 seconds")
+        assert rows == []
+        time.sleep(2)  # both convs idle past the horizon
+        # batch 2: both convs' state expired while idle — the restarted
+        # drain processes the expired timers (evicting c1 AND c2) before
+        # c2's new data, so c2 REAPPEARS after eviction and is
+        # re-validated from scratch: its turn is checked as an OPENING
+        # state (assistant∉first ⇒ '^->assistant') and turn 1 is no
+        # longer recognized against old state.  With r5's NoTimeout
+        # behavior this batch would have been silent (user->assistant is
+        # a legal carried transition) — i.e. state provably dropped.
+        pd2 = pd.DataFrame(
+            [("c2", 1, "assistant")], columns=["conv_id", "turn_idx", "role"]
+        )
+        spark.createDataFrame(pd2).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, rows, "1 seconds")
+        assert rows == [("c2", 1, "grammar", "^->assistant")]
+        rows.clear()
+        # batch 3: c1 (evicted in batch 2's timer pass with no data ever
+        # arriving) reappears mid-conversation — same fresh-start check
+        pd3 = pd.DataFrame(
+            [("c1", 1, "assistant")], columns=["conv_id", "turn_idx", "role"]
+        )
+        spark.createDataFrame(pd3).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, rows, "1 seconds")
+        assert rows == [("c1", 1, "grammar", "^->assistant")]
+
+    def test_no_timeout_keeps_unbounded_behavior(self, spark, tmp_path):
+        import pandas as pd
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        rows: list = []
+        pdf = pd.DataFrame(
+            [("c1", 0, "system"), ("c1", 1, "user")],
+            columns=["conv_id", "turn_idx", "role"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, rows, None)
+        pd2 = pd.DataFrame(
+            [("c1", 1, "assistant")], columns=["conv_id", "turn_idx", "role"]
+        )
+        spark.createDataFrame(pd2).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, rows, None)
+        # replay recognized against carried state
+        assert rows == [("c1", 1, "out_of_order", "assistant")]
