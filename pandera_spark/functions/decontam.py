@@ -84,6 +84,19 @@ def ngram_contamination(
             F.explode(word_ngrams(benchmark_text_col, n)).alias("gram")
         ).distinct()
     )
+    # spread SMALL corpora across the cluster before the gram projection:
+    # tokenize + n-gram + hash is the dominant per-row cost and a corpus
+    # that arrives in fewer splits than cores would run it at file-count
+    # parallelism (a one-file 5k-doc table measured 1 task on 32 cores).
+    # Hash repartition on the doc id keeps every doc's grams in one
+    # partition (the map-side partial-agg story above is unchanged); a
+    # big scan already has >= par partitions and is NOT shuffled.
+    try:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — Connect has no sc
+        par = 8
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par, id_col)
     exploded = corpus.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, n)).alias("__grams__"),
