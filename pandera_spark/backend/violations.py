@@ -145,8 +145,8 @@ def extract_row_violations(
         )
 
         # stage 2 — exact global limit over the pre-limited rows: each
-        # (column, check) group now holds ≤ k × n_input_partitions rows,
-        # so the global sort is tiny by construction.
+        # (column, check) group now holds ≤ k × n_salts rows, so the
+        # global sort is tiny by construction.
         glob_w = Window.partitionBy("column", "check").orderBy("index")
         out = unlim.unionByName(
             lim.withColumn("__rn__", F.row_number().over(glob_w))
