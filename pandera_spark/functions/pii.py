@@ -75,7 +75,12 @@ def _c(col) -> Column:
 
 
 def _guard(c: Column, pii_type: str) -> Column:
-    lit = _GUARD_LITERAL.get(pii_type)
+    if pii_type not in _GUARD_LITERAL:
+        # a pattern added to PII_PATTERNS without a registered guard
+        # must run unguarded — assuming a digit guard could silently
+        # skip matching rows
+        return c.isNotNull()
+    lit = _GUARD_LITERAL[pii_type]
     return c.rlike(_DIGIT_GUARD) if lit is None else c.contains(lit)
 
 
@@ -138,7 +143,10 @@ def redact_pii_col(col, types: list[str] | None = None) -> Column:
     guards = []
     seen_digit = False
     for t in active:
-        lit = _GUARD_LITERAL.get(t)
+        if t not in _GUARD_LITERAL:
+            guards.append(c.isNotNull())  # guardless pattern: always run
+            continue
+        lit = _GUARD_LITERAL[t]
         if lit is None:
             if not seen_digit:
                 guards.append(c.rlike(_DIGIT_GUARD))
